@@ -1,0 +1,73 @@
+"""Per-round benchmark — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set: the heavy representatives of each engine area — generic
+scan/agg (tpch_q1), LogQL metrics (count_over_time, topk), PromQL rate
+family (rate over reset-wrapped counters), TraceQL structural join,
+dedup (shingle-join Jaccard), similarity (pairwise cosine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oteldb_spark.queries import QUERIES  # noqa: E402
+from oteldb_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_revenue_by_nation",
+    "logql_count_over_time",
+    "logql_json_parser",
+    "logql_topk",
+    "logql_quantile_over_time",
+    "promql_rate",
+    "promql_irate",
+    "traceql_structural_child",
+    "traceql_trace_assembly",
+    "dedup_ngram_jaccard",
+    "ann_near_dup_pairs",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("oteldb-spark-bench")
+
+    # warm the JVM + parquet footers with one cheap action
+    QUERIES["logql_selector"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

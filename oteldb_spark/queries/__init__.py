@@ -1,0 +1,19 @@
+"""Driver-facing query registry.
+
+Each module registers (name → Spark builder) and (name → DuckDB oracle
+SQL) pairs via ``registry.register``.  ``__spark_entry__.py`` re-exports
+the populated dicts.  Every entry corresponds to an operator row in
+SURVEY.md §2 (or a training-data-pipeline operator); the oracle SQL is
+the ANSI/DuckDB re-statement of the same semantics.
+"""
+
+from . import registry  # noqa: F401
+from . import tpch  # noqa: F401
+from . import logql_log  # noqa: F401
+from . import logql_metric  # noqa: F401
+from . import promql  # noqa: F401
+from . import traceql  # noqa: F401
+from . import pipeline  # noqa: F401
+
+QUERIES = registry.QUERIES
+ORACLES = registry.ORACLES

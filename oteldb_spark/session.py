@@ -1,0 +1,40 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+same builder settings are what we would ship to a real cluster —
+shuffle partitions sized to cores, AQE on (runtime coalesce + skew-join
+splitting), Arrow enabled for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "oteldb-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Size shuffles to the actual parallelism, not the 200 default.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        # AQE: runtime partition coalescing + skew-join splitting.  At
+        # 100 TB this is what keeps a skewed trace_id / series_hash key
+        # from stalling a stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # ns-precision epochs live in LongType columns; TimestampType is
+        # µs and only derived for windowing, so no ambiguity policies
+        # are needed.
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
