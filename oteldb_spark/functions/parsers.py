@@ -1,0 +1,164 @@
+"""Scalar parsing/conversion functions used by LogQL pipeline stages.
+
+All are pure Column expressions (JVM-side, codegen'd) — no UDFs.
+Reference semantics:
+
+* logfmt          — ``logqlengine/logfmt.go`` (key=val pairs)
+* pattern parser  — ``logqlpattern/`` (``<field>`` captures, ``<_>``
+  wildcards) — compiled to a regex with named-ish groups
+* duration/bytes  — ``logqlengine/comparator.go`` label coercion:
+  Go ``time.ParseDuration`` units (ns us µs ms s m h) and humanized
+  bytes (b kb mb gb tb + KiB variants)
+* ip matching     — ``logqlengine/ip_matcher.go``: literal, range,
+  CIDR over IPv4
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def logfmt_map(body: Column | str) -> Column:
+    """Parse a logfmt line (``k=v`` space-separated, unquoted values)
+    into a map<string,string>.  Quoted values are handled by the
+    regex-pair variant below when needed."""
+    return F.str_to_map(body, F.lit(" "), F.lit("="))
+
+
+def pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile a LogQL pattern expression (``<field>`` captures,
+    ``<_>`` anonymous wildcards) to an anchored regex + capture names.
+
+    Mirrors logqlpattern parsing: literals are matched verbatim,
+    captures are non-greedy ``(.*?)`` except a trailing capture which
+    is greedy.
+    """
+    names: list[str] = []
+    out: list[str] = ["^"]
+    pos = 0
+    tokens = list(re.finditer(r"<([A-Za-z_][A-Za-z0-9_]*|_)>", pattern))
+    for i, m in enumerate(tokens):
+        out.append(re.escape(pattern[pos : m.start()]))
+        last = i == len(tokens) - 1 and m.end() == len(pattern)
+        group = "(.*)" if last else "(.*?)"
+        if m.group(1) == "_":
+            group = ".*" if last else ".*?"
+        else:
+            names.append(m.group(1))
+        out.append(group)
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    out.append("$")
+    return "".join(out), names
+
+
+def pattern_extract(body: Column | str, pattern: str) -> dict[str, Column]:
+    """Apply a LogQL pattern, returning {field: Column}."""
+    rx, names = pattern_to_regex(pattern)
+    col = F.col(body) if isinstance(body, str) else body
+    res = {}
+    gi = 0
+    # regexp_extract group indexes count only capturing groups
+    for name in names:
+        gi += 1
+        res[name] = F.regexp_extract(col, rx, gi)
+    return res
+
+
+# Go time.ParseDuration units → seconds multiplier.  Longest units
+# first so the regex prefers 'ms' over 'm'.
+_DURATION_UNITS = [
+    ("ns", 1e-9),
+    ("us", 1e-6),
+    ("µs", 1e-6),
+    ("ms", 1e-3),
+    ("s", 1.0),
+    ("m", 60.0),
+    ("h", 3600.0),
+]
+
+
+def parse_duration_seconds(col: Column | str) -> Column:
+    """'123.45ms' → 0.12345 (seconds, double).  Single-component
+    durations (the common log-label case); unknown unit → null."""
+    c = F.col(col) if isinstance(col, str) else col
+    num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
+    unit = F.regexp_extract(c, r"([a-zµ]+)$", 1)
+    expr = F.lit(None).cast("double")
+    for u, mult in _DURATION_UNITS:
+        expr = F.when(unit == u, num * F.lit(mult)).otherwise(expr)
+    return expr
+
+
+_BYTES_UNITS = [
+    ("b", 1.0),
+    ("kb", 1e3),
+    ("mb", 1e6),
+    ("gb", 1e9),
+    ("tb", 1e12),
+    ("kib", 1024.0),
+    ("mib", 1024.0**2),
+    ("gib", 1024.0**3),
+    ("tib", 1024.0**4),
+]
+
+
+def parse_bytes(col: Column | str) -> Column:
+    """'1.5KB' → 1500.0 bytes (case-insensitive units, go-humanize)."""
+    c = F.col(col) if isinstance(col, str) else col
+    num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
+    unit = F.lower(F.regexp_extract(c, r"([A-Za-z]+)$", 1))
+    expr = F.lit(None).cast("double")
+    for u, mult in _BYTES_UNITS:
+        expr = F.when(unit == u, num * F.lit(mult)).otherwise(expr)
+    return expr
+
+
+def ipv4_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 string → uint32 as long (null if malformed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, r"\.")
+    valid = F.size(parts) == 4
+    total = F.lit(0).cast("long")
+    for i in range(4):
+        total = total * 256 + F.element_at(parts, i + 1).cast("long")
+    return F.when(valid, total)
+
+
+def ip_in_cidr(col: Column | str, cidr: str) -> Column:
+    """LogQL ``ip("10.0.0.0/16")`` membership test as a Column."""
+    base, _, bits = cidr.partition("/")
+    bits = int(bits) if bits else 32
+    base_parts = [int(x) for x in base.split(".")]
+    base_long = (
+        ((base_parts[0] * 256 + base_parts[1]) * 256 + base_parts[2]) * 256
+        + base_parts[3]
+    )
+    mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
+    ip = ipv4_to_long(col)
+    return ip.isNotNull() & (
+        ip.bitwiseAND(F.lit(mask)) == F.lit(base_long & mask)
+    )
+
+
+def ip_in_range(col: Column | str, lo: str, hi: str) -> Column:
+    """LogQL ``ip("10.0.0.1-10.0.0.99")`` range test."""
+
+    def s2l(s: str) -> int:
+        p = [int(x) for x in s.split(".")]
+        return ((p[0] * 256 + p[1]) * 256 + p[2]) * 256 + p[3]
+
+    ip = ipv4_to_long(col)
+    return ip.isNotNull() & ip.between(s2l(lo), s2l(hi))
+
+
+ANSI_RE = r"\x1b\[[0-9;]*m"
+
+
+def decolorize(col: Column | str) -> Column:
+    """Strip ANSI color codes (decolorize.go)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, ANSI_RE, "")

@@ -48,7 +48,12 @@ def fanout(
             "long"
         ),
     )
-    out = samples.withColumn("__k", F.explode(F.sequence(k_min, k_max)))
+    # sequence(a, b) DESCENDS when a > b — samples outside every
+    # window (e.g. offset-shifted past the end) must yield no steps
+    ks = F.when(k_min <= k_max, F.sequence(k_min, k_max)).otherwise(
+        F.array().cast("array<long>")
+    )
+    out = samples.withColumn("__k", F.explode(ks))
     return out.withColumn(
         "step_us", (F.lit(start_us) + F.col("__k") * F.lit(step_us)).cast("long")
     ).drop("__k")

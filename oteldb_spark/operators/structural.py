@@ -1,0 +1,158 @@
+"""TraceQL structural operators as distributed joins.
+
+The reference evaluates ``>`` ``>>`` ``~`` by walking parent chains
+per trace in memory (``traceql/traceqlengine/spanset_op.go:40-233``).
+Spark-native strategies:
+
+* child ``>`` / sibling ``~``: one self-join on
+  (trace_id, parent_span_id ↔ span_id) — shuffle on trace_id.
+* descendant ``>>``: iterative frontier join (bounded by max tree
+  depth), or — the scale path — a **nested-set encoding** computed
+  once at ingest: descendant(a, d) ⇔ a.left < d.left ∧ d.right <
+  a.right, turning the recursion into a range predicate.  The
+  reference schema reserves nestedSetLeft/Right intrinsics
+  (``traceql/attribute.go:60-65``) without computing them; we do.
+
+``nested_sets`` computes the encoding with two window functions over
+a DFS ordering (no recursion for trees materialized with a
+``depth``/path; for parent-pointer-only input use ``descendants``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def child_join(spans: DataFrame, parent_pred, child_pred) -> DataFrame:
+    """Spans matching ``child_pred`` whose direct parent matches
+    ``parent_pred`` (TraceQL ``{parent} > {child}``)."""
+    p = spans.filter(parent_pred).select(
+        F.col("trace_id").alias("p_trace_id"), F.col("span_id").alias("p_span_id")
+    )
+    c = spans.filter(child_pred)
+    return c.join(
+        p,
+        (c.trace_id == p.p_trace_id) & (c.parent_span_id == p.p_span_id),
+        "left_semi",
+    )
+
+
+def descendants(
+    spans: DataFrame, ancestor_pred, descendant_pred, max_depth: int = 8
+) -> DataFrame:
+    """Spans matching ``descendant_pred`` with ANY ancestor matching
+    ``ancestor_pred`` (TraceQL ``{anc} >> {desc}``).
+
+    Iterative frontier expansion: frontier holds (trace_id, span_id)
+    of spans whose subtree is covered so far; each round joins the
+    frontier to its children.  Rounds = tree depth, each a hash join
+    on (trace_id, parent_span_id) — the loop is driver-side control
+    flow only; data never leaves the cluster.
+    """
+    edges = spans.select("trace_id", "span_id", "parent_span_id")
+    frontier = spans.filter(ancestor_pred).select("trace_id", "span_id").distinct()
+    covered = None
+    for _ in range(max_depth):
+        children = (
+            edges.alias("e")
+            .join(
+                frontier.alias("f"),
+                (F.col("e.trace_id") == F.col("f.trace_id"))
+                & (F.col("e.parent_span_id") == F.col("f.span_id")),
+            )
+            .select(F.col("e.trace_id").alias("trace_id"), F.col("e.span_id").alias("span_id"))
+            .distinct()
+        )
+        if covered is None:
+            covered = children
+        else:
+            new = children.join(covered, ["trace_id", "span_id"], "left_anti")
+            if new.isEmpty():
+                break
+            covered = covered.unionByName(new)
+        frontier = children
+        if frontier.isEmpty():
+            break
+    if covered is None:
+        return spans.filter(descendant_pred).limit(0)
+    return spans.filter(descendant_pred).join(
+        covered, ["trace_id", "span_id"], "left_semi"
+    )
+
+
+def nested_sets(spans: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Compute nested-set (left, right) numbers per span.
+
+    Strategy: derive each span's root-path by iterative parent joins
+    (depth-bounded), sort spans in DFS order per trace via the path,
+    then: left = DFS row index ×2 spacing; right = max left of the
+    subtree.  For query-time use, descendant(a, b) ⇔
+    a.ns_left < b.ns_left ≤ a.ns_right.
+    """
+    from pyspark.sql import Window
+
+    # root-path as an array of span_ids, built by joining ancestors
+    cur = spans.select(
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        F.array("span_id").alias("path"),
+        F.col("parent_span_id").alias("cursor"),
+    )
+    for _ in range(max_depth):
+        nxt = (
+            cur.alias("c")
+            .join(
+                spans.select(
+                    F.col("trace_id").alias("a_tid"),
+                    F.col("span_id").alias("a_sid"),
+                    F.col("parent_span_id").alias("a_pid"),
+                ),
+                (F.col("c.trace_id") == F.col("a_tid"))
+                & (F.col("c.cursor") == F.col("a_sid")),
+                "left",
+            )
+            .select(
+                "trace_id",
+                "span_id",
+                "parent_span_id",
+                F.when(
+                    F.col("a_sid").isNotNull(),
+                    F.concat(F.array(F.col("a_sid")), F.col("path")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.col("a_pid").alias("cursor"),
+            )
+        )
+        cur = nxt
+        if cur.filter(F.col("cursor").isNotNull()).isEmpty():
+            break
+    w = Window.partitionBy("trace_id").orderBy("path")
+    dfs = cur.withColumn("ns_left", F.row_number().over(w))
+    # right = max ns_left among spans whose path has this span as prefix
+    me = dfs.select("trace_id", "span_id", "parent_span_id", "path", "ns_left")
+    sub = (
+        me.alias("a")
+        .join(
+            me.select(
+                F.col("trace_id").alias("b_tid"),
+                F.col("path").alias("b_path"),
+                F.col("ns_left").alias("b_left"),
+            ),
+            (F.col("a.trace_id") == F.col("b_tid"))
+            & F.expr("array_position(b_path, a.span_id) > 0"),
+        )
+        .groupBy("a.trace_id", "a.span_id")
+        .agg(F.max("b_left").alias("ns_right"))
+        .select(
+            F.col("trace_id"),
+            F.col("span_id").alias("r_span_id"),
+            "ns_right",
+        )
+    )
+    return me.join(
+        sub,
+        (me.trace_id == sub.trace_id) & (me.span_id == sub.r_span_id),
+    ).select(me.trace_id, me.span_id, me.parent_span_id, "ns_left", "ns_right")

@@ -11,8 +11,12 @@ from . import registry  # noqa: F401
 from . import tpch  # noqa: F401
 from . import logql_log  # noqa: F401
 from . import logql_metric  # noqa: F401
+from . import logql_parsers  # noqa: F401
 from . import promql  # noqa: F401
+from . import promql_ext  # noqa: F401
 from . import traceql  # noqa: F401
+from . import traceql_ext  # noqa: F401
+from . import profiles  # noqa: F401
 from . import pipeline  # noqa: F401
 
 QUERIES = registry.QUERIES

@@ -1,0 +1,260 @@
+"""LogQL parser/format pipeline stages (SURVEY §2.2) — logfmt,
+pattern, regexp, unpack, line_format, decolorize, and the typed label
+filters (duration / bytes / IP).
+
+The testdata bodies are JSON, so each query synthesizes the stage's
+input shape (logfmt line, ANSI-colored line, packed JSON, duration/
+bytes/IP labels) from event columns — identically in Spark and in the
+DuckDB oracle — then exercises the REAL parser implementation on the
+Spark side (functions/parsers.py, functions/templates.py).  The oracle
+re-derives the expected output with plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.parsers import (
+    decolorize,
+    ip_in_cidr,
+    logfmt_map,
+    parse_bytes,
+    parse_duration_seconds,
+    pattern_extract,
+)
+from ..functions.templates import compile_template
+from ..signals import LOGS_CTE, logs_frame, with_ctes
+from .registry import register
+
+# logfmt line synthesized from event columns; `k` is the JSON body key
+_K = "CAST(json_extract_string(body, '$.k') AS BIGINT)"
+_LOGFMT_CTE = f"""logfmt_logs AS (
+  SELECT event_id, ts_us, service, level, user_id, value,
+         'evt=' || event_type || ' user=' || user_id || ' took=' || value ||
+         'ms sz=' || {_K} || 'KB ip=10.' || (user_id // 100) || '.' ||
+         ((user_id // 10) % 10) || '.' || (user_id % 10) AS body
+  FROM logs
+)"""
+
+
+def _logfmt_frame(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir)
+    k = F.get_json_object("body", "$.k").cast("long")
+    body = F.concat(
+        F.lit("evt="),
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" took="),
+        F.col("value").cast("string"),
+        F.lit("ms sz="),
+        k.cast("string"),
+        F.lit("KB ip=10."),
+        (F.col("user_id") / 100).cast("long").cast("string"),
+        F.lit("."),
+        ((F.col("user_id") / 10).cast("long") % 10).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 10).cast("string"),
+    )
+    return logs.select(
+        "event_id", "ts_us", "service", "level", "user_id", "value", body.alias("body")
+    )
+
+
+# {} | logfmt | took > 200ms — logfmt parser + duration label filter
+@register(
+    "logql_logfmt_parser",
+    with_ctes(
+        LOGS_CTE,
+        _LOGFMT_CTE,
+        body="""SELECT event_id,
+       CAST(regexp_extract(body, 'user=([0-9]+)', 1) AS BIGINT) AS user,
+       CAST(regexp_extract(body, 'took=([0-9.]+)ms', 1) AS DOUBLE) * 0.001
+         AS took_s
+FROM logfmt_logs
+WHERE CAST(regexp_extract(body, 'took=([0-9.]+)ms', 1) AS DOUBLE) * 0.001 > 0.2""",
+    ),
+)
+def logql_logfmt_parser(spark, sf_dir):
+    df = _logfmt_frame(spark, sf_dir)
+    m = logfmt_map("body")
+    took_s = parse_duration_seconds(m["took"])
+    return (
+        df.withColumn("user", m["user"].cast("long"))
+        .withColumn("took_s", took_s)
+        .filter(F.col("took_s") > 0.2)
+        .select("event_id", "user", "took_s")
+    )
+
+
+# {} |> pattern — pattern parser `evt=<evt> user=<user> took=<_> sz=<_> ip=<ip>`
+@register(
+    "logql_pattern_parser",
+    with_ctes(
+        LOGS_CTE,
+        _LOGFMT_CTE,
+        body="""SELECT event_id,
+       regexp_extract(body, '^evt=(.*?) user=', 1) AS evt,
+       regexp_extract(body, ' user=(.*?) took=', 1) AS user,
+       regexp_extract(body, ' ip=(.*)$', 1) AS ip
+FROM logfmt_logs
+WHERE regexp_extract(body, '^evt=(.*?) user=', 1) = 'purchase'""",
+    ),
+)
+def logql_pattern_parser(spark, sf_dir):
+    df = _logfmt_frame(spark, sf_dir)
+    caps = pattern_extract(
+        F.col("body"), "evt=<evt> user=<user> took=<_> sz=<_> ip=<ip>"
+    )
+    return (
+        df.withColumn("evt", caps["evt"])
+        .withColumn("user", caps["user"])
+        .withColumn("ip", caps["ip"])
+        .filter(F.col("evt") == "purchase")
+        .select("event_id", "evt", "user", "ip")
+    )
+
+
+# {} | regexp `"k": (?P<knum>[0-9]+)` — regexp parser with capture group
+@register(
+    "logql_regexp_parser",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT event_id, service,
+       CAST(regexp_extract(body, '"k": ([0-9]+)', 1) AS BIGINT) AS knum
+FROM logs WHERE CAST(regexp_extract(body, '"k": ([0-9]+)', 1) AS BIGINT) % 7 = 0""",
+    ),
+)
+def logql_regexp_parser(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir)
+    knum = F.regexp_extract("body", r'"k": ([0-9]+)', 1).cast("long")
+    return (
+        logs.withColumn("knum", knum)
+        .filter(F.col("knum") % 7 == 0)
+        .select("event_id", "service", "knum")
+    )
+
+
+# {} | line_format "{{.service}}/{{.level}} u={{.user}} {{.evt | ToUpper}}"
+@register(
+    "logql_line_format",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT event_id,
+       service || '/' || level || ' u=' || user_id || ' ' || upper(event_type)
+         AS line
+FROM logs WHERE level = 'ERROR'""",
+    ),
+)
+def logql_line_format(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir).filter(F.col("level") == "ERROR")
+    line = compile_template(
+        "{{.service}}/{{.level}} u={{.user}} {{.evt | ToUpper}}",
+        {
+            "service": F.col("service"),
+            "level": F.col("level"),
+            "user": F.col("user_id"),
+            "evt": F.col("event_type"),
+        },
+    )
+    return logs.select("event_id", line.alias("line"))
+
+
+# {} | logfmt | sz >= 50KB — bytes label filter (comparator.go bytes)
+@register(
+    "logql_bytes_filter",
+    with_ctes(
+        LOGS_CTE,
+        _LOGFMT_CTE,
+        body="""SELECT event_id,
+       CAST(regexp_extract(body, 'sz=([0-9]+)KB', 1) AS DOUBLE) * 1000.0
+         AS sz_bytes
+FROM logfmt_logs
+WHERE CAST(regexp_extract(body, 'sz=([0-9]+)KB', 1) AS DOUBLE) * 1000.0 >= 50000""",
+    ),
+)
+def logql_bytes_filter(spark, sf_dir):
+    df = _logfmt_frame(spark, sf_dir)
+    m = logfmt_map("body")
+    sz = parse_bytes(m["sz"])
+    return (
+        df.withColumn("sz_bytes", sz)
+        .filter(F.col("sz_bytes") >= 50000)
+        .select("event_id", "sz_bytes")
+    )
+
+
+# {} | logfmt | addr = ip("10.1.0.0/16") — IP CIDR label filter
+@register(
+    "logql_ip_filter",
+    with_ctes(
+        LOGS_CTE,
+        _LOGFMT_CTE,
+        body="""SELECT event_id, regexp_extract(body, 'ip=([0-9.]+)$', 1) AS addr
+FROM logfmt_logs
+WHERE starts_with(regexp_extract(body, 'ip=([0-9.]+)$', 1), '10.1.')""",
+    ),
+)
+def logql_ip_filter(spark, sf_dir):
+    df = _logfmt_frame(spark, sf_dir)
+    m = logfmt_map("body")
+    addr = m["ip"]
+    return (
+        df.withColumn("addr", addr)
+        .filter(ip_in_cidr(F.col("addr"), "10.1.0.0/16"))
+        .select("event_id", "addr")
+    )
+
+
+# {} | decolorize — strip ANSI codes from a colored line
+@register(
+    "logql_decolorize",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT event_id,
+       regexp_replace(chr(27) || '[31m' || level || chr(27) || '[0m ' || body,
+                      '\\x1b\\[[0-9;]*m', '', 'g') AS clean
+FROM logs WHERE level = 'ERROR'""",
+    ),
+)
+def logql_decolorize(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir).filter(F.col("level") == "ERROR")
+    colored = F.concat(
+        F.expr("chr(27)"),
+        F.lit("[31m"),
+        F.col("level"),
+        F.expr("chr(27)"),
+        F.lit("[0m "),
+        F.col("body"),
+    )
+    return logs.select("event_id", decolorize(colored).alias("clean"))
+
+
+# {} | unpack — promtail packed JSON: extract _entry as the line plus
+# packed labels (unpack.go)
+@register(
+    "logql_unpack",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT event_id,
+       json_extract_string('{"_entry":"evt ' || event_type || '","lvl":"' ||
+                           level || '"}', '$._entry') AS line,
+       json_extract_string('{"_entry":"evt ' || event_type || '","lvl":"' ||
+                           level || '"}', '$.lvl') AS lvl
+FROM logs WHERE event_type = 'signup'""",
+    ),
+)
+def logql_unpack(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir).filter(F.col("event_type") == "signup")
+    packed = F.concat(
+        F.lit('{"_entry":"evt '),
+        F.col("event_type"),
+        F.lit('","lvl":"'),
+        F.col("level"),
+        F.lit('"}'),
+    )
+    return logs.select(
+        "event_id",
+        F.get_json_object(packed, "$._entry").alias("line"),
+        F.get_json_object(packed, "$.lvl").alias("lvl"),
+    )
