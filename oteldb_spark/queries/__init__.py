@@ -12,6 +12,7 @@ from . import tpch  # noqa: F401
 from . import logql_log  # noqa: F401
 from . import logql_metric  # noqa: F401
 from . import logql_parsers  # noqa: F401
+from . import logql_parsed  # noqa: F401
 from . import promql  # noqa: F401
 from . import promql_ext  # noqa: F401
 from . import traceql  # noqa: F401
