@@ -401,7 +401,7 @@ def compile_logql(
         if lty or rty:
             vec = compile_logql(expr.rhs if lty else expr.lhs, source, params, spark)
             scalar = (expr.lhs if lty else expr.rhs).value
-            return scalar_binop(vec, expr.op, scalar, scalar_on_left=lty)
+            return scalar_binop(vec, expr.op, scalar, scalar_on_left=lty, bool_mode=expr.bool_mode)
         lhs = compile_logql(expr.lhs, source, params, spark)
         rhs = compile_logql(expr.rhs, source, params, spark)
         llabels = [c for c in lhs.columns if c not in ("step_us", "value")]

@@ -86,12 +86,17 @@ def vector_binop(
 
 
 def scalar_binop(df: DataFrame, op: str, scalar: float, *, value_col: str = "value",
-                 scalar_on_left: bool = False) -> DataFrame:
+                 scalar_on_left: bool = False, bool_mode: bool = False) -> DataFrame:
     v = F.col(value_col)
     s = F.lit(scalar)
     a, b = (s, v) if scalar_on_left else (v, s)
     if op in ARITH:
         return df.withColumn(value_col, ARITH[op](a, b))
     if op in CMP:
+        if bool_mode:
+            return df.withColumn(
+                value_col,
+                F.when(CMP[op](a, b), F.lit(1.0)).otherwise(F.lit(0.0)),
+            )
         return df.filter(CMP[op](a, b))
     raise ValueError(f"unknown binop {op!r}")

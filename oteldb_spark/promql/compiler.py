@@ -1,0 +1,356 @@
+"""PromQL → DataFrame compiler.
+
+Semantics preserved from Prometheus (the reference's compliance bar,
+SURVEY §2.4): staleness lookback for instant selectors (5m default),
+counter resets + extrapolation for the rate family, right-open step
+windows ``(t-range, t]``, vector matching on label sets.
+
+Source model: a points table (label cols..., ts_us, value) per metric
+name — ``MetricSource.metrics`` maps metric name → value column, with
+shared label columns; mirrors the reference's series/points split
+(``metrics_timeseries`` / ``metrics_points``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.binop import scalar_binop, vector_binop
+from ..operators.range_agg import range_aggregate
+from ..operators.rate import rate_family
+from ..operators.stepfanout import fanout
+from ..operators.vector_agg import vector_aggregate
+from . import ast
+
+DEFAULT_LOOKBACK_US = 5 * 60 * 1_000_000
+
+
+@dataclass
+class MetricSource:
+    df: DataFrame
+    metrics: dict[str, str]  # metric name → value column
+    label_cols: list[str]
+    ts_col: str = "ts_us"
+
+
+@dataclass
+class PromParams:
+    start_us: int
+    end_us: int
+    step_us: int
+    lookback_us: int = DEFAULT_LOOKBACK_US
+
+
+RANGE_FUNCS = {
+    "avg_over_time": "avg_over_time",
+    "min_over_time": "min_over_time",
+    "max_over_time": "max_over_time",
+    "sum_over_time": "sum_over_time",
+    "count_over_time": "count_over_time",
+    "stddev_over_time": "stddev_over_time",
+    "stdvar_over_time": "stdvar_over_time",
+    "quantile_over_time": "quantile_over_time",
+    "last_over_time": "last_over_time",
+    "first_over_time": "first_over_time",
+    "absent_over_time": "absent_over_time",
+}
+RATE_FUNCS = {"rate", "increase", "delta", "irate", "idelta"}
+MATH_FUNCS = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "sgn": F.signum,
+}
+
+
+def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame:
+    if sel.name is None or sel.name not in source.metrics:
+        raise KeyError(f"PromQL: unknown metric {sel.name!r}")
+    df = source.df
+    for m in sel.matchers:
+        c = F.col(m.name)
+        if m.op == "=":
+            df = df.filter(c == m.value)
+        elif m.op == "!=":
+            df = df.filter(c != m.value)
+        elif m.op == "=~":
+            df = df.filter(c.rlike(m.value))
+        else:
+            df = df.filter(~c.rlike(m.value))
+    vcol = source.metrics[sel.name]
+    ts = F.col(source.ts_col)
+    if sel.offset_us:
+        ts = ts + F.lit(sel.offset_us)
+    return df.select(
+        *source.label_cols, ts.alias("ts_us"), F.col(vcol).alias("sample")
+    )
+
+
+def _instant_vector(
+    sel: ast.VectorSelector, source: MetricSource, params: PromParams
+) -> DataFrame:
+    """Instant selector: most recent sample within the staleness
+    lookback at each step."""
+    pts = _selector_points(sel, source)
+    return range_aggregate(
+        pts,
+        "last_over_time",
+        start_us=params.start_us,
+        end_us=params.end_us,
+        step_us=params.step_us,
+        range_us=params.lookback_us,
+        by=source.label_cols,
+    )
+
+
+def compile_promql(
+    expr,
+    source: MetricSource,
+    params: PromParams,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    if isinstance(expr, str):
+        from .parser import parse
+
+        expr = parse(expr)
+    return _compile(expr, source, params, spark)
+
+
+def _labels_of(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in ("step_us", "value")]
+
+
+def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame:
+    if isinstance(expr, ast.Literal):
+        from ..operators.stepfanout import step_spine
+
+        assert spark is not None
+        spine = step_spine(spark, params.start_us, params.end_us, params.step_us)
+        return spine.withColumn("value", F.lit(expr.value))
+
+    if isinstance(expr, ast.VectorSelector):
+        if expr.range_us is not None and expr.subquery_step_us is None:
+            raise SyntaxError(
+                "PromQL: range vector must be consumed by a range function"
+            )
+        return _instant_vector(expr, source, params)
+
+    if isinstance(expr, ast.FuncCall):
+        return _compile_func(expr, source, params, spark)
+
+    if isinstance(expr, ast.VectorAgg):
+        inner = _compile(expr.expr, source, params, spark)
+        labels = _labels_of(inner)
+        if expr.grouping and not expr.grouping.without:
+            by = [l for l in expr.grouping.labels if l in labels]
+        elif expr.grouping and expr.grouping.without:
+            by = [l for l in labels if l not in expr.grouping.labels]
+        else:
+            by = []
+        return vector_aggregate(
+            inner, expr.op, by=by, k=expr.k, q=expr.q, keep_labels=labels
+        )
+
+    if isinstance(expr, ast.BinOp):
+        lty = isinstance(expr.lhs, ast.Literal)
+        rty = isinstance(expr.rhs, ast.Literal)
+        if lty and rty:
+            import math
+
+            a, b = expr.lhs.value, expr.rhs.value
+            v = {
+                "+": a + b,
+                "-": a - b,
+                "*": a * b,
+                "/": a / b if b else math.nan,
+                "%": math.fmod(a, b) if b else math.nan,
+                "^": a**b,
+            }[expr.op]
+            return _compile(ast.Literal(v), source, params, spark)
+        if lty or rty:
+            vec = _compile(expr.rhs if lty else expr.lhs, source, params, spark)
+            return scalar_binop(
+                vec, expr.op, (expr.lhs if lty else expr.rhs).value,
+                scalar_on_left=lty, bool_mode=expr.bool_mode,
+            )
+        lhs = _compile(expr.lhs, source, params, spark)
+        rhs = _compile(expr.rhs, source, params, spark)
+        llabels, rlabels = _labels_of(lhs), _labels_of(rhs)
+        if expr.on is not None:
+            on = expr.on
+        elif expr.ignoring is not None:
+            on = [l for l in llabels if l not in expr.ignoring and l in rlabels]
+        else:
+            on = [l for l in llabels if l in rlabels]
+        carry = None
+        if expr.group_left is not None or set(llabels) != set(on):
+            carry = [l for l in llabels if l not in on]
+        return vector_binop(
+            lhs, rhs, expr.op, on=on, bool_mode=expr.bool_mode,
+            group_left_labels=carry,
+        )
+
+    if isinstance(expr, ast.LabelReplace):
+        inner = _compile(expr.expr, source, params, spark)
+        src = F.col(expr.src) if expr.src in inner.columns else F.lit("")
+        return inner.withColumn(
+            expr.dst, F.regexp_replace(src, expr.regex, expr.replacement)
+        )
+
+    raise SyntaxError(f"PromQL: cannot compile {expr!r}")
+
+
+def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, spark):
+    name = fc.name
+
+    if name == "__subquery__":
+        inner = _compile(fc.args[0], source, params, spark)
+        # inner step results become samples for an outer range window
+        rng = fc.range_us  # type: ignore[attr-defined]
+        samples = inner.select(
+            *_labels_of(inner),
+            F.col("step_us").alias("ts_us"),
+            F.col("value").alias("sample"),
+        )
+        fc.samples = samples  # type: ignore[attr-defined]
+        return samples
+
+    if name in RATE_FUNCS:
+        sel = fc.args[0]
+        if not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
+            raise SyntaxError(f"PromQL: {name}() needs a range vector")
+        pts = _selector_points(sel, source)
+        return rate_family(
+            pts,
+            name,
+            series=source.label_cols,
+            value_col="sample",
+            start_us=params.start_us,
+            end_us=params.end_us,
+            step_us=params.step_us,
+            range_us=sel.range_us,
+        )
+
+    if name in RANGE_FUNCS or name == "present_over_time":
+        arg = fc.args[-1]
+        q = fc.args[0] if name == "quantile_over_time" else None
+        if isinstance(q, ast.Literal):
+            q = q.value
+        if isinstance(arg, ast.VectorSelector) and arg.range_us is not None:
+            samples = _selector_points(arg, source)
+            rng = arg.range_us
+        elif isinstance(arg, ast.FuncCall) and arg.name == "__subquery__":
+            samples = _compile(arg, source, params, spark)
+            rng = arg.range_us  # type: ignore[attr-defined]
+        else:
+            raise SyntaxError(f"PromQL: {name}() needs a range vector")
+        if name == "present_over_time":
+            fanned = fanout(
+                samples, params.start_us, params.end_us, params.step_us, rng
+            )
+            return (
+                fanned.select(*source.label_cols, "step_us")
+                .distinct()
+                .withColumn("value", F.lit(1.0))
+            )
+        return range_aggregate(
+            samples,
+            RANGE_FUNCS[name],
+            start_us=params.start_us,
+            end_us=params.end_us,
+            step_us=params.step_us,
+            range_us=rng,
+            by=[c for c in samples.columns if c not in ("ts_us", "sample")],
+            q=q,
+            spark=spark,
+        )
+
+    if name in MATH_FUNCS:
+        inner = _compile(fc.args[0], source, params, spark)
+        return inner.withColumn("value", MATH_FUNCS[name](F.col("value")).cast("double"))
+
+    if name == "round":
+        inner = _compile(fc.args[0], source, params, spark)
+        nearest = fc.args[1].value if len(fc.args) > 1 else 1.0
+        return inner.withColumn(
+            "value", F.round(F.col("value") / F.lit(nearest)) * F.lit(nearest)
+        )
+
+    if name in ("clamp", "clamp_min", "clamp_max"):
+        inner = _compile(fc.args[0], source, params, spark)
+        v = F.col("value")
+        if name == "clamp":
+            lo, hi = fc.args[1].value, fc.args[2].value
+            v = F.greatest(F.least(v, F.lit(hi)), F.lit(lo))
+        elif name == "clamp_min":
+            v = F.greatest(v, F.lit(fc.args[1].value))
+        else:
+            v = F.least(v, F.lit(fc.args[1].value))
+        return inner.withColumn("value", v)
+
+    if name == "vector":
+        return _compile(fc.args[0], source, params, spark)
+
+    if name == "scalar":
+        # single-series vector → scalar per step; beyond one series →
+        # NaN per Prometheus.  Keep the common case (one series).
+        inner = _compile(fc.args[0], source, params, spark)
+        return inner.groupBy("step_us").agg(
+            F.when(F.count(F.lit(1)) == 1, F.first("value"))
+            .otherwise(float("nan"))
+            .alias("value")
+        )
+
+    if name == "histogram_quantile":
+        q = fc.args[0].value
+        inner = _compile(fc.args[1], source, params, spark)
+        return histogram_quantile(inner, q)
+
+    raise SyntaxError(f"PromQL: unsupported function {name!r}")
+
+
+def histogram_quantile(buckets: DataFrame, q: float, le_col: str = "le") -> DataFrame:
+    """Prometheus bucketQuantile over an instant vector of
+    ``_bucket``-style series carrying an ``le`` label (string; '+Inf'
+    allowed).  Linear interpolation within the selected bucket; the
+    highest finite bucket bound for the +Inf case.
+    """
+    labels = [c for c in buckets.columns if c not in ("step_us", "value", le_col)]
+    from pyspark.sql import Window
+
+    le = (
+        F.when(F.col(le_col) == "+Inf", F.lit(float("inf")))
+        .otherwise(F.col(le_col).cast("double"))
+        .alias("__le")
+    )
+    b = buckets.select(*labels, "step_us", le, F.col("value").alias("__cum"))
+    w = Window.partitionBy(*labels, "step_us").orderBy("__le")
+    b = b.withColumn("__prev_le", F.lag("__le").over(w)).withColumn(
+        "__prev_cum", F.lag("__cum").over(w)
+    )
+    total = Window.partitionBy(*labels, "step_us")
+    b = b.withColumn("__total", F.max("__cum").over(total))
+    rank = F.lit(q) * F.col("__total")
+    # the selected bucket: first with cum >= rank
+    sel = b.filter(
+        (F.col("__cum") >= rank)
+        & (F.col("__prev_cum").isNull() | (F.col("__prev_cum") < rank))
+    )
+    lower = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+    prev_cum = F.coalesce(F.col("__prev_cum"), F.lit(0.0))
+    interp = lower + (F.col("__le") - lower) * (rank - prev_cum) / (
+        F.col("__cum") - prev_cum
+    )
+    # +Inf bucket → highest finite le (second-highest bound)
+    value = F.when(F.col("__le") == float("inf"), F.col("__prev_le")).otherwise(
+        interp
+    )
+    return sel.select(*labels, "step_us", value.alias("value"))

@@ -1,0 +1,273 @@
+"""PromQL recursive-descent parser (Prometheus grammar shapes:
+vector selectors with names, range/subquery brackets, offset, function
+calls, aggregation operators with by/without, binary operators with
+vector-matching modifiers).
+"""
+
+from __future__ import annotations
+
+from ..logql.lexer import Token, duration_to_us, lex
+from . import ast
+
+AGG_OPS = {
+    "sum",
+    "avg",
+    "min",
+    "max",
+    "count",
+    "group",
+    "stddev",
+    "stdvar",
+    "topk",
+    "bottomk",
+    "quantile",
+    "count_values",
+}
+
+FUNCS = {
+    "rate",
+    "increase",
+    "delta",
+    "irate",
+    "idelta",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "sum_over_time",
+    "count_over_time",
+    "stddev_over_time",
+    "stdvar_over_time",
+    "quantile_over_time",
+    "last_over_time",
+    "first_over_time",
+    "present_over_time",
+    "absent_over_time",
+    "histogram_quantile",
+    "abs",
+    "ceil",
+    "floor",
+    "exp",
+    "ln",
+    "log2",
+    "log10",
+    "sqrt",
+    "round",
+    "clamp",
+    "clamp_min",
+    "clamp_max",
+    "scalar",
+    "vector",
+    "label_replace",
+    "label_join",
+    "sgn",
+}
+
+_PREC = [
+    {"or"},
+    {"and", "unless"},
+    {"==", "!=", ">", ">=", "<", "<="},
+    {"+", "-"},
+    {"*", "/", "%"},
+    {"^"},
+]
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = lex(text)
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[min(self.i, len(self.toks) - 1)]
+        if t.kind == "eof":
+            raise SyntaxError("PromQL: unexpected end of input")
+        self.i += 1
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"PromQL: expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    def parse(self):
+        e = self.parse_expr()
+        if self.peek().kind != "eof":
+            t = self.peek()
+            raise SyntaxError(f"PromQL: trailing input {t.text!r} at {t.pos}")
+        return e
+
+    def parse_expr(self, prec: int = 0):
+        if prec >= len(_PREC):
+            return self.parse_postfix()
+        lhs = self.parse_expr(prec + 1)
+        while self.peek().text in _PREC[prec]:
+            op = self.next().text
+            bool_mode = self.accept("bool")
+            on = ignoring = gl = gr = None
+            if self.peek().text in ("on", "ignoring"):
+                which = self.next().text
+                labels = self._label_list()
+                if which == "on":
+                    on = labels
+                else:
+                    ignoring = labels
+                if self.peek().text in ("group_left", "group_right"):
+                    side = self.next().text
+                    extra = self._label_list() if self.peek().text == "(" else []
+                    if side == "group_left":
+                        gl = extra
+                    else:
+                        gr = extra
+            rhs = self.parse_expr(prec + 1)
+            lhs = ast.BinOp(
+                op,
+                lhs,
+                rhs,
+                bool_mode=bool_mode,
+                on=on,
+                ignoring=ignoring,
+                group_left=gl,
+                group_right=gr,
+            )
+        return lhs
+
+    def parse_postfix(self):
+        e = self.parse_atom()
+        # range / subquery brackets and offset may follow any vector
+        while True:
+            if self.peek().text == "[":
+                self.next()
+                rng = duration_to_us(self.next().text)
+                if self.accept(":"):
+                    step = None
+                    if self.peek().text != "]":
+                        step = duration_to_us(self.next().text)
+                    if not isinstance(e, ast.VectorSelector):
+                        e = _wrap_subquery(e, rng, step)
+                        self.expect("]")
+                        continue
+                    e.range_us = rng
+                    e.subquery_step_us = step
+                else:
+                    if not isinstance(e, ast.VectorSelector):
+                        raise SyntaxError("PromQL: range on non-selector")
+                    e.range_us = rng
+                self.expect("]")
+            elif self.accept("offset"):
+                off = duration_to_us(self.next().text)
+                if isinstance(e, ast.VectorSelector):
+                    e.offset_us = off
+                else:
+                    raise SyntaxError("PromQL: offset on non-selector")
+            else:
+                return e
+
+    def parse_atom(self):
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.kind == "number":
+            self.next()
+            return ast.Literal(float(t.text))
+        if t.text == "-" and self.peek(1).kind == "number":
+            self.next()
+            return ast.Literal(-float(self.next().text))
+        if t.text == "{":
+            return self.parse_selector(None)
+        if t.kind == "ident":
+            name = t.text
+            if name in AGG_OPS and self.peek(1).text in ("(", "by", "without"):
+                return self.parse_agg()
+            if name in FUNCS and self.peek(1).text == "(":
+                return self.parse_func()
+            # metric name selector
+            self.next()
+            if self.peek().text == "{":
+                return self.parse_selector(name)
+            return ast.VectorSelector(name)
+        raise SyntaxError(f"PromQL: unexpected {t.text!r} at {t.pos}")
+
+    def parse_selector(self, name: str | None) -> ast.VectorSelector:
+        self.expect("{")
+        matchers = []
+        while not self.accept("}"):
+            lname = self.next().text
+            op = self.next().text
+            if op not in ("=", "!=", "=~", "!~"):
+                raise SyntaxError(f"PromQL: bad matcher op {op!r}")
+            val = self.next().unquote()
+            if lname == "__name__" and op == "=":
+                name = val
+            else:
+                matchers.append(ast.LabelMatcher(lname, op, val))
+            self.accept(",")
+        return ast.VectorSelector(name, matchers)
+
+    def _label_list(self) -> list[str]:
+        self.expect("(")
+        labels = []
+        while not self.accept(")"):
+            labels.append(self.next().text)
+            self.accept(",")
+        return labels
+
+    def parse_agg(self) -> ast.VectorAgg:
+        op = self.next().text
+        grouping = None
+        if self.peek().text in ("by", "without"):
+            without = self.next().text == "without"
+            grouping = ast.Grouping(self._label_list(), without=without)
+        self.expect("(")
+        k = q = None
+        if op in ("topk", "bottomk"):
+            k = int(float(self.next().text))
+            self.expect(",")
+        elif op in ("quantile", "count_values"):
+            tok = self.next()
+            q = float(tok.text) if op == "quantile" else tok.unquote()
+            self.expect(",")
+        inner = self.parse_expr()
+        self.expect(")")
+        if grouping is None and self.peek().text in ("by", "without"):
+            without = self.next().text == "without"
+            grouping = ast.Grouping(self._label_list(), without=without)
+        return ast.VectorAgg(op, inner, grouping=grouping, k=k, q=q)
+
+    def parse_func(self) -> object:
+        name = self.next().text
+        self.expect("(")
+        args: list[object] = []
+        while not self.accept(")"):
+            t = self.peek()
+            if t.kind == "string":
+                args.append(self.next().unquote())
+            else:
+                args.append(self.parse_expr())
+            self.accept(",")
+        if name == "label_replace":
+            return ast.LabelReplace(args[0], args[1], args[2], args[3], args[4])
+        return ast.FuncCall(name, args)
+
+
+def _wrap_subquery(e, rng: int, step: int | None):
+    fc = ast.FuncCall("__subquery__", [e])
+    fc.range_us = rng  # type: ignore[attr-defined]
+    fc.step_us = step  # type: ignore[attr-defined]
+    return fc
+
+
+def parse(text: str):
+    return Parser(text).parse()

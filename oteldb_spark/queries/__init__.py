@@ -15,8 +15,10 @@ from . import logql_parsers  # noqa: F401
 from . import logql_parsed  # noqa: F401
 from . import promql  # noqa: F401
 from . import promql_ext  # noqa: F401
+from . import promql_parsed  # noqa: F401
 from . import traceql  # noqa: F401
 from . import traceql_ext  # noqa: F401
+from . import traceql_parsed  # noqa: F401
 from . import profiles  # noqa: F401
 from . import pipeline  # noqa: F401
 

@@ -178,6 +178,9 @@ COUNTERS_CTE = f"""counters AS (
 # item (service derived from supplier).  Mirrors the span row model of
 # tracestorage/schema.go:12-34; trace tree implicit via parent_span_id.
 
+# NOTE: l_linenumber is NOT unique per order in the synthetic data;
+# span_id for child spans is a row_number over the full unique line
+# key so (trace_id, span_id) is a real span identity.
 SPANS_SQL_DUCK = """spans AS (
   SELECT o_orderkey AS trace_id,
          0 AS span_id,
@@ -191,7 +194,10 @@ SPANS_SQL_DUCK = """spans AS (
   FROM orders
   UNION ALL
   SELECT l_orderkey AS trace_id,
-         l_linenumber AS span_id,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+                    l_quantity) AS span_id,
          0 AS parent_span_id,
          'svc-' || (l_suppkey % 4) AS service,
          'line-' || l_returnflag AS name,
@@ -223,9 +229,14 @@ def spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_code"
         ),
     )
+    from pyspark.sql import Window
+
+    line_w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
     children = li.select(
         F.col("l_orderkey").alias("trace_id"),
-        F.col("l_linenumber").cast("int").alias("span_id"),
+        F.row_number().over(line_w).alias("span_id"),
         F.lit(0).cast("long").alias("parent_span_id"),
         F.concat(F.lit("svc-"), (F.col("l_suppkey") % 4).cast("string")).alias(
             "service"

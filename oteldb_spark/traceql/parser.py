@@ -1,0 +1,232 @@
+"""TraceQL parser — spanset pipelines with structural operators and
+scalar filters (grammar shapes per ``internal/traceql/parser*.go``).
+
+  query       := spanset_expr ( '|' scalar_filter | '|' select )*
+  spanset_expr:= spanset ( ('&&'|'||'|'>'|'>>'|'~') spanset )*
+  spanset     := '{' field_expr? '}'
+  field_expr  := standard precedence over comparisons/&&/||/arith
+  primary     := span.attr | resource.attr | intrinsic | literal
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..logql.lexer import Token, duration_to_us, lex
+
+INTRINSICS = {
+    "duration",
+    "name",
+    "status",
+    "statusMessage",
+    "kind",
+    "childCount",
+    "rootName",
+    "rootServiceName",
+    "traceDuration",
+}
+
+STATUS_VALUES = {"error": 2, "ok": 1, "unset": 0}
+KIND_VALUES = {
+    "unspecified": 0,
+    "internal": 1,
+    "server": 2,
+    "client": 3,
+    "producer": 4,
+    "consumer": 5,
+}
+
+
+@dataclass
+class Attr:
+    scope: str  # span | resource | intrinsic | unscoped
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object  # float | str
+    kind: str  # number | string | duration | status | kind
+
+
+@dataclass
+class FieldOp:
+    op: str
+    lhs: object
+    rhs: object | None = None  # None for unary !
+
+
+@dataclass
+class Spanset:
+    expr: object | None  # field expression or None for {}
+
+
+@dataclass
+class Structural:
+    op: str  # && || > >> ~
+    lhs: object
+    rhs: object
+
+
+@dataclass
+class ScalarFilter:
+    agg: str  # count max min avg sum
+    attr: Attr | None
+    op: str
+    value: float
+
+
+@dataclass
+class Select:
+    attrs: list[Attr]
+
+
+@dataclass
+class TraceQuery:
+    root: object
+    stages: list[object] = field(default_factory=list)
+
+
+_PREC = [{"||"}, {"&&"}, {"=", "!=", "=~", "!~", ">", ">=", "<", "<="}, {"+", "-"}, {"*", "/", "%"}]
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = lex(text)
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[min(self.i, len(self.toks) - 1)]
+        if t.kind == "eof":
+            raise SyntaxError("TraceQL: unexpected end of input")
+        self.i += 1
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"TraceQL: expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    def parse(self) -> TraceQuery:
+        root = self.parse_structural()
+        q = TraceQuery(root)
+        while self.accept("|"):
+            q.stages.append(self.parse_stage())
+        if self.peek().kind != "eof":
+            t = self.peek()
+            raise SyntaxError(f"TraceQL: trailing input {t.text!r} at {t.pos}")
+        return q
+
+    def parse_structural(self):
+        lhs = self.parse_spanset()
+        while self.peek().text in ("&&", "||", ">", ">>", "~"):
+            op = self.next().text
+            rhs = self.parse_spanset()
+            lhs = Structural(op, lhs, rhs)
+        return lhs
+
+    def parse_spanset(self) -> Spanset:
+        self.expect("{")
+        if self.accept("}"):
+            return Spanset(None)
+        e = self.parse_field(0)
+        self.expect("}")
+        return Spanset(e)
+
+    def parse_field(self, prec: int):
+        if prec >= len(_PREC):
+            return self.parse_field_unary()
+        lhs = self.parse_field(prec + 1)
+        while self.peek().text in _PREC[prec]:
+            op = self.next().text
+            rhs = self.parse_field(prec + 1)
+            lhs = FieldOp(op, lhs, rhs)
+        return lhs
+
+    def parse_field_unary(self):
+        if self.accept("!"):
+            return FieldOp("!", self.parse_field_unary())
+        if self.accept("-"):
+            inner = self.parse_field_unary()
+            return FieldOp("neg", inner)
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.parse_field(0)
+            self.expect(")")
+            return e
+        if t.kind == "string":
+            self.next()
+            return Lit(t.unquote(), "string")
+        if t.kind == "number":
+            self.next()
+            return Lit(float(t.text), "number")
+        if t.kind == "duration":
+            self.next()
+            return Lit(duration_to_us(t.text), "duration")
+        if t.kind == "ident":
+            name = self.next().text
+            if name in ("span", "resource", "instrumentation", "event", "link", "parent"):
+                self.expect(".")
+                return Attr(name, self._dotted())
+            if name == "status" and self.peek().text in ("=", "!="):
+                return Attr("intrinsic", "status")
+            if name in INTRINSICS:
+                return Attr("intrinsic", name)
+            if name in STATUS_VALUES:
+                return Lit(float(STATUS_VALUES[name]), "status")
+            if name in KIND_VALUES:
+                return Lit(float(KIND_VALUES[name]), "kind")
+            # unscoped attribute
+            return Attr("unscoped", name)
+        if t.text == ".":
+            self.next()
+            return Attr("unscoped", self._dotted())
+        raise SyntaxError(f"TraceQL: unexpected {t.text!r} at {t.pos}")
+
+    def _dotted(self) -> str:
+        parts = [self.next().text]
+        while self.accept("."):
+            parts.append(self.next().text)
+        return ".".join(parts)
+
+    def parse_stage(self):
+        t = self.next()
+        if t.text == "select":
+            self.expect("(")
+            attrs = []
+            while not self.accept(")"):
+                a = self.parse_primary()
+                attrs.append(a)
+                self.accept(",")
+            return Select(attrs)
+        if t.text in ("count", "max", "min", "avg", "sum"):
+            self.expect("(")
+            attr = None
+            if self.peek().text != ")":
+                attr = self.parse_primary()
+            self.expect(")")
+            op = self.next().text
+            v = self.next()
+            value = (
+                duration_to_us(v.text) if v.kind == "duration" else float(v.text)
+            )
+            return ScalarFilter(t.text, attr, op, value)
+        raise SyntaxError(f"TraceQL: unknown pipeline stage {t.text!r}")
+
+
+def parse(text: str) -> TraceQuery:
+    return Parser(text).parse()
