@@ -1,0 +1,98 @@
+"""API response serializers — Loki / Prometheus / Tempo JSON shapes.
+
+The reference serves ogen-generated handlers over the same response
+schemas (``lokihandler``, ``promhandler``, ``tempohandler``); here the
+engines return DataFrames and these helpers render the wire shapes.
+Serialization collects only final (small) results — never raw tables.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+
+
+def loki_streams(df: DataFrame, label_cols: list[str], ts_col: str = "ts_us",
+                 line_col: str = "body") -> dict:
+    """Log-query result → Loki query_range 'streams' shape:
+    {status, data: {resultType: streams, result: [{stream, values}]}}
+    with ns-string timestamps, newest rows as returned."""
+    groups: dict[tuple, list] = defaultdict(list)
+    for r in df.collect():
+        key = tuple((c, r[c]) for c in label_cols)
+        groups[key].append([str(int(r[ts_col]) * 1000), r[line_col]])
+    return {
+        "status": "success",
+        "data": {
+            "resultType": "streams",
+            "result": [
+                {"stream": dict(k), "values": vs} for k, vs in groups.items()
+            ],
+        },
+    }
+
+
+def loki_matrix(df: DataFrame, label_cols: list[str]) -> dict:
+    """Metric-query result → Loki/Prometheus matrix shape with
+    [unix_seconds, "value"] sample pairs ordered by step."""
+    series: dict[tuple, list] = defaultdict(list)
+    for r in df.collect():
+        key = tuple((c, r[c]) for c in label_cols)
+        series[key].append((r["step_us"] / 1e6, str(r["value"])))
+    return {
+        "status": "success",
+        "data": {
+            "resultType": "matrix",
+            "result": [
+                {"metric": dict(k), "values": sorted(vs)}
+                for k, vs in series.items()
+            ],
+        },
+    }
+
+
+prom_matrix = loki_matrix  # identical wire shape
+
+
+def prom_vector(df: DataFrame, label_cols: list[str], ts_s: float) -> dict:
+    """Instant-query result → Prometheus vector shape."""
+    return {
+        "status": "success",
+        "data": {
+            "resultType": "vector",
+            "result": [
+                {
+                    "metric": {c: r[c] for c in label_cols},
+                    "value": [ts_s, str(r["value"])],
+                }
+                for r in df.collect()
+            ],
+        },
+    }
+
+
+def prom_labels(values: list[str]) -> dict:
+    return {"status": "success", "data": sorted(values)}
+
+
+def tempo_search(traces_df: DataFrame) -> dict:
+    """Trace assembly result → Tempo search response
+    (TraceSearchMetadata list: traceID, rootServiceName, rootTraceName,
+    startTimeUnixNano, durationMs)."""
+    out = []
+    for r in traces_df.collect():
+        out.append(
+            {
+                "traceID": f"{int(r['trace_id']):032x}",
+                "rootServiceName": r["root_service"]
+                if "root_service" in traces_df.columns
+                else "frontend",
+                "rootTraceName": r["root_name"],
+                "startTimeUnixNano": str(int(r["start_us"]) * 1000)
+                if "start_us" in traces_df.columns
+                else "0",
+                "durationMs": int(r["trace_duration_us"] // 1000),
+            }
+        )
+    return {"traces": out}

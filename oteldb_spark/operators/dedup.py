@@ -1,0 +1,203 @@
+"""Scalable near-duplicate detection: MinHash + LSH banding, SimHash.
+
+These are the 100 TB paths for what dedup_ngram_jaccard does exactly:
+instead of a quadratic shingle self-join, MinHash compresses each doc
+to a k-component signature and LSH banding only pairs docs that
+collide in at least one band — candidate volume scales with true
+near-dup density, not n².
+
+All hashing is a portable md5→int64 construction (identical in Spark
+and DuckDB), so driver oracles can replay the exact computation:
+
+    base  = int64(md5(token)[0:15 hex])  mod P      (P = 2^31 - 1)
+    h_i   = (A_i * base + B_i) mod P                (k permutations)
+    sig_i = min over doc's distinct shingles
+
+Plan shape: shingle explode (narrow) → one groupBy(doc, i) for
+signatures → band self-join on (band, band-signature) → per-pair
+component-agreement estimate.  No UDFs — everything is codegen'd
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 2_147_483_647  # 2^31 - 1
+K = 16  # minhash permutations
+BANDS = 4  # → 4 rows per band
+ROWS = K // BANDS
+
+# fixed permutation constants (odd multipliers, arbitrary offsets)
+A = [2 * i + 1 for i in range(1, K + 1)]
+B = [(7919 * i + 104729) % P for i in range(K)]
+
+
+def portable_hash64(col: Column) -> Column:
+    """md5-based int64 hash, identical in Spark and DuckDB."""
+    return F.expr(
+        f"cast(conv(substr(md5({col._jc.toString() if hasattr(col, '_jc') else col}), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def _hash_expr(col_name: str) -> Column:
+    return F.expr(f"cast(conv(substr(md5({col_name}), 1, 15), 16, 10) as bigint)")
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (n=3)."""
+    w = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size({w}) - {n}),"
+        f" i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2])))"
+        f" ELSE array() END"
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, i, sig) — K-component MinHash signature per document."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("shingle")
+    )
+    base = (_hash_expr("shingle") % P).alias("base")
+    hashed = sh.select("doc", base)
+    a_arr = f"array({', '.join(map(str, A))})"
+    b_arr = f"array({', '.join(map(str, B))})"
+    fan = hashed.select(
+        "doc",
+        "base",
+        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("i"),
+    ).withColumn(
+        "h",
+        F.expr(f"(element_at({a_arr}, i + 1) * base + element_at({b_arr}, i + 1)) % {P}"),
+    )
+    return fan.groupBy("doc", "i").agg(F.min("h").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, threshold_components: int = 8
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs with an agreement
+    count (how many of the K components match).  Pairs sharing any
+    band collide; the estimate filters false positives."""
+    banded = (
+        sigs.withColumn("band", (F.col("i") / ROWS).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sig"))),
+                    lambda s: s["sig"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    agree = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc")) & (F.col("sa.i") == F.col("sb.i")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.when(F.col("sa.sig") == F.col("sb.sig"), 1)).alias("agree")
+        )
+    )
+    return agree.filter(F.col("agree") >= threshold_components)
+
+
+MINHASH_ORACLE_CTES = f"""shingled AS (
+  SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS shingle
+  FROM documents
+),
+hashed AS (
+  SELECT doc, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {P} AS base
+  FROM shingled
+),
+perms AS (
+  SELECT i,
+         (2 * (i + 1) + 1) AS a,
+         (7919 * i + 104729) % {P} AS b
+  FROM (SELECT range AS i FROM range(0, {K}, 1))
+),
+sigs AS (
+  SELECT doc, i, min((a * base + b) % {P}) AS sig
+  FROM hashed CROSS JOIN perms
+  GROUP BY doc, i
+),
+banded AS (
+  SELECT doc, i // {ROWS} AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS band_sig
+  FROM sigs GROUP BY doc, i // {ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc < b.doc
+)"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: bit j of the fingerprint is 1
+    iff the sum over tokens of ±1 (by token-hash bit j) is positive."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(f"array_distinct(split({text_col}, ' '))")).alias("tok"),
+    )
+    h = toks.withColumn("h", _hash_expr("tok"))
+    fan = h.select(
+        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
+    ).withColumn(
+        "bit", F.expr("CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END")
+    )
+    votes = fan.groupBy("doc", "j").agg(F.sum("bit").alias("v"))
+    return votes.groupBy("doc").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+SIMHASH_ORACLE_CTES = """toks AS (
+  SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+),
+bits AS (
+  SELECT doc, j, sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT range AS j FROM range(0, 60, 1))
+  GROUP BY doc, j
+),
+fps AS (
+  SELECT doc, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+           AS simhash
+  FROM bits GROUP BY doc
+)"""

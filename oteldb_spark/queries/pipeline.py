@@ -186,31 +186,12 @@ pairs AS (
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""",
 )
 def ann_near_dup_pairs(spark, sf_dir):
+    from ..operators.similarity import near_dup_pairs_blocked
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "cosine", F.round(dot / (norm(F.col("a.e")) * norm(F.col("b.e"))), 6)
-        )
-        .filter(F.col("cosine") >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
-    )
+    return near_dup_pairs_blocked(emb, 0.35)
 
 
 # --- text analysis -----------------------------------------------------------

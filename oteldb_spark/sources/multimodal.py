@@ -1,0 +1,127 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed
+metadata, with Arrow-batched processing operators.
+
+The decode step itself needs codec libraries that are not in this
+container; it is stubbed behind an import-guard (``_try_decode_image``)
+with a clearly-marked deterministic fallback.  Everything Spark-side —
+schemas, partitioning, mapInPandas batch shapes, frame explosion — is
+real and tested.
+
+At 100 TB: binaries live in the table as parquet binary columns (or
+pointers to object storage); the decode/feature operators are
+``mapInPandas`` so each Arrow batch amortizes Python overhead, and the
+pipeline parallelism is the file-partition parallelism of the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("data", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media rows (md5-stream payloads) for tests."""
+    rows = []
+    for i in range(n):
+        payload = b"".join(
+            hashlib.md5(f"{kind}-{i}-{j}".encode()).digest() for j in range(8)
+        )
+        meta = {
+            "width": 64 + (i % 4) * 32 if kind == "image" else None,
+            "height": 64 + (i % 3) * 32 if kind == "image" else None,
+            "sample_rate": 16000 if kind == "audio" else None,
+            "duration_ms": 1000 + i * 250 if kind in ("audio", "video") else None,
+            "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _try_decode_image(data: bytes):
+    """Real decode requires an image library not present in this
+    container — STUB.  Returns None so callers fall back to the
+    deterministic byte-level path; with PIL installed this would
+    return the decoded array."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    raise NotImplementedError("image decode wired but untested in this environment")
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Per-item feature vector via Arrow-batched mapInPandas.
+
+    The feature computation is byte-level statistics (deterministic,
+    library-free); a real model embedding slots into the same batch
+    shape."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            feats = []
+            for blob in pdf["data"]:
+                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                decoded = _try_decode_image(bytes(blob))
+                if decoded is None:  # stub path: byte statistics
+                    chunks = np.array_split(arr, n_features)
+                    feats.append([float(c.mean()) for c in chunks])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    return media.mapInPandas(
+        batches, schema="media_id long, features array<double>"
+    )
+
+
+def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
+    """Resize planning: new dimensions preserving aspect ratio —
+    metadata-only (the pixel op is the stubbed decode step)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return media.select(
+        "media_id",
+        "kind",
+        (w * scale).cast("int").alias("new_width"),
+        (h * scale).cast("int").alias("new_height"),
+    )
+
+
+def frame_sample(media: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame timestamp
+    (explode over the duration) — the decode of each frame is the
+    stubbed step."""
+    n_frames = F.floor(F.col("meta.duration_ms") / F.lit(1000.0) * F.lit(fps)).cast(
+        "int"
+    )
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn(
+        "frame_ts_ms", (F.col("frame_idx") / F.lit(fps) * 1000).cast("int")
+    )

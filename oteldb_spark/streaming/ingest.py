@@ -1,0 +1,111 @@
+"""Structured Streaming ingest — OTLP JSONL → partitioned log store,
+plus the series-registry upsert and the TTL retention job.
+
+The reference ingests via collector pipeline → batched columnar
+INSERTs (``inserter_logs.go``); the Spark-native equivalent is a
+file/Kafka stream → flatten → append to a date-partitioned columnar
+table.  The layout mirrors the MergeTree design (SURVEY §1.2):
+
+  PARTITION BY date  ≈  PARTITION BY toYYYYMMDD(timestamp)
+  sortWithinPartitions(severity, service, ts)  ≈  ORDER BY key
+  TTL  ≈  retention job dropping aged partitions
+
+The series registry (AggregatingMergeTree in the reference) is a
+``foreachBatch`` merge: per-batch aggregate, union with the current
+registry, re-aggregate, atomically replace.  On Delta Lake this
+becomes a single MERGE INTO; plain parquet needs the
+union-reaggregate-swap."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.otlp import OTLP_LOGS_SCHEMA, flatten_otlp_logs
+
+
+def stream_logs_from_json(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """OTLP JSONL files → flattened, date-partitioned log table."""
+    raw = (
+        spark.readStream.schema(OTLP_LOGS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(input_dir)
+    )
+    flat = flatten_otlp_logs(raw)
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def upsert_series_registry(
+    spark: SparkSession, batch: DataFrame, registry_dir: str
+) -> None:
+    """Merge a batch of (series_hash, name, labels, ts_ns) into the
+    registry: min(first_seen), max(last_seen), any(name/labels).
+
+    Parquet engine path: read-union-reaggregate-swap.  With Delta this
+    is `MERGE INTO registry USING batch ... WHEN MATCHED UPDATE`.
+    """
+    agg = batch.groupBy("series_hash").agg(
+        F.min("ts_ns").alias("first_seen_ns"),
+        F.max("ts_ns").alias("last_seen_ns"),
+        F.first("name").alias("name"),
+        F.first("labels").alias("labels"),
+    )
+    if os.path.exists(registry_dir):
+        existing = spark.read.parquet(registry_dir)
+        agg = (
+            existing.unionByName(agg)
+            .groupBy("series_hash")
+            .agg(
+                F.min("first_seen_ns").alias("first_seen_ns"),
+                F.max("last_seen_ns").alias("last_seen_ns"),
+                F.first("name").alias("name"),
+                F.first("labels").alias("labels"),
+            )
+        )
+    tmp = registry_dir.rstrip("/") + ".tmp"
+    agg.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(registry_dir):
+        shutil.rmtree(registry_dir)
+    os.rename(tmp, registry_dir)
+
+
+def retention_sweep(table_dir: str, keep_days: int, now_date: str) -> list[str]:
+    """Drop date partitions older than ``keep_days`` before
+    ``now_date`` (YYYY-MM-DD).  Mirrors the reference's 3-day TTL
+    (docs/architecture.md:13)."""
+    import datetime as dt
+
+    cutoff = dt.date.fromisoformat(now_date) - dt.timedelta(days=keep_days)
+    dropped = []
+    if not os.path.isdir(table_dir):
+        return dropped
+    for entry in os.listdir(table_dir):
+        if not entry.startswith("date="):
+            continue
+        try:
+            d = dt.date.fromisoformat(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if d < cutoff:
+            shutil.rmtree(os.path.join(table_dir, entry))
+            dropped.append(entry)
+    return dropped

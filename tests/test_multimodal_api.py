@@ -1,0 +1,84 @@
+"""Multimodal plumbing + API serializer tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oteldb_spark.api.serializers import (
+    loki_matrix,
+    loki_streams,
+    prom_vector,
+    tempo_search,
+)
+from oteldb_spark.sources.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_meta,
+    synthesize_media,
+)
+
+
+def test_extract_features_deterministic(spark):
+    media = synthesize_media(spark, 6, "image")
+    feats = extract_features(media, n_features=8)
+    rows = {r.media_id: r.features for r in feats.collect()}
+    assert len(rows) == 6
+    assert all(len(v) == 8 for v in rows.values())
+    # deterministic: same input → same features
+    again = {r.media_id: r.features for r in extract_features(media, 8).collect()}
+    assert rows == again
+
+
+def test_resize_meta(spark):
+    media = synthesize_media(spark, 4, "image")
+    out = {r.media_id: (r.new_width, r.new_height) for r in resize_meta(media, 64).collect()}
+    # media 0 is 64x64 → unchanged; larger ones scale to max side 64
+    assert out[0] == (64, 64)
+    for w, h in out.values():
+        assert max(w, h) <= 64
+
+
+def test_frame_sample(spark):
+    media = synthesize_media(spark, 3, "video")
+    frames = frame_sample(media, fps=2.0)
+    per = (
+        frames.groupBy("media_id").count().orderBy("media_id").collect()
+    )
+    # durations 1000, 1250, 1500 ms at 2fps → 2, 2, 3 frames
+    assert [(r.media_id, r["count"]) for r in per] == [(0, 2), (1, 2), (2, 3)]
+    ts = {(r.media_id, r.frame_idx): r.frame_ts_ms for r in frames.collect()}
+    assert ts[(0, 1)] == 500
+
+
+def test_loki_shapes(spark):
+    df = spark.createDataFrame(
+        [("svc-1", 1_000_000, "hello"), ("svc-1", 2_000_000, "world")],
+        "service string, ts_us long, body string",
+    )
+    out = loki_streams(df, ["service"])
+    assert out["data"]["resultType"] == "streams"
+    st = out["data"]["result"][0]
+    assert st["stream"] == {"service": "svc-1"}
+    assert ["1000000000", "hello"] in st["values"]
+
+    mdf = spark.createDataFrame(
+        [("svc-1", 6_000_000, 2.5)], "service string, step_us long, value double"
+    )
+    m = loki_matrix(mdf, ["service"])
+    assert m["data"]["result"][0]["values"] == [(6.0, "2.5")]
+
+
+def test_prom_and_tempo_shapes(spark):
+    vdf = spark.createDataFrame(
+        [("error", "host-1", 1.5)], "mtype string, instance string, value double"
+    )
+    v = prom_vector(vdf, ["mtype", "instance"], 42.0)
+    assert v["data"]["result"][0]["value"] == [42.0, "1.5"]
+
+    tdf = spark.createDataFrame(
+        [(1337, "order-1-URGENT", 2_500_000, 9)],
+        "trace_id long, root_name string, trace_duration_us long, span_count long",
+    )
+    t = tempo_search(tdf)
+    assert t["traces"][0]["traceID"].endswith("539")
+    assert t["traces"][0]["durationMs"] == 2500

@@ -1,0 +1,130 @@
+"""End-to-end streaming ingest tests: synthetic OTLP JSONL → stream →
+partitioned table → query; registry upsert; retention sweep."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from oteldb_spark.sources.otlp import flatten_otlp_logs, series_key, OTLP_LOGS_SCHEMA
+from oteldb_spark.streaming.ingest import (
+    retention_sweep,
+    stream_logs_from_json,
+    upsert_series_registry,
+)
+
+EPOCH_NS = 1_704_067_200 * 10**9
+
+
+def _otlp_payload(day: int, n: int) -> dict:
+    recs = [
+        {
+            "timeUnixNano": str(EPOCH_NS + day * 86_400 * 10**9 + i * 10**9),
+            "severityText": "INFO" if i % 2 else "ERROR",
+            "severityNumber": 9 if i % 2 else 17,
+            "traceId": f"{i:032x}",
+            "spanId": f"{i:016x}",
+            "body": {"stringValue": f'{{"msg": "event {i}"}}'},
+            "attributes": [
+                {"key": "http.method", "value": {"stringValue": "GET"}},
+                {"key": "retries", "value": {"intValue": str(i)}},
+            ],
+        }
+        for i in range(n)
+    ]
+    return {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "svc-a"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {"scope": {"name": "test", "version": "1"}, "logRecords": recs}
+                ],
+            }
+        ]
+    }
+
+
+def test_flatten_otlp_logs(spark, tmp_path):
+    path = tmp_path / "in"
+    path.mkdir()
+    (path / "batch0.jsonl").write_text(json.dumps(_otlp_payload(0, 10)))
+    raw = spark.read.schema(OTLP_LOGS_SCHEMA).json(str(path))
+    flat = flatten_otlp_logs(raw)
+    rows = flat.collect()
+    assert len(rows) == 10
+    r = {x["timestamp_ns"]: x for x in rows}[EPOCH_NS]
+    assert r["service_name"] == "svc-a"
+    assert r["severity_text"] == "ERROR"
+    assert r["attrs"]["http.method"] == "GET"
+    assert r["attrs"]["retries"] == "0"
+    assert str(r["date"]) == "2024-01-01"
+
+
+def test_stream_ingest_and_query(spark, tmp_path):
+    indir, table, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "logs"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(indir)
+    for day in range(3):
+        with open(f"{indir}/d{day}.jsonl", "w") as f:
+            f.write(json.dumps(_otlp_payload(day, 20)))
+    stream_logs_from_json(spark, indir, table, ckpt)
+    df = spark.read.parquet(table)
+    assert df.count() == 60
+    # partition pruning by date + label filter → the engine's scan path
+    errs = df.filter(
+        (F.col("date") == "2024-01-02") & (F.col("severity_text") == "ERROR")
+    ).count()
+    assert errs == 10
+    # incremental: new file, stream again (checkpoint resumes)
+    with open(f"{indir}/d9.jsonl", "w") as f:
+        f.write(json.dumps(_otlp_payload(9, 5)))
+    stream_logs_from_json(spark, indir, table, ckpt)
+    assert spark.read.parquet(table).count() == 65
+
+
+def test_series_registry_upsert(spark, tmp_path):
+    reg = str(tmp_path / "registry")
+    batch1 = spark.createDataFrame(
+        [("m1", {"i": "a"}, 100), ("m2", {"i": "b"}, 200)],
+        "name string, labels map<string,string>, ts_ns long",
+    ).withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
+    upsert_series_registry(spark, batch1, reg)
+    batch2 = spark.createDataFrame(
+        [("m1", {"i": "a"}, 50), ("m1", {"i": "a"}, 900)],
+        "name string, labels map<string,string>, ts_ns long",
+    ).withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
+    upsert_series_registry(spark, batch2, reg)
+    rows = {r["name"]: r for r in spark.read.parquet(reg).collect()}
+    assert len(rows) == 2
+    assert rows["m1"]["first_seen_ns"] == 50
+    assert rows["m1"]["last_seen_ns"] == 900
+    assert rows["m2"]["first_seen_ns"] == 200
+
+
+def test_series_key_canonical(spark):
+    # label order must not matter (sorted map entries)
+    df = spark.createDataFrame(
+        [("m", {"a": "1", "b": "2"}), ("m", {"b": "2", "a": "1"})],
+        "name string, labels map<string,string>",
+    ).withColumn("h", series_key(F.col("name"), F.col("labels")))
+    hs = [r.h for r in df.collect()]
+    assert hs[0] == hs[1]
+
+
+def test_retention_sweep(spark, tmp_path):
+    table = tmp_path / "logs"
+    for d in ["2024-01-01", "2024-01-05", "2024-01-09"]:
+        (table / f"date={d}").mkdir(parents=True)
+        (table / f"date={d}" / "part-0.parquet").write_bytes(b"x")
+    dropped = retention_sweep(str(table), keep_days=3, now_date="2024-01-10")
+    assert sorted(dropped) == ["date=2024-01-01", "date=2024-01-05"]
+    assert (table / "date=2024-01-09").exists()
