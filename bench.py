@@ -29,12 +29,19 @@ HEADLINE = [
     "logql_json_parser",
     "logql_topk",
     "logql_quantile_over_time",
+    "lql_parsed_pipeline",  # full LogQL parse→compile path
+    "lql_parsed_topk",
     "promql_rate",
     "promql_irate",
+    "promql_histogram_quantile",
+    "ppql_parsed_rate",  # full PromQL parse→compile path
     "traceql_structural_child",
     "traceql_trace_assembly",
+    "tql_parsed_child",  # full TraceQL parse→compile path
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_near_dup_pairs",
+    "ann_lsh_pairs",
     "text_quality",
 ]
 
@@ -45,8 +52,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("oteldb-spark-bench")
 
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM, codegen paths and parquet footers with cheap
+    # actions at the smallest SF (not timed)
+    warm_sf = "/root/testdata/sf0.001"
     QUERIES["logql_selector"](spark, sf_dir).count()
+    QUERIES["dedup_minhash_lsh"](spark, warm_sf).count()
+    QUERIES["ann_near_dup_pairs"](spark, warm_sf).count()
+    QUERIES["ann_lsh_pairs"](spark, warm_sf).count()
+    QUERIES["promql_rate"](spark, warm_sf).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

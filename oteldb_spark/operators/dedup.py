@@ -56,24 +56,35 @@ def shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
-def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, i, sig) — K-component MinHash signature per document."""
-    sh = docs.select(
+def minhash_vector(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sigv[K]) — MinHash signature vector per document.
+
+    One md5 per distinct shingle, K cheap affine hashes as sibling
+    columns, and a single groupBy(doc) with K ``min`` aggregates —
+    map-side partial aggregation, no K× row fan-out.  Input is spread
+    across the cluster first: small document tables often arrive as
+    one file → one partition, which would serialize the hash work."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("shingle")
     )
     base = (_hash_expr("shingle") % P).alias("base")
     hashed = sh.select("doc", base)
-    a_arr = f"array({', '.join(map(str, A))})"
-    b_arr = f"array({', '.join(map(str, B))})"
-    fan = hashed.select(
-        "doc",
-        "base",
-        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("i"),
-    ).withColumn(
-        "h",
-        F.expr(f"(element_at({a_arr}, i + 1) * base + element_at({b_arr}, i + 1)) % {P}"),
+    mins = [
+        F.min(F.expr(f"({A[i]} * base + {B[i]}) % {P}")).alias(f"h{i}")
+        for i in range(K)
+    ]
+    collapsed = hashed.groupBy("doc").agg(*mins)
+    return collapsed.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(K)]).alias("sigv")
     )
-    return fan.groupBy("doc", "i").agg(F.min("h").alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, i, sig) — long-form MinHash signatures (posexplode of the
+    vector form)."""
+    vecs = minhash_vector(docs, id_col, text_col)
+    return vecs.select("doc", F.posexplode("sigv").alias("i", "sig"))
 
 
 def lsh_candidate_pairs(
@@ -81,22 +92,44 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs with an agreement
     count (how many of the K components match).  Pairs sharing any
-    band collide; the estimate filters false positives."""
-    banded = (
-        sigs.withColumn("band", (F.col("i") / ROWS).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "sig"))),
-                    lambda s: s["sig"].cast("string"),
-                ),
-            ).alias("band_sig")
+    band collide; the estimate filters false positives.
+
+    Plan: accepts either the long form (doc, i, sig) or the vector
+    form (doc, sigv); the vector is checkpointed so the expensive
+    shingle→hash→min lineage runs once, then banded (narrow explode)
+    and self-joined per band; agreement compares the two K-vectors
+    directly — no per-component re-join."""
+    if "sigv" in sigs.columns:
+        vecs = sigs
+    else:
+        vecs = sigs.groupBy("doc").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sig"))), lambda s: s["sig"]
+            ).alias("sigv")
         )
+    vecs = vecs.localCheckpoint(eager=False)
+    banded = vecs.select(
+        "doc",
+        "sigv",
+        F.explode(F.sequence(F.lit(0), F.lit(BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_sig",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sigv"), F.col("band") * ROWS + 1, ROWS),
+                lambda v: v.cast("string"),
+            ),
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    agree_col = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sigv"), F.col("b.sigv"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
     cand = (
         a.join(
             b,
@@ -104,23 +137,14 @@ def lsh_candidate_pairs(
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            agree_col.alias("agree"),
+        )
         .distinct()
     )
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    agree = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc")) & (F.col("sa.i") == F.col("sb.i")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.when(F.col("sa.sig") == F.col("sb.sig"), 1)).alias("agree")
-        )
-    )
-    return agree.filter(F.col("agree") >= threshold_components)
+    return cand.filter(F.col("agree") >= threshold_components)
 
 
 MINHASH_ORACLE_CTES = f"""shingled AS (

@@ -10,6 +10,7 @@ from ..operators.dedup import (
     SIMHASH_ORACLE_CTES,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_vector,
     simhash64,
 )
 from ..tables import load
@@ -42,8 +43,8 @@ HAVING count(CASE WHEN sa.sig = sb.sig THEN 1 END) >= 4""",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    out = lsh_candidate_pairs(sigs, threshold_components=4)
+    vecs = minhash_vector(docs, "doc_id", "text")
+    out = lsh_candidate_pairs(vecs, threshold_components=4)
     return out.select("doc_a", "doc_b", F.col("agree").cast("long").alias("agree"))
 
 

@@ -94,7 +94,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
             " ELSE array() END"
         )
     )
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    par = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    # shingle stage feeds three plan branches (sizes + both join
+    # sides) — checkpoint so the explode runs once
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

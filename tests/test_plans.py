@@ -1,0 +1,39 @@
+"""Physical-plan regression tests — scale properties asserted, not
+eyeballed: pushdown reaches the scan, projection prunes columns,
+small dimensions broadcast, fan-out aggregation is a single shuffle.
+"""
+
+from __future__ import annotations
+
+from oteldb_spark.plans.audit import audit
+from oteldb_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    facts = audit(QUERIES["tpch_q1"](spark, SF))
+    assert any("l_shipdate" in p for p in facts.pushed_filters)
+    # projection pruned: no orderkey/suppkey etc in the scan
+    assert all("l_orderkey" not in s for s in facts.read_schemas)
+
+
+def test_revenue_by_nation_broadcasts(spark):
+    facts = audit(QUERIES["tpch_revenue_by_nation"](spark, SF))
+    assert facts.n_broadcasts >= 1
+    # only the needed columns are read from orders
+    assert any(s.startswith("struct<o_custkey") for s in facts.read_schemas)
+
+
+def test_count_over_time_single_shuffle(spark):
+    facts = audit(QUERIES["logql_count_over_time"](spark, SF))
+    # fanout is a narrow generate; the groupBy is the only shuffle
+    # (plan may show the AQE read twice; assert the cap, not exact)
+    assert facts.n_exchanges <= 2
+    # events scan pruned to the columns the labels derive from
+    assert all("props" not in s for s in facts.read_schemas)
+
+
+def test_selector_prunes_columns(spark):
+    facts = audit(QUERIES["logql_selector"](spark, SF))
+    assert all("value" not in s for s in facts.read_schemas)
