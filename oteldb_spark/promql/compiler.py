@@ -155,6 +155,13 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
             by = [l for l in labels if l not in expr.grouping.labels]
         else:
             by = []
+        if expr.op == "count_values":
+            dst = expr.q  # the label name argument
+            return (
+                inner.withColumn(dst, F.col("value").cast("string"))
+                .groupBy(*by, dst, "step_us")
+                .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            )
         return vector_aggregate(
             inner, expr.op, by=by, k=expr.k, q=expr.q, keep_labels=labels
         )
@@ -308,6 +315,12 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             .otherwise(float("nan"))
             .alias("value")
         )
+
+    if name == "label_join":
+        inner = _compile(fc.args[0], source, params, spark)
+        dst, sep, *srcs = fc.args[1:]
+        cols = [F.col(s) if s in inner.columns else F.lit("") for s in srcs]
+        return inner.withColumn(dst, F.concat_ws(sep, *cols))
 
     if name == "histogram_quantile":
         q = fc.args[0].value
