@@ -63,6 +63,9 @@ class LogSource:
     ord_col: str | None = None
     # optional map<string,string> column holding the long tail of attrs
     attrs_map_col: str | None = None
+    # surface parse failures as __error__/__error_details__ labels
+    # instead of silent nulls (logqlabels/label_set.go:235-247)
+    error_labels: bool = False
 
 
 @dataclass
@@ -204,6 +207,12 @@ def _apply_stage(env: _Env, stage) -> _Env:
             for lbl, path in exprs.items():
                 jp = path if path.startswith("$") else f"$.{path}"
                 env.labels[lbl] = F.get_json_object(env.body, jp)
+            if env.source.error_labels:
+                bad = F.get_json_object(env.body, "$").isNull()
+                env.labels["__error__"] = F.when(bad, F.lit("JSONParserErr"))
+                env.labels["__error_details__"] = F.when(
+                    bad, F.lit("malformed JSON body")
+                )
         elif stage.kind == "logfmt":
             m = logfmt_map(env.body)
             names = stage.exprs or {}

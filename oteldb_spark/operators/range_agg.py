@@ -94,6 +94,55 @@ def range_aggregate(
     return grouped.agg(agg.alias("value"))
 
 
+DECOMPOSABLE = {
+    "count_over_time": (F.count, F.sum),
+    "sum_over_time": (F.sum, F.sum),
+    "min_over_time": (F.min, F.min),
+    "max_over_time": (F.max, F.max),
+    "bytes_over_time": (F.sum, F.sum),
+}
+
+
+def range_aggregate_prebucketed(
+    samples: DataFrame,
+    op: str,
+    *,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+    by: list[str],
+    value_col: str = "sample",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Two-phase range aggregation for decomposable ops when
+    range ≫ step: partial-aggregate per (series, step bucket), then
+    fan the BUCKETS out — input to the fan-out shrinks from O(points)
+    to O(series × buckets).  Mirrors the reference's sampled-points
+    offload (querier_metrics.go:745-843)."""
+    from .stepfanout import prebucket
+
+    partial_fn, merge_fn = DECOMPOSABLE[op]
+    arg = F.lit(1) if op == "count_over_time" else F.col(value_col)
+    buckets = prebucket(
+        samples,
+        start_us,
+        step_us,
+        by,
+        [partial_fn(arg).alias("__partial")],
+        ts_col=ts_col,
+    )
+    # bucket j's first containing step is j; reuse the row fan-out with
+    # the bucket's anchor timestamp
+    anchored = buckets.withColumn(
+        "ts_us", (F.lit(start_us) + F.col("__bucket") * F.lit(step_us)).cast("long")
+    )
+    fanned = fanout(anchored, start_us, end_us, step_us, range_us, "ts_us")
+    return fanned.groupBy(*by, "step_us").agg(
+        merge_fn("__partial").cast("double").alias("value")
+    )
+
+
 # --- DuckDB oracle fragments -------------------------------------------------
 
 ORACLE_AGG_SQL = {

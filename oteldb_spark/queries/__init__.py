@@ -24,6 +24,7 @@ from . import pipeline  # noqa: F401
 from . import dedup_lsh  # noqa: F401
 from . import similarity_ext  # noqa: F401
 from . import coverage_ext  # noqa: F401
+from . import histograms  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES
