@@ -76,6 +76,18 @@ def prom_labels(values: list[str]) -> dict:
     return {"status": "success", "data": sorted(values)}
 
 
+def profile_collapsed(df: DataFrame, stack_col: str = "stack",
+                      value_col: str = "total_us") -> str:
+    """Flamegraph rows → Brendan-Gregg collapsed format
+    (``stack;frames value`` lines, as in profileqlengine/collapsed.go).
+    Stacks use '>' internally; collapsed uses ';'."""
+    lines = [
+        f"{r[stack_col].replace('>', ';')} {int(r[value_col])}"
+        for r in df.collect()
+    ]
+    return "\n".join(sorted(lines))
+
+
 def tempo_search(traces_df: DataFrame) -> dict:
     """Trace assembly result → Tempo search response
     (TraceSearchMetadata list: traceID, rootServiceName, rootTraceName,

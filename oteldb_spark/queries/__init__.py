@@ -25,6 +25,7 @@ from . import dedup_lsh  # noqa: F401
 from . import similarity_ext  # noqa: F401
 from . import coverage_ext  # noqa: F401
 from . import histograms  # noqa: F401
+from . import final_ext  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -147,6 +147,208 @@ def flatten_otlp_logs(raw: DataFrame) -> DataFrame:
     )
 
 
+SPAN_RECORD = T.StructType(
+    [
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("parentSpanId", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("kind", T.LongType()),
+        T.StructField("startTimeUnixNano", T.StringType()),
+        T.StructField("endTimeUnixNano", T.StringType()),
+        T.StructField("attributes", T.ArrayType(_ATTR)),
+        T.StructField(
+            "status",
+            T.StructType(
+                [
+                    T.StructField("code", T.LongType()),
+                    T.StructField("message", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", T.ArrayType(_ATTR))]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [T.StructField("spans", T.ArrayType(SPAN_RECORD))]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def flatten_otlp_spans(raw: DataFrame) -> DataFrame:
+    """OTLP/JSON ExportTraceServiceRequest → span rows (mirrors
+    tracestorage/consumer.go), with the materialized duration column
+    the reference computes in ClickHouse (columns_traces.go:277-279).
+    """
+    rs = raw.select(F.explode("resourceSpans").alias("rs"))
+    ss = rs.select(
+        _attrs_to_map(F.col("rs.resource.attributes")).alias("resource_attrs"),
+        F.explode("rs.scopeSpans").alias("ss"),
+    )
+    sp = ss.select("resource_attrs", F.explode("ss.spans").alias("s"))
+    start = F.col("s.startTimeUnixNano").cast("long")
+    end = F.col("s.endTimeUnixNano").cast("long")
+    return sp.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.col("s.parentSpanId").alias("parent_span_id"),
+        F.col("s.name").alias("name"),
+        F.col("s.kind").alias("kind"),
+        start.alias("start_ns"),
+        end.alias("end_ns"),
+        (end - start).alias("duration_ns"),
+        F.col("s.status.code").alias("status_code"),
+        F.col("s.status.message").alias("status_message"),
+        _attrs_to_map(F.col("s.attributes")).alias("attrs"),
+        "resource_attrs",
+        F.coalesce(
+            F.col("resource_attrs").getItem("service.name"),
+            F.lit("unknown_service"),
+        ).alias("service_name"),
+        F.to_date(F.timestamp_micros((start / 1000).cast("long"))).alias("date"),
+    )
+
+
+METRIC_POINT = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("asDouble", T.DoubleType()),
+        T.StructField("asInt", T.StringType()),
+        T.StructField("attributes", T.ArrayType(_ATTR)),
+    ]
+)
+
+OTLP_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceMetrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [T.StructField("attributes", T.ArrayType(_ATTR))]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeMetrics",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "metrics",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "name", T.StringType()
+                                                        ),
+                                                        T.StructField(
+                                                            "unit", T.StringType()
+                                                        ),
+                                                        T.StructField(
+                                                            "sum",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            METRIC_POINT
+                                                                        ),
+                                                                    ),
+                                                                    T.StructField(
+                                                                        "isMonotonic",
+                                                                        T.BooleanType(),
+                                                                    ),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "gauge",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            METRIC_POINT
+                                                                        ),
+                                                                    )
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        )
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def flatten_otlp_metrics(raw: DataFrame) -> DataFrame:
+    """OTLP/JSON metrics → (name, labels, ts_ns, value, is_monotonic)
+    point rows with the canonical series hash (mirrors
+    chstorage/inserter_metrics.go gauge/sum handling)."""
+    rm = raw.select(F.explode("resourceMetrics").alias("rm"))
+    sm = rm.select(
+        _attrs_to_map(F.col("rm.resource.attributes")).alias("resource_attrs"),
+        F.explode("rm.scopeMetrics").alias("sm"),
+    )
+    m = sm.select("resource_attrs", F.explode("sm.metrics").alias("m"))
+    pts = m.select(
+        "resource_attrs",
+        F.col("m.name").alias("name"),
+        F.col("m.unit").alias("unit"),
+        F.coalesce(F.col("m.sum.isMonotonic"), F.lit(False)).alias("is_monotonic"),
+        F.explode(
+            F.coalesce(F.col("m.sum.dataPoints"), F.col("m.gauge.dataPoints"))
+        ).alias("p"),
+    )
+    out = pts.select(
+        "name",
+        "unit",
+        "is_monotonic",
+        _attrs_to_map(F.col("p.attributes")).alias("labels"),
+        "resource_attrs",
+        F.col("p.timeUnixNano").cast("long").alias("ts_ns"),
+        F.coalesce(F.col("p.asDouble"), F.col("p.asInt").cast("double")).alias(
+            "value"
+        ),
+    )
+    return out.withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
+
+
 def series_key(name: Column, labels: Column) -> Column:
     """Canonical series hash: metric name + sorted label map entries →
     md5 (the reference xxh3-128-hashes sorted attr maps,
