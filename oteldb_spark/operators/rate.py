@@ -163,6 +163,74 @@ def rate_family(
     raise ValueError(f"unknown rate-family op {op!r}")
 
 
+def resets_changes(
+    points: DataFrame,
+    op: str,  # resets | changes
+    *,
+    series: list[str],
+    value_col: str,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """PromQL ``resets()`` / ``changes()``: count of counter resets /
+    value changes between consecutive samples within each window.
+    A pair counts when BOTH samples are inside the window — exact
+    integer semantics, no extrapolation."""
+    w = Window.partitionBy(*series).orderBy(ts_col)
+    pts = points.withColumn("__prev", F.lag(F.col(value_col)).over(w)).withColumn(
+        "prev_ts_us", F.lag(F.col(ts_col)).over(w)
+    )
+    if op == "resets":
+        ind = F.col(value_col) < F.col("__prev")
+    else:
+        ind = F.col(value_col) != F.col("__prev")
+    pts = pts.withColumn("__ind", F.when(ind, 1).otherwise(0))
+    fanned = fanout(pts, start_us, end_us, step_us, range_us, ts_col)
+    in_win = F.col("prev_ts_us").isNotNull() & (
+        F.col("prev_ts_us") > F.col("step_us") - F.lit(range_us)
+    )
+    return fanned.groupBy(*series, "step_us").agg(
+        F.sum(F.when(in_win, F.col("__ind")).otherwise(0))
+        .cast("double")
+        .alias("value")
+    )
+
+
+def deriv(
+    points: DataFrame,
+    *,
+    series: list[str],
+    value_col: str,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """PromQL ``deriv()``: least-squares slope per window (per-second).
+
+    Computed from decomposable sums (n, Σt, Σy, Σty, Σt²) with t
+    relative to the window start — one shuffle, codegen'd arithmetic.
+    """
+    fanned = fanout(points, start_us, end_us, step_us, range_us, ts_col)
+    t = (F.col(ts_col) - (F.col("step_us") - F.lit(range_us))) / 1e6
+    y = F.col(value_col)
+    g = fanned.groupBy(*series, "step_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(t * y).alias("sty"),
+        F.sum(t * t).alias("stt"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    return g.filter(F.col("n") >= 2).select(*series, "step_us", slope.alias("value"))
+
+
 # --- DuckDB oracle -----------------------------------------------------------
 
 

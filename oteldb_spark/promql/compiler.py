@@ -230,14 +230,12 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         fc.samples = samples  # type: ignore[attr-defined]
         return samples
 
-    if name in RATE_FUNCS:
+    if name in RATE_FUNCS or name in ("resets", "changes", "deriv"):
         sel = fc.args[0]
         if not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
             raise SyntaxError(f"PromQL: {name}() needs a range vector")
         pts = _selector_points(sel, source)
-        return rate_family(
-            pts,
-            name,
+        kw = dict(
             series=source.label_cols,
             value_col="sample",
             start_us=params.start_us,
@@ -245,6 +243,15 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             step_us=params.step_us,
             range_us=sel.range_us,
         )
+        if name in ("resets", "changes"):
+            from ..operators.rate import resets_changes
+
+            return resets_changes(pts, name, **kw)
+        if name == "deriv":
+            from ..operators.rate import deriv as deriv_op
+
+            return deriv_op(pts, **kw)
+        return rate_family(pts, name, **kw)
 
     if name in RANGE_FUNCS or name == "present_over_time":
         arg = fc.args[-1]

@@ -60,6 +60,9 @@ FUNCS = {
     "label_replace",
     "label_join",
     "sgn",
+    "resets",
+    "changes",
+    "deriv",
 }
 
 _PREC = [
