@@ -1,0 +1,118 @@
+"""Engine facades — the user-facing query surface.
+
+A user of the reference talks to Loki/Prometheus/Tempo HTTP APIs;
+these classes expose the same operations as Python calls returning
+the same wire shapes (`api/serializers.py`).  An HTTP layer would be
+a thin adapter over these (the reference's ogen handlers ↔ these
+methods).
+
+    logs = LogQLEngine(LogSource(df, {"service": "service", ...}))
+    logs.query_range('sum by (service) (rate({env="prod"}[5m]))',
+                     start_us, end_us, step_us)   → Loki matrix JSON
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .api.serializers import (
+    loki_matrix,
+    loki_streams,
+    prom_labels,
+    prom_matrix,
+    tempo_search,
+)
+from .logql import EvalParams, LogSource, compile_logql
+from .promql import MetricSource, PromParams, compile_promql
+from .traceql import SpanSource, compile_traceql
+
+
+@dataclass
+class LogQLEngine:
+    source: LogSource
+    spark: SparkSession | None = None
+
+    def _spark(self):
+        return self.spark or self.source.df.sparkSession
+
+    def query_range(self, q: str, start_us: int, end_us: int, step_us: int) -> dict:
+        params = EvalParams(start_us, end_us, step_us)
+        df = compile_logql(q, self.source, params, self._spark())
+        if "step_us" in df.columns:  # metric query → matrix
+            labels = [c for c in df.columns if c not in ("step_us", "value")]
+            return loki_matrix(df, labels)
+        labels = [
+            c for c in df.columns if c not in ("ts_us", "body")
+        ]  # log query → streams
+        return loki_streams(df, labels)
+
+    def labels(self) -> dict:
+        return prom_labels(list(self.source.label_cols))
+
+    def label_values(self, label: str) -> dict:
+        col = self.source.label_cols[label]
+        vals = [r[0] for r in self.source.df.select(col).distinct().collect()]
+        return prom_labels(vals)
+
+
+@dataclass
+class PromQLEngine:
+    source: MetricSource
+    spark: SparkSession | None = None
+    lookback_us: int = 5 * 60 * 1_000_000
+
+    def _spark(self):
+        return self.spark or self.source.df.sparkSession
+
+    def query_range(self, q: str, start_us: int, end_us: int, step_us: int) -> dict:
+        params = PromParams(start_us, end_us, step_us, lookback_us=self.lookback_us)
+        df = compile_promql(q, self.source, params, self._spark())
+        labels = [c for c in df.columns if c not in ("step_us", "value")]
+        return prom_matrix(df, labels)
+
+    def labels(self) -> dict:
+        return prom_labels(list(self.source.label_cols))
+
+    def series(self, q: str | None = None) -> list[dict]:
+        df = self.source.df.select(*self.source.label_cols).distinct()
+        return [r.asDict() for r in df.collect()]
+
+
+@dataclass
+class TraceQLEngine:
+    source: SpanSource
+
+    def search(self, q: str, limit: int = 20) -> dict:
+        from pyspark.sql import functions as F
+
+        matched = compile_traceql(q, self.source)
+        # assemble the FULL trace for every matched trace id
+        # (traceqlengine/engine.go:96-227): root/duration come from all
+        # spans of the trace, not just the matching subset
+        spans = self.source.df.join(
+            matched.select(self.source.trace_col).distinct(),
+            self.source.trace_col,
+            "left_semi",
+        )
+        traces = (
+            spans.groupBy(self.source.trace_col)
+            .agg(
+                F.min_by(
+                    F.col(self.source.name_col),
+                    F.col(self.source.span_col),
+                ).alias("root_name"),
+                (
+                    F.max(
+                        F.col(self.source.start_col)
+                        + F.col(self.source.duration_col)
+                    )
+                    - F.min(self.source.start_col)
+                ).alias("trace_duration_us"),
+                F.min(self.source.start_col).alias("start_us"),
+            )
+            .orderBy(F.col("start_us").desc())
+            .limit(limit)
+        )
+        return tempo_search(traces)

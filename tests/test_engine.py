@@ -1,0 +1,88 @@
+"""Engine facade e2e: query string → wire-shape JSON (the
+"switch from the reference" surface)."""
+
+from __future__ import annotations
+
+from oteldb_spark.engine import LogQLEngine, PromQLEngine, TraceQLEngine
+from oteldb_spark.logql import LogSource
+from oteldb_spark.promql import MetricSource
+from oteldb_spark.signals import counter_points_frame, logs_frame, spans_frame
+from oteldb_spark.traceql import SpanSource
+
+SF = "/root/testdata/sf0.001"
+START = 1_704_067_200_000_000
+END = START + 30 * 86_400_000_000
+STEP = 6 * 3_600_000_000
+
+
+def test_logql_engine_matrix(spark):
+    eng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, SF),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    out = eng.query_range(
+        'sum by (level) (count_over_time({env="prod"}[12h]))', START, END, STEP
+    )
+    assert out["data"]["resultType"] == "matrix"
+    series = out["data"]["result"]
+    assert {s["metric"]["level"] for s in series} <= {"ERROR", "INFO", "DEBUG"}
+    assert all(len(s["values"]) > 0 for s in series)
+
+
+def test_logql_engine_streams(spark):
+    eng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, SF),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    out = eng.query_range('{level="ERROR"} |= `"k": 1`', START, END, STEP)
+    assert out["data"]["resultType"] == "streams"
+    assert out["data"]["result"]
+    labels = eng.labels()
+    assert labels["data"] == ["env", "level", "service"]
+
+
+def test_promql_engine(spark):
+    eng = PromQLEngine(
+        MetricSource(
+            df=counter_points_frame(spark, SF),
+            metrics={"events_gauge": "gauge", "events_value_total": "counter_mod"},
+            label_cols=["mtype", "instance"],
+        ),
+        lookback_us=12 * 3_600_000_000,
+    )
+    out = eng.query_range(
+        "sum by (mtype) (rate(events_value_total[12h]))", START, END, STEP
+    )
+    assert out["data"]["resultType"] == "matrix"
+    assert {s["metric"]["mtype"] for s in out["data"]["result"]} == {
+        "click",
+        "error",
+        "purchase",
+        "signup",
+        "view",
+    }
+    assert len(eng.series()) == 50
+
+
+def test_traceql_engine_search(spark):
+    eng = TraceQLEngine(
+        SpanSource(
+            df=spans_frame(spark, SF),
+            attr_cols={"service": "service", "service.name": "service"},
+        )
+    )
+    out = eng.search("{ status = error } | count() > 3", limit=10)
+    assert len(out["traces"]) == 10
+    t = out["traces"][0]
+    assert set(t) == {
+        "traceID",
+        "rootServiceName",
+        "rootTraceName",
+        "startTimeUnixNano",
+        "durationMs",
+    }
+    assert t["rootTraceName"].startswith("order-")
