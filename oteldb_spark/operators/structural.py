@@ -144,15 +144,15 @@ def nested_sets(spans: DataFrame, max_depth: int = 8) -> DataFrame:
             (F.col("a.trace_id") == F.col("b_tid"))
             & F.expr("array_position(b_path, a.span_id) > 0"),
         )
-        .groupBy("a.trace_id", "a.span_id")
-        .agg(F.max("b_left").alias("ns_right"))
-        .select(
-            F.col("trace_id"),
-            F.col("span_id").alias("r_span_id"),
-            "ns_right",
+        .groupBy(
+            F.col("a.trace_id").alias("r_tid"), F.col("a.span_id").alias("r_sid")
         )
+        .agg(F.max("b_left").alias("ns_right"))
     )
-    return me.join(
-        sub,
-        (me.trace_id == sub.trace_id) & (me.span_id == sub.r_span_id),
-    ).select(me.trace_id, me.span_id, me.parent_span_id, "ns_left", "ns_right")
+    return (
+        me.join(
+            sub,
+            (me.trace_id == sub.r_tid) & (me.span_id == sub.r_sid),
+        )
+        .select("trace_id", "span_id", "parent_span_id", "ns_left", "ns_right")
+    )

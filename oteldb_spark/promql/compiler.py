@@ -323,6 +323,35 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             .alias("value")
         )
 
+    if name in ("time", "hour", "minute", "day_of_week", "day_of_month", "month"):
+        # evaluation-time functions: computed from step_us with pure
+        # integer epoch math (UTC), no timezone library involved
+        if fc.args:
+            inner = _compile(fc.args[0], source, params, spark)
+        else:
+            from ..operators.stepfanout import step_spine
+
+            assert spark is not None
+            inner = step_spine(
+                spark, params.start_us, params.end_us, params.step_us
+            ).withColumn("value", F.lit(0.0))
+        s = F.col("step_us")
+        secs = (s / 1_000_000).cast("long")
+        if name == "time":
+            v = secs.cast("double")
+        elif name == "hour":
+            v = ((secs / 3600).cast("long") % 24).cast("double")
+        elif name == "minute":
+            v = ((secs / 60).cast("long") % 60).cast("double")
+        elif name == "day_of_week":
+            # 1970-01-01 was a Thursday (4)
+            v = (((secs / 86400).cast("long") + 4) % 7).cast("double")
+        elif name == "day_of_month":
+            v = F.dayofmonth(F.timestamp_seconds(secs)).cast("double")
+        else:  # month
+            v = F.month(F.timestamp_seconds(secs)).cast("double")
+        return inner.withColumn("value", v)
+
     if name == "label_join":
         inner = _compile(fc.args[0], source, params, spark)
         dst, sep, *srcs = fc.args[1:]

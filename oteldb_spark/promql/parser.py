@@ -63,6 +63,12 @@ FUNCS = {
     "resets",
     "changes",
     "deriv",
+    "time",
+    "hour",
+    "minute",
+    "day_of_week",
+    "day_of_month",
+    "month",
 }
 
 _PREC = [

@@ -109,3 +109,24 @@ def promql_deriv(spark, sf_dir):
         range_us=RANGE_US,
     )
     return out.withColumn("value", F.round("value", 6))
+
+
+# evaluation-time functions through the parser: hour-of-day per step
+# (pure integer epoch math on both sides)
+@register(
+    "ppql_parsed_hour",
+    f"""SELECT step_us,
+       CAST((step_us // 1000000 // 3600) % 24 AS DOUBLE) AS value
+FROM {spine_sql(START_US, END_US, STEP_US)} t""",
+)
+def ppql_parsed_hour(spark, sf_dir):
+    from ..promql import MetricSource, PromParams, compile_promql
+
+    src = MetricSource(
+        df=counter_points_frame(spark, sf_dir),
+        metrics={"events_gauge": "gauge"},
+        label_cols=["mtype", "instance"],
+    )
+    return compile_promql(
+        "hour()", src, PromParams(START_US, END_US, STEP_US), spark
+    ).select("step_us", "value")

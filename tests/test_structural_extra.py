@@ -1,0 +1,58 @@
+"""nested_sets encoding: descendant predicate must agree with the
+iterative frontier join on a multi-level tree."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oteldb_spark.operators.structural import descendants, nested_sets
+
+
+def _tree(spark):
+    # trace 1: 1 -> 2 -> 3 -> 4 and 1 -> 5 (depth 4)
+    rows = [
+        (1, 1, None),
+        (1, 2, 1),
+        (1, 3, 2),
+        (1, 4, 3),
+        (1, 5, 1),
+        # trace 2: flat
+        (2, 1, None),
+        (2, 2, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "trace_id long, span_id long, parent_span_id long"
+    ).withColumn("tag", F.col("span_id"))
+
+
+def test_nested_sets_descendant_equivalence(spark):
+    spans = _tree(spark)
+    ns = nested_sets(spans).collect()
+    by_id = {(r.trace_id, r.span_id): (r.ns_left, r.ns_right) for r in ns}
+    # root subtree covers everything in its trace
+    l1, r1 = by_id[(1, 1)]
+    for sid in (2, 3, 4, 5):
+        ls, _ = by_id[(1, sid)]
+        assert l1 < ls <= r1
+    # span 5's subtree is only itself
+    l5, r5 = by_id[(1, 5)]
+    assert l5 == r5
+    # cross-trace isolation: trace 2 numbering independent
+    assert (2, 1) in by_id
+
+    # frontier-join descendants of span 2 in trace 1 = {3, 4}
+    desc = descendants(
+        spans,
+        (F.col("span_id") == 2) & (F.col("trace_id") == 1),
+        F.lit(True),
+    )
+    got = {(r.trace_id, r.span_id) for r in desc.collect()}
+    assert got == {(1, 3), (1, 4)}
+    # nested-set predicate gives the same answer
+    l2, r2 = by_id[(1, 2)]
+    ns_desc = {
+        (t, s)
+        for (t, s), (l, r) in by_id.items()
+        if t == 1 and l2 < l <= r2 and (t, s) != (1, 2)
+    }
+    assert ns_desc == got
