@@ -15,7 +15,7 @@ TOKEN_RE = re.compile(
   | (?P<duration>[0-9]+(?:\.[0-9]+)?(?:ns|us|µs|ms|s|m|h|d|w)(?:[0-9]+(?:\.[0-9]+)?(?:ns|us|µs|ms|s|m|h|d|w))*)
   | (?P<bytes>[0-9]+(?:\.[0-9]+)?(?:[KMGTP]i?B|b))
   | (?P<number>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
-  | (?P<op>\|\||&&|\|=|\|~|\|>|!=|!~|!>|<=|>=|==|=~|>>|<<|\band\b|\bor\b|\bunless\b|\bby\b|\bwithout\b|\bbool\b|\bon\b|\bignoring\b|\bgroup_left\b|\bgroup_right\b|\boffset\b|[{}()\[\],=<>+\-*/%^|.:!~&])
+  | (?P<op>\|\||&&|\|=|\|~|\|>|!=|!~|!>|<=|>=|==|=~|>>|<<|\band\b|\bor\b|\bunless\b|\bby\b|\bwithout\b|\bbool\b|\bon\b|\bignoring\b|\bgroup_left\b|\bgroup_right\b|\boffset\b|[{}()\[\],=<>+\-*/%^|.:!~&@])
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
 """,
     re.VERBOSE,

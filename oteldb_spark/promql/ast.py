@@ -23,6 +23,8 @@ class VectorSelector:
     offset_us: int = 0
     # subquery: v[range:step]
     subquery_step_us: int | None = None
+    # @ modifier: pin evaluation to a fixed time (µs)
+    at_us: int | None = None
 
 
 @dataclass

@@ -98,8 +98,26 @@ def _instant_vector(
     sel: ast.VectorSelector, source: MetricSource, params: PromParams
 ) -> DataFrame:
     """Instant selector: most recent sample within the staleness
-    lookback at each step."""
+    lookback at each step.  With an ``@`` modifier the value is pinned
+    to the fixed time and repeated across every output step."""
     pts = _selector_points(sel, source)
+    if sel.at_us is not None:
+        pinned = range_aggregate(
+            pts,
+            "last_over_time",
+            start_us=sel.at_us,
+            end_us=sel.at_us,
+            step_us=params.step_us,
+            range_us=params.lookback_us,
+            by=source.label_cols,
+        ).drop("step_us")
+        from .compiler import PromParams as _PP  # noqa: F401
+        from ..operators.stepfanout import step_spine
+
+        spine = step_spine(
+            pts.sparkSession, params.start_us, params.end_us, params.step_us
+        )
+        return pinned.crossJoin(spine)
     return range_aggregate(
         pts,
         "last_over_time",

@@ -178,6 +178,12 @@ class Parser:
                     e.offset_us = off
                 else:
                     raise SyntaxError("PromQL: offset on non-selector")
+            elif self.accept("@"):
+                at = float(self.next().text)  # unix seconds
+                if isinstance(e, ast.VectorSelector):
+                    e.at_us = int(at * 1e6)
+                else:
+                    raise SyntaxError("PromQL: @ on non-selector")
             else:
                 return e
 

@@ -110,6 +110,58 @@ def logql_patterns(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("long").alias("occurrences"))
 
 
+# Loki detected_fields: fields parsed out of the log bodies with an
+# inferred type and cardinality (lokihandler detected_fields)
+@register(
+    "logql_detected_fields",
+    None,  # oracle attached below (needs the logfmt CTE)
+)
+def logql_detected_fields(spark, sf_dir):
+    from .logql_parsers import _logfmt_frame
+    from ..functions.parsers import logfmt_map
+
+    df = _logfmt_frame(spark, sf_dir)
+    m = logfmt_map("body")
+    parts = []
+    for field, ftype in [
+        ("evt", "string"),
+        ("user", "int"),
+        ("took", "duration"),
+        ("sz", "bytes"),
+        ("ip", "ip"),
+    ]:
+        parts.append(
+            df.select(m.getItem(field).alias("v")).agg(
+                F.lit(field).alias("field"),
+                F.lit(ftype).alias("ftype"),
+                F.countDistinct("v").cast("long").alias("cardinality"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _detected_fields_oracle() -> str:
+    from .logql_parsers import _LOGFMT_CTE
+
+    unions = []
+    for field, ftype, rx in [
+        ("evt", "string", "evt=([a-z]+)"),
+        ("user", "int", "user=([0-9]+)"),
+        ("took", "duration", "took=([0-9.]+ms)"),
+        ("sz", "bytes", "sz=([0-9]+KB)"),
+        ("ip", "ip", "ip=([0-9.]+)$"),
+    ]:
+        unions.append(
+            f"SELECT '{field}' AS field, '{ftype}' AS ftype,\n"
+            f"       CAST(count(DISTINCT regexp_extract(body, '{rx}', 1)) AS BIGINT)"
+            f" AS cardinality FROM logfmt_logs"
+        )
+    return with_ctes(LOGS_CTE, _LOGFMT_CTE, body="\nUNION ALL\n".join(unions))
+
+
 def _patterns_oracle() -> str:
     from .logql_parsers import _LOGFMT_CTE
 
@@ -126,3 +178,4 @@ FROM logfmt_logs GROUP BY 1""",
 from .registry import ORACLES  # noqa: E402
 
 ORACLES["logql_patterns"] = _patterns_oracle()
+ORACLES["logql_detected_fields"] = _detected_fields_oracle()

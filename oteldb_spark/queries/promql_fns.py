@@ -111,6 +111,41 @@ def promql_deriv(spark, sf_dir):
     return out.withColumn("value", F.round("value", 6))
 
 
+# @ modifier through the parser: the gauge pinned at a fixed time,
+# replicated over the step spine
+_AT_S = (START_US + 15 * 86_400_000_000) // 1_000_000  # 2024-01-16
+
+
+@register(
+    "ppql_parsed_at",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""pinned AS (
+  SELECT mtype, instance, arg_max(gauge, ts_us) AS value
+  FROM counters
+  WHERE ts_us > {_AT_S * 1_000_000} - {RANGE_US} AND ts_us <= {_AT_S * 1_000_000}
+  GROUP BY mtype, instance
+)""",
+        body=f"""SELECT mtype, instance, step_us, value
+FROM pinned CROSS JOIN {spine_sql(START_US, END_US, STEP_US)} t""",
+    ),
+)
+def ppql_parsed_at(spark, sf_dir):
+    from ..promql import MetricSource, PromParams, compile_promql
+
+    src = MetricSource(
+        df=counter_points_frame(spark, sf_dir),
+        metrics={"events_gauge": "gauge"},
+        label_cols=["mtype", "instance"],
+    )
+    return compile_promql(
+        f"events_gauge @ {_AT_S}",
+        src,
+        PromParams(START_US, END_US, STEP_US, lookback_us=RANGE_US),
+        spark,
+    )
+
+
 # evaluation-time functions through the parser: hour-of-day per step
 # (pure integer epoch math on both sides)
 @register(
