@@ -230,6 +230,34 @@ def logql_decolorize(spark, sf_dir):
     return logs.select("event_id", decolorize(colored).alias("clean"))
 
 
+# full parse→compile path over a logfmt body: {} | logfmt took, user
+# | took > 300ms — exercises the parser-driven logfmt stage + typed
+# duration label filter end to end
+@register(
+    "lql_parsed_logfmt",
+    with_ctes(
+        LOGS_CTE,
+        _LOGFMT_CTE,
+        body="""SELECT ts_us, body,
+       regexp_extract(body, 'took=([0-9.]+ms)', 1) AS took,
+       regexp_extract(body, 'user=([0-9]+)', 1) AS user
+FROM logfmt_logs
+WHERE CAST(regexp_extract(body, 'took=([0-9.]+)ms', 1) AS DOUBLE) * 0.001 > 0.3""",
+    ),
+)
+def lql_parsed_logfmt(spark, sf_dir):
+    from ..logql import EvalParams, LogSource, compile_logql
+    from .registry import END_US, START_US, STEP_US
+
+    src = LogSource(df=_logfmt_frame(spark, sf_dir), label_cols={})
+    return compile_logql(
+        "{} | logfmt took, user | took > 300ms",
+        src,
+        EvalParams(START_US, END_US, STEP_US),
+        spark,
+    )
+
+
 # {} | unpack — promtail packed JSON: extract _entry as the line plus
 # packed labels (unpack.go)
 @register(
