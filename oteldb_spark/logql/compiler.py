@@ -76,6 +76,8 @@ class _Env:
     labels: dict[str, Column]
     body: Column
     source: LogSource
+    # dynamic label map from a bare `| json` / `| logfmt` stage
+    dyn_map: Column | None = None
 
 
 def _resolve(env: _Env, name: str) -> Column:
@@ -84,6 +86,8 @@ def _resolve(env: _Env, name: str) -> Column:
         return env.labels[name]
     if norm in env.labels:
         return env.labels[norm]
+    if env.dyn_map is not None:
+        return env.dyn_map.getItem(name)
     if env.source.attrs_map_col is not None:
         return F.col(env.source.attrs_map_col).getItem(name)
     raise KeyError(f"LogQL: unknown label {name!r}")
@@ -200,10 +204,14 @@ def _apply_stage(env: _Env, stage) -> _Env:
         if stage.kind == "json":
             exprs = stage.exprs or {}
             if not exprs:
-                raise SyntaxError(
-                    "LogQL: bare `| json` needs explicit labels over a "
-                    "schemaless body; use `| json lbl=\"path\"`"
+                # bare `| json`: discover labels dynamically — the body
+                # parsed as a string map feeds _resolve fallbacks
+                from pyspark.sql import types as T
+
+                env.dyn_map = F.from_json(
+                    env.body, T.MapType(T.StringType(), T.StringType())
                 )
+                return env
             for lbl, path in exprs.items():
                 jp = path if path.startswith("$") else f"$.{path}"
                 env.labels[lbl] = F.get_json_object(env.body, jp)
@@ -220,10 +228,8 @@ def _apply_stage(env: _Env, stage) -> _Env:
                 for lbl, key in names.items():
                     env.labels[lbl] = m.getItem(key)
             else:
-                raise SyntaxError(
-                    "LogQL: bare `| logfmt` needs explicit labels here; "
-                    "use `| logfmt lbl, other`"
-                )
+                # bare `| logfmt`: dynamic key=val map fallback
+                env.dyn_map = m
         elif stage.kind == "regexp":
             import re as _re
 

@@ -231,6 +231,43 @@ def deriv(
     return g.filter(F.col("n") >= 2).select(*series, "step_us", slope.alias("value"))
 
 
+def predict_linear(
+    points: DataFrame,
+    *,
+    series: list[str],
+    value_col: str,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+    horizon_s: float,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """PromQL ``predict_linear(v[r], t)``: least-squares extrapolation
+    ``intercept + slope * (t_eval + horizon)`` with t relative to the
+    window start (same sums as deriv)."""
+    fanned = fanout(points, start_us, end_us, step_us, range_us, ts_col)
+    t = (F.col(ts_col) - (F.col("step_us") - F.lit(range_us))) / 1e6
+    y = F.col(value_col)
+    g = fanned.groupBy(*series, "step_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(y).alias("sy"),
+        F.sum(t * y).alias("sty"),
+        F.sum(t * t).alias("stt"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept = (F.col("sy") - slope * F.col("st")) / F.col("n")
+    # prediction time: horizon past the step (= window end), i.e.
+    # t = range_s + horizon in window-relative coordinates
+    t_pred = F.lit(range_us / 1e6 + horizon_s)
+    return g.filter(F.col("n") >= 2).select(
+        *series, "step_us", (intercept + slope * t_pred).alias("value")
+    )
+
+
 # --- DuckDB oracle -----------------------------------------------------------
 
 

@@ -248,7 +248,18 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         fc.samples = samples  # type: ignore[attr-defined]
         return samples
 
-    if name in RATE_FUNCS or name in ("resets", "changes", "deriv"):
+    if name == "absent":
+        inner = _compile(fc.args[0], source, params, spark)
+        from ..operators.stepfanout import step_spine
+
+        assert spark is not None
+        spine = step_spine(spark, params.start_us, params.end_us, params.step_us)
+        present = inner.select("step_us").distinct()
+        return spine.join(present, "step_us", "left_anti").withColumn(
+            "value", F.lit(1.0)
+        )
+
+    if name in RATE_FUNCS or name in ("resets", "changes", "deriv", "predict_linear"):
         sel = fc.args[0]
         if not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
             raise SyntaxError(f"PromQL: {name}() needs a range vector")
@@ -269,6 +280,11 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             from ..operators.rate import deriv as deriv_op
 
             return deriv_op(pts, **kw)
+        if name == "predict_linear":
+            from ..operators.rate import predict_linear as pl_op
+
+            horizon_s = fc.args[1].value
+            return pl_op(pts, horizon_s=horizon_s, **kw)
         return rate_family(pts, name, **kw)
 
     if name in RANGE_FUNCS or name == "present_over_time":

@@ -63,6 +63,8 @@ FUNCS = {
     "resets",
     "changes",
     "deriv",
+    "predict_linear",
+    "absent",
     "time",
     "hour",
     "minute",

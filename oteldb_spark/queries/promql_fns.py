@@ -111,6 +111,50 @@ def promql_deriv(spark, sf_dir):
     return out.withColumn("value", F.round("value", 6))
 
 
+# predict_linear through the parser: 1h-ahead extrapolation of the
+# monotone counter (same decomposable sums as deriv + intercept)
+_HORIZON_S = 3600.0
+
+
+@register(
+    "ppql_parsed_predict_linear",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""g AS (
+  SELECT mtype, instance, step_us,
+         count(*) AS n,
+         sum((ts_us - (step_us - {RANGE_US})) / 1e6) AS st,
+         sum(y) AS sy,
+         sum(((ts_us - (step_us - {RANGE_US})) / 1e6) * y) AS sty,
+         sum(((ts_us - (step_us - {RANGE_US})) / 1e6)
+             * ((ts_us - (step_us - {RANGE_US})) / 1e6)) AS stt
+  FROM {fanout_join_sql("(SELECT mtype, instance, ts_us, counter AS y FROM counters)", START_US, END_US, STEP_US, RANGE_US)} s
+  GROUP BY mtype, instance, step_us
+)""",
+        body=f"""SELECT mtype, instance, step_us,
+       round(((sy - ((n * sty - st * sy) / (n * stt - st * st)) * st) / n)
+             + ((n * sty - st * sy) / (n * stt - st * st))
+               * ({RANGE_US} / 1e6 + {_HORIZON_S!r}), 4) AS value
+FROM g WHERE n >= 2""",
+    ),
+)
+def ppql_parsed_predict_linear(spark, sf_dir):
+    from ..promql import MetricSource, PromParams, compile_promql
+
+    src = MetricSource(
+        df=counter_points_frame(spark, sf_dir),
+        metrics={"events_counter_total": "counter"},
+        label_cols=["mtype", "instance"],
+    )
+    out = compile_promql(
+        f"predict_linear(events_counter_total[12h], {int(_HORIZON_S)})",
+        src,
+        PromParams(START_US, END_US, STEP_US),
+        spark,
+    )
+    return out.withColumn("value", F.round("value", 4))
+
+
 # @ modifier through the parser: the gauge pinned at a fixed time,
 # replicated over the step spine
 _AT_S = (START_US + 15 * 86_400_000_000) // 1_000_000  # 2024-01-16

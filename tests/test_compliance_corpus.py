@@ -93,6 +93,12 @@ PROMQL = [
     "resets(c[1h])",
     "changes(g[1h])",
     "deriv(g[1h])",
+    "predict_linear(g[1h], 3600)",
+    "absent(up)",
+    "up @ 1704067200",
+    "hour()",
+    "time()",
+    'count_values("v", x)',
 ]
 
 TRACEQL = [
