@@ -374,7 +374,27 @@ def compile_logql(
         )
         if expr.op not in ("count_over_time", "rate", "absent_over_time"):
             proj = proj.filter(F.col("__sample").isNotNull())
-        op = "rate" if expr.op == "rate_counter" else expr.op
+        if expr.op == "rate_counter":
+            # rate_counter treats the unwrapped samples as a Prometheus
+            # counter: full reset-aware extrapolated rate
+            # (logqlmetric/prom_math.go)
+            from ..operators.rate import rate_family
+
+            return rate_family(
+                proj.select(
+                    *by,
+                    F.col("__ts").alias("ts_us"),
+                    F.col("__sample").alias("sample"),
+                ),
+                "rate",
+                series=by,
+                value_col="sample",
+                start_us=params.start_us,
+                end_us=params.end_us,
+                step_us=params.step_us,
+                range_us=expr.range_us,
+            )
+        op = expr.op
         # LogQL rate over an unwrapped sample = sum/range_s
         # (aggregator.go:70-78 second form)
         if op == "rate" and expr.query.unwrap is not None:

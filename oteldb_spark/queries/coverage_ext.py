@@ -292,6 +292,87 @@ register(
 )
 
 
+# rate_counter through the parser: unwrapped per-line values treated
+# as a Prometheus counter (reset-aware extrapolated rate); the events
+# `value` is not monotone per service, so resets genuinely fire
+from ..operators.rate import rate_family_oracle_sql as _rf_sql
+
+_RC_INNER = _rf_sql(
+    "rate",
+    source="(SELECT service, ts_us, value AS v FROM logs WHERE env = 'prod')",
+    series_sql=["service"],
+    value_col="v",
+    start_us=START_US,
+    end_us=END_US,
+    step_us=STEP_US,
+    range_us=RANGE_US,
+)
+_RC_IDX = _RC_INNER.rfind("\nSELECT ")
+register(
+    "lql_parsed_rate_counter",
+    f"WITH {LOGS_CTE},\n{_RC_INNER[:_RC_IDX].rstrip().rstrip(',')},\n"
+    f"final AS (\n{_RC_INNER[_RC_IDX + 1:]}\n)\n"
+    "SELECT service, step_us, round(value, 9) AS value FROM final",
+)(
+    lambda spark, sf_dir: compile_logql(
+        'rate_counter({env="prod"} | unwrap value [12h]) by (service)',
+        _lsrc(spark, sf_dir),
+        _PARAMS,
+        spark,
+    ).withColumn("value", F.round("value", 9))
+)
+
+
+# Loki index/stats endpoint: stream/entry/byte totals
+@register(
+    "logql_index_stats",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT CAST(count(DISTINCT service || '/' || env || '/' || level)
+                    AS BIGINT) AS streams,
+       CAST(count(*) AS BIGINT) AS entries,
+       CAST(sum(length(body)) AS BIGINT) AS bytes
+FROM logs""",
+    ),
+)
+def logql_index_stats(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir)
+    return logs.agg(
+        F.countDistinct(F.concat_ws("/", "service", "env", "level"))
+        .cast("long")
+        .alias("streams"),
+        F.count(F.lit(1)).cast("long").alias("entries"),
+        F.sum(F.length("body")).cast("long").alias("bytes"),
+    )
+
+
+# PromQL `group` aggregation: constant 1 per surviving group
+register(
+    "ppql_parsed_group",
+    with_ctes(
+        COUNTERS_CTE,
+        "per_series AS (SELECT mtype, instance, step_us FROM "
+        + fanout_join_sql(
+            "(SELECT mtype, instance, ts_us FROM counters)",
+            START_US,
+            END_US,
+            STEP_US,
+            RANGE_US,
+        )
+        + " s GROUP BY mtype, instance, step_us)",
+        body="SELECT mtype, step_us, 1.0 AS value FROM per_series"
+        " GROUP BY mtype, step_us",
+    ),
+)(
+    lambda spark, sf_dir: compile_promql(
+        "group by (mtype) (count_over_time(events_gauge[12h]))",
+        _msrc(spark, sf_dir),
+        _PPARAMS,
+        spark,
+    )
+)
+
+
 # TraceQL same-trace intersect through the parser
 register(
     "tql_parsed_intersect",
