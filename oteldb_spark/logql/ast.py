@@ -27,6 +27,8 @@ class Selector:
 class LineFilter:
     op: str  # |= != |~ !~ |> !>
     value: str
+    # `or`-chained alternatives (pipeline.go:38): |= "a" or "b"
+    alts: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -106,19 +106,27 @@ def _matcher_pred(env: _Env, m: ast.LabelMatcher) -> Column:
 
 def _line_filter_pred(env: _Env, f: ast.LineFilter) -> Column:
     body = env.body
+    values = [f.value, *f.alts]
+
+    def any_of(mk):
+        pred = mk(values[0])
+        for v in values[1:]:
+            pred = pred | mk(v)
+        return pred
+
     if f.op == "|=":
-        return body.contains(f.value)
+        return any_of(body.contains)
     if f.op == "!=":
-        return ~body.contains(f.value)
+        return ~any_of(body.contains)
     if f.op == "|~":
-        return body.rlike(f.value)
+        return any_of(body.rlike)
     if f.op == "!~":
-        return ~body.rlike(f.value)
+        return ~any_of(body.rlike)
     # pattern line filters |> !>: translate <_> wildcards to regex
-    rx, _ = pattern_to_regex(f.value)
+    pat = any_of(lambda v: body.rlike(pattern_to_regex(v)[0]))
     if f.op == "|>":
-        return body.rlike(rx)
-    return ~body.rlike(rx)
+        return pat
+    return ~pat
 
 
 def _label_pred(env: _Env, p: ast.LabelPredicate) -> Column:

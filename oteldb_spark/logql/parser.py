@@ -159,7 +159,11 @@ class Parser:
             t = self.peek()
             if t.text in ("|=", "|~", "!~", "!=", "|>", "!>"):
                 self.next()
-                q.stages.append(ast.LineFilter(t.text, self.next().unquote()))
+                lf = ast.LineFilter(t.text, self.next().unquote())
+                while self.peek().text == "or" and self.peek(1).kind == "string":
+                    self.next()
+                    lf.alts.append(self.next().unquote())
+                q.stages.append(lf)
             elif t.text == "|":
                 self.next()
                 q.stages.append(self.parse_stage(q))

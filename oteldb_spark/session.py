@@ -13,14 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "oteldb-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "oteldb-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # Size shuffles to the data, not the core count: at the test
+        # scale factors the reduce-task scheduling overhead dominates,
+        # so default low and let AQE split if partitions grow; cluster
+        # deployments override via SPARK_SHUFFLE_PARTITIONS.
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "8"))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        # Size shuffles to the actual parallelism, not the 200 default.
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing + skew-join splitting.  At
         # 100 TB this is what keeps a skewed trace_id / series_hash key
         # from stalling a stage.
