@@ -285,7 +285,6 @@ def _apply_stage(env: _Env, stage) -> _Env:
         return env
     if isinstance(stage, ast.Distinct):
         cols = [_resolve(env, l) for l in stage.labels]
-        named = [c.alias(f"__d{i}") for i, c in enumerate(cols)]
         env.df = env.df.withColumns(
             {f"__d{i}": c for i, c in enumerate(cols)}
         ).dropDuplicates([f"__d{i}" for i in range(len(cols))])

@@ -34,13 +34,6 @@ A = [2 * i + 1 for i in range(1, K + 1)]
 B = [(7919 * i + 104729) % P for i in range(K)]
 
 
-def portable_hash64(col: Column) -> Column:
-    """md5-based int64 hash, identical in Spark and DuckDB."""
-    return F.expr(
-        f"cast(conv(substr(md5({col._jc.toString() if hasattr(col, '_jc') else col}), 1, 15), 16, 10) as bigint)"
-    )
-
-
 def _hash_expr(col_name: str) -> Column:
     return F.expr(f"cast(conv(substr(md5({col_name}), 1, 15), 16, 10) as bigint)")
 

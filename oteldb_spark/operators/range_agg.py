@@ -29,10 +29,6 @@ from pyspark.sql import functions as F
 
 from .stepfanout import fanout, step_spine
 
-# ops whose output does not depend on the sample value
-COUNT_OPS = {"count_over_time", "rate", "absent_over_time"}
-
-
 def range_aggregate(
     samples: DataFrame,
     op: str,

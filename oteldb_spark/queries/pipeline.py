@@ -95,8 +95,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     par = spark.sparkContext.defaultParallelism
-    sh = docs.repartition(par).select(
-        "doc_id", F.explode(shingles).alias("shingle")
+    # spread the docs for the explode AND hash-partition the shingles
+    # for the self-join: the join's shuffle volume (~n_docs × shingles)
+    # wants full parallelism even when the session default is sized
+    # for small aggregations
+    sh = (
+        docs.repartition(par)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .repartition(par, "shingle")
     )
     # shingle stage feeds three plan branches (sizes + both join
     # sides) — checkpoint so the explode runs once
