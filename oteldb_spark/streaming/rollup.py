@@ -1,0 +1,37 @@
+"""Streaming pre-aggregation rollups — tumbling-window counts/sums per
+series maintained incrementally.
+
+The batch engine's sampled-points offload (prebucketed range aggs)
+reads per-step pre-aggregates; this job MAINTAINS those aggregates
+from the live stream: watermarked tumbling windows, append-mode output
+to a rollup table that ``range_aggregate_prebucketed`` can fan out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_rollup(
+    events: DataFrame,
+    *,
+    keys: list[str],
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Streaming tumbling-window rollup: (keys..., window_start,
+    n, total, vmin, vmax) in append mode once the watermark passes."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("total"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(*keys, F.col("w.start").alias("window_start"), "n", "total", "vmin", "vmax")
+    )
