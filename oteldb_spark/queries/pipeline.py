@@ -96,17 +96,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     par = spark.sparkContext.defaultParallelism
     # spread the docs for the explode AND hash-partition the shingles
-    # for the self-join: the join's shuffle volume (~n_docs × shingles)
-    # wants full parallelism even when the session default is sized
-    # for small aggregations
+    # for the self-join: the join's shuffle volume (~pairs per shared
+    # shingle) wants full parallelism even when the session default is
+    # sized for small aggregations.  Checkpoint: the stage feeds three
+    # plan branches (sizes + both join sides).
     sh = (
         docs.repartition(par)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .repartition(par, "shingle")
+        .localCheckpoint(eager=False)
     )
-    # shingle stage feeds three plan branches (sizes + both join
-    # sides) — checkpoint so the explode runs once
-    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
