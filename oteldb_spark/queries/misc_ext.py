@@ -49,6 +49,69 @@ GROUP BY service, step_us""",
 )
 
 
+# without-grouping through the parser: drop `level` from the series
+register(
+    "lql_parsed_without",
+    with_ctes(
+        LOGS_CTE,
+        "samples AS (SELECT service, level, ts_us FROM logs WHERE env = 'prod')",
+        "per_series AS (SELECT service, level, step_us,"
+        " CAST(count(*) AS DOUBLE) AS value FROM "
+        + fanout_join_sql("samples", START_US, END_US, STEP_US, RANGE_US)
+        + " s GROUP BY service, level, step_us)",
+        body="SELECT service, step_us, CAST(max(value) AS DOUBLE) AS value"
+        " FROM per_series GROUP BY service, step_us",
+    ),
+)(
+    lambda spark, sf_dir: compile_logql(
+        'max without (level) (sum by (service, level)'
+        ' (count_over_time({env="prod"}[12h])))',
+        _lsrc(spark, sf_dir),
+        _PARAMS,
+        spark,
+    )
+)
+
+
+# quantile vector aggregation through the PromQL parser
+@register(
+    "ppql_parsed_quantile_agg",
+    with_ctes(
+        "counters AS (SELECT event_type AS mtype,"
+        " 'host-' || (user_id % 10) AS instance, epoch_us(ts) AS ts_us"
+        " FROM events)",
+        "per_series AS (SELECT mtype, instance, step_us,"
+        " CAST(count(*) AS DOUBLE) AS value FROM "
+        + fanout_join_sql(
+            "(SELECT mtype, instance, ts_us FROM counters)",
+            START_US,
+            END_US,
+            STEP_US,
+            RANGE_US,
+        )
+        + " s GROUP BY mtype, instance, step_us)",
+        body="SELECT mtype, step_us, round(quantile_cont(value, 0.75), 6) AS value"
+        " FROM per_series GROUP BY mtype, step_us",
+    ),
+)  # noqa: E305
+def ppql_parsed_quantile_agg(spark, sf_dir):
+    from ..promql import MetricSource, PromParams, compile_promql
+    from ..signals import counter_points_frame
+
+    src = MetricSource(
+        df=counter_points_frame(spark, sf_dir),
+        metrics={"events_gauge": "gauge"},
+        label_cols=["mtype", "instance"],
+    )
+    out = compile_promql(
+        "quantile by (mtype) (0.75, count_over_time(events_gauge[12h]))",
+        src,
+        PromParams(START_US, END_US, STEP_US, lookback_us=RANGE_US),
+        spark,
+    )
+    return out.withColumn("value", F.round("value", 6))
+
+
 def _tsrc(spark, sf_dir):
     return SpanSource(
         df=spans_frame(spark, sf_dir),
