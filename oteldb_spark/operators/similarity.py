@@ -4,11 +4,15 @@ Three tiers, matching how the cost scales:
 
 * ``cosine_topk`` — brute-force top-k against one query vector
   (baseline; scan + rank, no shuffle beyond the top-k).
-* ``near_dup_pairs_blocked`` — all-pairs above a threshold via a
-  broadcast matrix + Arrow-batched numpy matmul (``mapInPandas``).
-  Right side must fit in executor memory (~GBs of vectors); each
-  partition of the left side does one BLAS GEMM against it.  This is
-  the medium-scale path; beyond that, bucket first.
+* ``near_dup_pairs_blocked`` — exact all-pairs above a threshold via
+  a distributed block-pair GEMM: rows hash into B blocks, every
+  unordered block pair (i ≤ j) becomes one shuffle group, and each
+  group runs one Arrow-batched numpy GEMM (``applyInPandas``).
+  Nothing touches the driver; shuffle volume is n·B rows and each
+  task holds at most two blocks, so block size — not table size —
+  bounds executor memory.  The O(n²) compute is inherent to the
+  exact operator and is spread over B·(B+1)/2 tasks; beyond what
+  that affords, bucket first (LSH tier below).
 * ``hyperplane_lsh_buckets`` — random-hyperplane signatures (cosine
   LSH): vectors sharing a bucket are candidates, verified exactly.
   Candidate volume scales with collision density, not n².  Plane
@@ -70,6 +74,34 @@ def hyperplane_lsh_buckets(
     return emb.withColumn("bucket", bucket)
 
 
+def hyperplane_lsh_bands(
+    emb: DataFrame, vec_col: str, n_planes: int, n_bands: int, dim: int
+) -> DataFrame:
+    """Explode each vector into (band, bucket) rows — banded sign-LSH.
+
+    ``n_planes`` sign bits split into ``n_bands`` contiguous bands;
+    two vectors are candidates when ANY band bucket matches
+    (multi-table OR-amplification, the same banding shape as the
+    MinHash module in operators/dedup.py).  More bits per band →
+    fewer, higher-precision candidates; more bands → higher recall.
+    """
+    planes = plane_constants(n_planes, dim)
+    bits = n_planes // n_bands
+    bands = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(b * bits, (b + 1) * bits):
+            bit = F.when(
+                _dot_with_literal(vec_col, planes[i]) > 0, F.lit(1)
+            ).otherwise(F.lit(0))
+            bucket = bucket + bit.cast("long") * F.lit(1 << (i - b * bits))
+        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    cols = list(emb.columns)
+    return emb.withColumn("bb", F.explode(F.array(*bands))).select(
+        *cols, "bb.band", "bb.bucket"
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec: DataFrame,
@@ -100,43 +132,87 @@ def near_dup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "e",
     round_digits: int = 6,
+    block_rows: int = 8192,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold.
+    """All pairs (a < b) with cosine ≥ threshold — exact, distributed.
 
-    The full (normalized) matrix is broadcast; each Arrow batch of the
-    left side computes one numpy GEMM against it.  ~100× faster than
-    the per-pair higher-order-function plan for mid-size tables.
+    Every row is hashed to one of B blocks, then replicated to the B
+    unordered block pairs it participates in (``explode`` of the pair
+    keys).  ``groupBy(ka, kb).applyInPandas`` gives each block pair to
+    one task, which runs a single numpy GEMM between its two blocks
+    (or the upper triangle for the diagonal pair).  Each unordered id
+    pair lands in exactly one group — (block(a), block(b)) sorted —
+    so the union over groups is the exact all-pairs result, with no
+    driver-side materialization or broadcast anywhere.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    if n_blocks is None:
+        # count() is a scalar aggregate (parquet-metadata fast path),
+        # not a data collect; callers on known inputs can pass
+        # n_blocks to skip the extra job.
+        n_blocks = max(1, math.ceil(emb.count() / block_rows))
+    nb = n_blocks
+    e = emb.select(id_col, vec_col).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    )
+    # a row in block k joins pair groups (k, j≥k) as the a-side and
+    # (i≤k, k) as the b-side; the diagonal (k, k) appears in both
+    # lists, so dedupe
+    pair_keys = F.array_distinct(
+        F.concat(
+            F.expr(
+                f"transform(sequence(blk, {nb - 1}),"
+                " j -> struct(blk AS ka, j AS kb))"
+            ),
+            F.expr(
+                "transform(sequence(0, blk),"
+                " i -> struct(i AS ka, blk AS kb))"
+            ),
+        )
+    )
+    exploded = e.select(
+        id_col, vec_col, "blk", F.explode(pair_keys).alias("k")
+    ).select(id_col, vec_col, "blk", "k.ka", "k.kb")
 
-    def block(it):
-        bm = b_mat.value
-        bi = b_ids.value
-        for pdf in it:
-            a = np.array(list(pdf[vec_col]), dtype=np.float64)
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ bm.T  # GEMM
-            aid = pdf[id_col].to_numpy()
-            out_a, out_b, out_c = [], [], []
-            rounded = np.round(sims, round_digits)
-            for r in range(sims.shape[0]):
-                mask = (rounded[r] >= threshold) & (bi > aid[r])
-                out_a.extend([aid[r]] * int(mask.sum()))
-                out_b.extend(bi[mask].tolist())
-                out_c.extend(rounded[r][mask].tolist())
-            yield pd.DataFrame(
-                {"vec_a": out_a, "vec_b": out_b, "cosine": out_c}
+    def gemm(key, pdf):
+        ka, kb = key
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if ka == kb:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            blk = pdf["blk"].to_numpy()
+            a_idx = np.nonzero(blk == ka)[0]
+            b_idx = np.nonzero(blk == kb)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
             )
+        sims = np.round(mat[a_idx] @ mat[b_idx].T, round_digits)
+        r, c = np.nonzero(sims >= threshold)
+        va = ids[a_idx][r]
+        vb = ids[b_idx][c]
+        cs = sims[r, c]
+        if ka == kb:
+            keep = va < vb
+            va, vb, cs = va[keep], vb[keep], cs[keep]
+        else:
+            lo = np.minimum(va, vb)
+            vb = np.maximum(va, vb)
+            va = lo
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cs})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        block, schema="vec_a long, vec_b long, cosine double"
+    return exploded.groupBy("ka", "kb").applyInPandas(
+        gemm, schema="vec_a long, vec_b long, cosine double"
     )

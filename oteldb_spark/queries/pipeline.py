@@ -202,7 +202,9 @@ def ann_near_dup_pairs(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    return near_dup_pairs_blocked(emb, 0.35)
+    # small block size so the multi-block (off-diagonal GEMM) path is
+    # the one the oracle gates at every test SF
+    return near_dup_pairs_blocked(emb, 0.35, block_rows=256)
 
 
 # --- text analysis -----------------------------------------------------------

@@ -8,73 +8,98 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     dot,
-    hyperplane_lsh_buckets,
+    hyperplane_lsh_bands,
     norm,
     plane_constants,
 )
 from ..tables import load
 from .registry import register
 
-N_PLANES = 8
+# banded sign-LSH: N_PLANES sign bits split into N_BANDS tables.
+# Bits-per-band (12 here) sets candidate precision — at 100 TB the
+# within-bucket pair space is what explodes, so the knob that matters
+# is bits-per-band, and recall is bought back with more bands, never
+# with fewer bits.  All three are parameters (the round-1 version
+# hardcoded a single 8-bit table).
+N_PLANES = 24
+N_BANDS = 2
 DIM = 64
 _PLANES = plane_constants(N_PLANES, DIM)
+_BITS = N_PLANES // N_BANDS
 
 
-def _planes_sql() -> str:
-    """DuckDB bucket expression replaying the plane constants."""
-    bits = []
-    for i, p in enumerate(_PLANES):
-        arr = "[" + ", ".join(repr(v) for v in p) + "]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {arr}) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
+def _band_sql(band: int) -> str:
+    """DuckDB bucket expression for one band, replaying the planes."""
+    terms = []
+    for i in range(band * _BITS, (band + 1) * _BITS):
+        arr = "[" + ", ".join(repr(v) for v in _PLANES[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, {arr}) > 0"
+            f" THEN {1 << (i - band * _BITS)} ELSE 0 END)"
         )
-    return " + ".join(bits)
+    return " + ".join(terms)
 
 
-# pairs sharing an LSH bucket, verified with exact cosine ≥ 0.3
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, e, {b} AS band, {_band_sql(b)} AS bucket FROM v"
+    for b in range(N_BANDS)
+)
+
+
+# pairs sharing any band bucket, verified with exact cosine ≥ 0.3
 @register(
     "ann_lsh_pairs",
     f"""WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         {_planes_sql()} AS bucket
-  FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bb AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.e, b.e) /
-             (sqrt(list_dot_product(a.e, a.e)) *
-              sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
-FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.e, b.e) /
-            (sqrt(list_dot_product(a.e, a.e)) *
-             sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3""",
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(x.e, y.e) /
+             (sqrt(list_dot_product(x.e, x.e)) *
+              sqrt(list_dot_product(y.e, y.e))), 6) AS cosine
+FROM cand c JOIN v x ON x.vec_id = c.vec_a JOIN v y ON y.vec_id = c.vec_b
+WHERE round(list_dot_product(x.e, y.e) /
+            (sqrt(list_dot_product(x.e, x.e)) *
+             sqrt(list_dot_product(y.e, y.e))), 6) >= 0.3""",
 )
 def ann_lsh_pairs(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bucketed = hyperplane_lsh_buckets(
-        emb.withColumn("embedding", F.col("e")), "embedding", N_PLANES, DIM
-    ).select("vec_id", "e", "bucket")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    bb = hyperplane_lsh_bands(emb, "e", N_PLANES, N_BANDS, DIM).select(
+        "vec_id", "band", "bucket"
+    )
+    a = bb.alias("a")
+    b = bb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    x = emb.alias("x")
+    y = emb.alias("y")
     cos = F.round(
-        dot(F.col("a.e"), F.col("b.e")) / (norm(F.col("a.e")) * norm(F.col("b.e"))),
+        dot(F.col("x.e"), F.col("y.e")) / (norm(F.col("x.e")) * norm(F.col("y.e"))),
         6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        cand.join(x, F.col("vec_a") == F.col("x.vec_id"))
+        .join(y, F.col("vec_b") == F.col("y.vec_id"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
