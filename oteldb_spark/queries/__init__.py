@@ -30,6 +30,7 @@ from . import promql_fns  # noqa: F401
 from . import sessions  # noqa: F401
 from . import misc_ext  # noqa: F401
 from . import prw_ingest  # noqa: F401
+from . import otlp_hist  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

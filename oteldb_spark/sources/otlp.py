@@ -241,6 +241,74 @@ METRIC_POINT = T.StructType(
     ]
 )
 
+HISTOGRAM_POINT = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+        T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
+        T.StructField("attributes", T.ArrayType(_ATTR)),
+    ]
+)
+
+SUMMARY_POINT = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField(
+            "quantileValues",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("quantile", T.DoubleType()),
+                        T.StructField("value", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("attributes", T.ArrayType(_ATTR)),
+    ]
+)
+
+_METRIC = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField(
+            "sum",
+            T.StructType(
+                [
+                    T.StructField("dataPoints", T.ArrayType(METRIC_POINT)),
+                    T.StructField("isMonotonic", T.BooleanType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "gauge",
+            T.StructType([T.StructField("dataPoints", T.ArrayType(METRIC_POINT))]),
+        ),
+        T.StructField(
+            "histogram",
+            T.StructType(
+                [
+                    T.StructField("aggregationTemporality", T.LongType()),
+                    T.StructField("dataPoints", T.ArrayType(HISTOGRAM_POINT)),
+                ]
+            ),
+        ),
+        T.StructField(
+            "summary",
+            T.StructType(
+                [T.StructField("dataPoints", T.ArrayType(SUMMARY_POINT))]
+            ),
+        ),
+    ]
+)
+
 OTLP_METRICS_SCHEMA = T.StructType(
     [
         T.StructField(
@@ -260,49 +328,7 @@ OTLP_METRICS_SCHEMA = T.StructType(
                                 T.StructType(
                                     [
                                         T.StructField(
-                                            "metrics",
-                                            T.ArrayType(
-                                                T.StructType(
-                                                    [
-                                                        T.StructField(
-                                                            "name", T.StringType()
-                                                        ),
-                                                        T.StructField(
-                                                            "unit", T.StringType()
-                                                        ),
-                                                        T.StructField(
-                                                            "sum",
-                                                            T.StructType(
-                                                                [
-                                                                    T.StructField(
-                                                                        "dataPoints",
-                                                                        T.ArrayType(
-                                                                            METRIC_POINT
-                                                                        ),
-                                                                    ),
-                                                                    T.StructField(
-                                                                        "isMonotonic",
-                                                                        T.BooleanType(),
-                                                                    ),
-                                                                ]
-                                                            ),
-                                                        ),
-                                                        T.StructField(
-                                                            "gauge",
-                                                            T.StructType(
-                                                                [
-                                                                    T.StructField(
-                                                                        "dataPoints",
-                                                                        T.ArrayType(
-                                                                            METRIC_POINT
-                                                                        ),
-                                                                    )
-                                                                ]
-                                                            ),
-                                                        ),
-                                                    ]
-                                                )
-                                            ),
+                                            "metrics", T.ArrayType(_METRIC)
                                         )
                                     ]
                                 )
@@ -316,17 +342,58 @@ OTLP_METRICS_SCHEMA = T.StructType(
 )
 
 
-def flatten_otlp_metrics(raw: DataFrame) -> DataFrame:
-    """OTLP/JSON metrics → (name, labels, ts_ns, value, is_monotonic)
-    point rows with the canonical series hash (mirrors
-    chstorage/inserter_metrics.go gauge/sum handling)."""
+def _fmt_bound(c: Column) -> Column:
+    """Float → label string like Go's FormatFloat(v, 'f', -1, 64):
+    integral bounds render without a fractional part ("100", not
+    "100.0").  Extreme magnitudes that Spark would render in E
+    notation don't occur as bucket bounds in practice."""
+    return F.when(c == F.floor(c), c.cast("decimal(20,0)").cast("string")).otherwise(
+        c.cast("string")
+    )
+
+
+def _metric_frame(raw: DataFrame) -> DataFrame:
     rm = raw.select(F.explode("resourceMetrics").alias("rm"))
     sm = rm.select(
         _attrs_to_map(F.col("rm.resource.attributes")).alias("resource_attrs"),
         F.explode("rm.scopeMetrics").alias("sm"),
     )
-    m = sm.select("resource_attrs", F.explode("sm.metrics").alias("m"))
-    pts = m.select(
+    return sm.select("resource_attrs", F.explode("sm.metrics").alias("m"))
+
+
+_POINT_COLS = [
+    "name",
+    "unit",
+    "is_monotonic",
+    "labels",
+    "resource_attrs",
+    "ts_ns",
+    "value",
+    "mapping",
+]
+
+
+def flatten_otlp_metrics(raw: DataFrame) -> DataFrame:
+    """OTLP/JSON metrics → flat point rows with the canonical series
+    hash (mirrors chstorage/inserter_metrics.go).
+
+    Sum/gauge points pass through (``mapping`` = '').  Explicit-bucket
+    histograms and summaries are exploded into Prometheus-compatible
+    series the way the reference maps them (inserter_metrics.go:221
+    addHistogramPoints, :472 addSummaryPoints; suffix scheme
+    schema_metrics.go:12-27):
+
+    * histogram → ``_sum``/``_min``/``_max`` (when set), ``_count``,
+      and per-bound ``_bucket`` series carrying a cumulative count and
+      an ``le`` label, plus the ``le="+Inf"`` bucket equal to the
+      datapoint count (trailing overflow counts folded in).
+    * summary → ``_count``, ``_sum``, and per-quantile series under
+      the original name with a ``quantile`` label.
+    """
+    m = _metric_frame(raw)
+    pts = m.filter(
+        F.col("m.sum").isNotNull() | F.col("m.gauge").isNotNull()
+    ).select(
         "resource_attrs",
         F.col("m.name").alias("name"),
         F.col("m.unit").alias("unit"),
@@ -335,7 +402,7 @@ def flatten_otlp_metrics(raw: DataFrame) -> DataFrame:
             F.coalesce(F.col("m.sum.dataPoints"), F.col("m.gauge.dataPoints"))
         ).alias("p"),
     )
-    out = pts.select(
+    plain = pts.select(
         "name",
         "unit",
         "is_monotonic",
@@ -345,8 +412,147 @@ def flatten_otlp_metrics(raw: DataFrame) -> DataFrame:
         F.coalesce(F.col("p.asDouble"), F.col("p.asInt").cast("double")).alias(
             "value"
         ),
+        F.lit("").alias("mapping"),
+    )
+    out = plain.unionByName(explode_histogram_points(m)).unionByName(
+        explode_summary_points(m)
     )
     return out.withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
+
+
+def explode_histogram_points(m: DataFrame) -> DataFrame:
+    """Histogram datapoints → mapped ``_bucket``/``_count``/``_sum``/
+    ``_min``/``_max`` series rows (one per suffix/bound)."""
+    h = m.filter(F.col("m.histogram").isNotNull()).select(
+        "resource_attrs",
+        F.col("m.name").alias("base"),
+        F.col("m.unit").alias("unit"),
+        F.explode("m.histogram.dataPoints").alias("p"),
+    )
+    counts = F.transform(F.col("p.bucketCounts"), lambda c: c.cast("long"))
+    total = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    h = h.select(
+        "resource_attrs",
+        "base",
+        "unit",
+        _attrs_to_map(F.col("p.attributes")).alias("labels"),
+        F.col("p.timeUnixNano").cast("long").alias("ts_ns"),
+        F.col("p.count").cast("double").alias("count"),
+        F.col("p.sum").alias("sum"),
+        F.col("p.min").alias("min"),
+        F.col("p.max").alias("max"),
+        counts.alias("counts"),
+        F.col("p.explicitBounds").alias("bounds"),
+        total.cast("double").alias("total"),
+    )
+
+    def scalar(suffix: str, value: Column, mapping: str) -> DataFrame:
+        # sum/min/max/count series drop the unit, like the reference
+        return h.filter(value.isNotNull()).select(
+            F.concat(F.col("base"), F.lit(suffix)).alias("name"),
+            F.lit("").alias("unit"),
+            F.lit(False).alias("is_monotonic"),
+            "labels",
+            "resource_attrs",
+            "ts_ns",
+            value.alias("value"),
+            F.lit(mapping).alias("mapping"),
+        )
+
+    scalars = (
+        scalar("_sum", F.col("sum"), "histogram_sum")
+        .unionByName(scalar("_min", F.col("min"), "histogram_min"))
+        .unionByName(scalar("_max", F.col("max"), "histogram_max"))
+        .unionByName(scalar("_count", F.col("count"), "histogram_count"))
+    )
+    # finite buckets: cumulative count at bound i = Σ counts[..i]
+    finite = h.select(
+        "*", F.posexplode(F.col("bounds")).alias("i", "bound")
+    ).select(
+        F.concat(F.col("base"), F.lit("_bucket")).alias("name"),
+        F.col("unit"),
+        F.lit(False).alias("is_monotonic"),
+        F.map_concat(
+            "labels", F.create_map(F.lit("le"), _fmt_bound(F.col("bound")))
+        ).alias("labels"),
+        "resource_attrs",
+        "ts_ns",
+        F.aggregate(
+            F.slice(F.col("counts"), F.lit(1), F.col("i") + 1),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        .cast("double")
+        .alias("value"),
+        F.lit("histogram_bucket").alias("mapping"),
+    )
+    # +Inf bucket = all counts including the trailing overflow bucket,
+    # so it always equals the datapoint count (Prometheus convention)
+    inf = h.select(
+        F.concat(F.col("base"), F.lit("_bucket")).alias("name"),
+        F.col("unit"),
+        F.lit(False).alias("is_monotonic"),
+        F.map_concat(
+            "labels", F.create_map(F.lit("le"), F.lit("+Inf"))
+        ).alias("labels"),
+        "resource_attrs",
+        "ts_ns",
+        F.col("total").alias("value"),
+        F.lit("histogram_bucket").alias("mapping"),
+    )
+    return scalars.unionByName(finite).unionByName(inf)
+
+
+def explode_summary_points(m: DataFrame) -> DataFrame:
+    """Summary datapoints → ``_count``/``_sum`` series plus
+    per-quantile series under the original name."""
+    s = m.filter(F.col("m.summary").isNotNull()).select(
+        "resource_attrs",
+        F.col("m.name").alias("base"),
+        F.col("m.unit").alias("unit"),
+        F.explode("m.summary.dataPoints").alias("p"),
+    ).select(
+        "resource_attrs",
+        "base",
+        "unit",
+        _attrs_to_map(F.col("p.attributes")).alias("labels"),
+        F.col("p.timeUnixNano").cast("long").alias("ts_ns"),
+        F.col("p.count").cast("double").alias("count"),
+        F.col("p.sum").alias("sum"),
+        F.col("p.quantileValues").alias("qv"),
+    )
+
+    def scalar(suffix: str, value: Column, mapping: str) -> DataFrame:
+        return s.filter(value.isNotNull()).select(
+            F.concat(F.col("base"), F.lit(suffix)).alias("name"),
+            F.lit("").alias("unit"),
+            F.lit(False).alias("is_monotonic"),
+            "labels",
+            "resource_attrs",
+            "ts_ns",
+            value.alias("value"),
+            F.lit(mapping).alias("mapping"),
+        )
+
+    scalars = scalar("_count", F.col("count"), "summary_count").unionByName(
+        scalar("_sum", F.col("sum"), "summary_sum")
+    )
+    quantiles = s.select(
+        "*", F.explode(F.col("qv")).alias("q")
+    ).select(
+        F.col("base").alias("name"),
+        F.col("unit"),
+        F.lit(False).alias("is_monotonic"),
+        F.map_concat(
+            "labels",
+            F.create_map(F.lit("quantile"), _fmt_bound(F.col("q.quantile"))),
+        ).alias("labels"),
+        "resource_attrs",
+        "ts_ns",
+        F.col("q.value").alias("value"),
+        F.lit("summary_quantile").alias("mapping"),
+    )
+    return scalars.unionByName(quantiles)
 
 
 def series_key(name: Column, labels: Column) -> Column:

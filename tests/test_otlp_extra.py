@@ -125,6 +125,108 @@ def test_flatten_metrics(spark, tmp_path):
     assert rows["mem_free"].series_hash != rows["http_requests_total"].series_hash
 
 
+def _histogram_payload() -> dict:
+    return {
+        "resourceMetrics": [
+            {
+                "resource": {"attributes": []},
+                "scopeMetrics": [
+                    {
+                        "metrics": [
+                            {
+                                "name": "req_duration",
+                                "unit": "ms",
+                                "histogram": {
+                                    "aggregationTemporality": 2,
+                                    "dataPoints": [
+                                        {
+                                            "timeUnixNano": "1704067200000000000",
+                                            "count": "17",
+                                            "sum": 55.5,
+                                            "min": 0.1,
+                                            "max": 9.9,
+                                            # trailing overflow bucket (7)
+                                            "bucketCounts": ["2", "3", "5", "7"],
+                                            "explicitBounds": [1.0, 2.5, 5.0],
+                                            "attributes": [
+                                                {
+                                                    "key": "svc",
+                                                    "value": {"stringValue": "api"},
+                                                }
+                                            ],
+                                        }
+                                    ],
+                                },
+                            },
+                            {
+                                "name": "rpc_lat",
+                                "unit": "s",
+                                "summary": {
+                                    "dataPoints": [
+                                        {
+                                            "timeUnixNano": "1704067200000000000",
+                                            "count": "10",
+                                            "sum": 4.2,
+                                            "quantileValues": [
+                                                {"quantile": 0.5, "value": 0.3},
+                                                {"quantile": 0.99, "value": 1.7},
+                                            ],
+                                            "attributes": [],
+                                        }
+                                    ]
+                                },
+                            },
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+
+
+def test_histogram_explosion(spark, tmp_path):
+    p = tmp_path / "h.jsonl"
+    p.write_text(json.dumps(_histogram_payload()))
+    raw = spark.read.schema(OTLP_METRICS_SCHEMA).json(str(p))
+    rows = flatten_otlp_metrics(raw).collect()
+    buckets = {
+        r.labels["le"]: r.value for r in rows if r.name == "req_duration_bucket"
+    }
+    # cumulative counts; le formatted like Go 'f' -1 (no trailing .0);
+    # +Inf folds the overflow bucket so it equals the point count
+    assert buckets == {"1": 2.0, "2.5": 5.0, "5": 10.0, "+Inf": 17.0}
+    by_name = {r.name: r for r in rows if r.name.startswith("req_duration")}
+    assert by_name["req_duration_count"].value == 17.0
+    assert by_name["req_duration_sum"].value == 55.5
+    assert by_name["req_duration_min"].value == 0.1
+    assert by_name["req_duration_max"].value == 9.9
+    # mapped scalar series drop the unit; _bucket keeps it
+    assert by_name["req_duration_count"].unit == ""
+    assert by_name["req_duration_bucket"].unit == "ms"
+    assert by_name["req_duration_bucket"].labels["svc"] == "api"
+    # distinct le → distinct series hashes
+    hashes = {
+        r.series_hash for r in rows if r.name == "req_duration_bucket"
+    }
+    assert len(hashes) == 4
+
+
+def test_summary_explosion(spark, tmp_path):
+    p = tmp_path / "s.jsonl"
+    p.write_text(json.dumps(_histogram_payload()))
+    raw = spark.read.schema(OTLP_METRICS_SCHEMA).json(str(p))
+    rows = [r for r in flatten_otlp_metrics(raw).collect() if "rpc_lat" in r.name]
+    quantiles = {
+        r.labels["quantile"]: r.value
+        for r in rows
+        if r.mapping == "summary_quantile"
+    }
+    assert quantiles == {"0.5": 0.3, "0.99": 1.7}
+    by = {(r.name, r.mapping): r.value for r in rows}
+    assert by[("rpc_lat_count", "summary_count")] == 10.0
+    assert by[("rpc_lat_sum", "summary_sum")] == 4.2
+
+
 def test_profile_collapsed(spark):
     df = spark.createDataFrame(
         [("frontend>order-1", 1500, 3), ("frontend>order-1>line-N", 700, 2)],
