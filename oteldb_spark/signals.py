@@ -252,6 +252,58 @@ def spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roots.unionByName(children)
 
 
+_EVENT_T = "array<struct<name:string,ts_us:bigint,attrs:map<string,string>>>"
+_LINK_T = "array<struct<trace_id:bigint,span_id:bigint,attrs:map<string,string>>>"
+
+
+def spans_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spans_frame`` plus span events/links arrays for the TraceQL
+    event./link./parent scopes: every child span carries a 'ship'
+    event (offset +1ms, attr ``mode``), a 'receipt' event (offset
+    from quantity, attrs ``mode``/``disc`` — only this one has
+    ``disc``, exercising first-event-that-has-it semantics), and one
+    link to the trace root.  Root spans have empty arrays."""
+    base = spans_frame(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    line_w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    start = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    ev1 = F.struct(
+        F.lit("ship").alias("name"),
+        (start + 1000).alias("ts_us"),
+        F.create_map(F.lit("mode"), F.col("l_linestatus")).alias("attrs"),
+    )
+    ev2 = F.struct(
+        F.lit("receipt").alias("name"),
+        (start + (F.floor(F.col("l_quantity")) + 1) * 1000).alias("ts_us"),
+        F.create_map(
+            F.lit("mode"),
+            F.concat(F.col("l_linestatus"), F.lit("-r")),
+            F.lit("disc"),
+            F.floor(F.col("l_discount") * 100).cast("long").cast("string"),
+        ).alias("attrs"),
+    )
+    link = F.struct(
+        F.col("l_orderkey").cast("long").alias("trace_id"),
+        F.lit(0).cast("long").alias("span_id"),
+        F.create_map(F.lit("rel"), F.lit("parent")).alias("attrs"),
+    )
+    keyed = li.select(
+        F.col("l_orderkey").alias("trace_id"),
+        F.row_number().over(line_w).alias("span_id"),
+        F.array(ev1, ev2).cast(_EVENT_T).alias("events"),
+        F.array(link).cast(_LINK_T).alias("links"),
+    )
+    return base.join(keyed, ["trace_id", "span_id"], "left").select(
+        *base.columns,
+        F.coalesce("events", F.array().cast(_EVENT_T)).alias("events"),
+        F.coalesce("links", F.array().cast(_LINK_T)).alias("links"),
+    )
+
+
 def with_ctes(*ctes: str, body: str) -> str:
     """Compose a DuckDB oracle query from shared CTE fragments."""
     return "WITH " + ",\n".join(ctes) + "\n" + body

@@ -35,6 +35,18 @@ class SpanSource:
     parent_col: str = "parent_span_id"
     start_col: str = "start_us"
     attrs_map_col: str | None = None
+    # array<struct<name,ts_us,attrs>> / array<struct<trace_id,span_id,attrs>>
+    events_col: str | None = None
+    links_col: str | None = None
+    scope_name_col: str | None = None
+    scope_version_col: str | None = None
+
+
+def _first_where(arr: Column, pred) -> Column:
+    """First array element satisfying pred, or null (the evaluator's
+    first-match loops over span events/links, evaluater.go:562-669).
+    try_element_at: empty matches → null, not an ANSI error."""
+    return F.try_element_at(F.filter(arr, pred), F.lit(1))
 
 
 def _attr_col(src: SpanSource, a: P.Attr) -> Column:
@@ -47,7 +59,32 @@ def _attr_col(src: SpanSource, a: P.Attr) -> Column:
         }
         if a.name in intr:
             return intr[a.name]
+        c = _scoped_intrinsic(src, a.name)
+        if c is not None:
+            return c
         raise KeyError(f"TraceQL: intrinsic {a.name} needs trace context")
+    if a.scope == "event":
+        if src.events_col is None:
+            raise KeyError("TraceQL: span source has no events column")
+        key = a.name
+        hit = _first_where(
+            F.col(src.events_col),
+            lambda e: e["attrs"].getItem(key).isNotNull(),
+        )
+        return hit["attrs"].getItem(key)
+    if a.scope == "link":
+        if src.links_col is None:
+            raise KeyError("TraceQL: span source has no links column")
+        key = a.name
+        hit = _first_where(
+            F.col(src.links_col),
+            lambda e: e["attrs"].getItem(key).isNotNull(),
+        )
+        return hit["attrs"].getItem(key)
+    if a.scope == "parent":
+        # resolved against the pre-joined parent columns added by
+        # compile_traceql (one per-trace self-join, not per attribute)
+        return F.col(f"__parent_{_parent_resolve(src, a.name)}")
     key = a.name
     if key in src.attr_cols:
         return F.col(src.attr_cols[key])
@@ -56,6 +93,109 @@ def _attr_col(src: SpanSource, a: P.Attr) -> Column:
     if src.attrs_map_col is not None:
         return F.col(src.attrs_map_col).getItem(key)
     raise KeyError(f"TraceQL: unknown attribute {a.scope}.{key}")
+
+
+def _scoped_intrinsic(src: SpanSource, name: str) -> Column | None:
+    """Colon-scoped intrinsics (attribute.go:67-84): first-match
+    semantics over the events/links arrays."""
+    if name == "span:id":
+        return F.col(src.span_col)
+    if name == "span:parentID":
+        return F.col(src.parent_col)
+    if name == "trace:id":
+        return F.col(src.trace_col)
+    if name == "instrumentation:name" and src.scope_name_col:
+        return F.col(src.scope_name_col)
+    if name == "instrumentation:version" and src.scope_version_col:
+        return F.col(src.scope_version_col)
+    if name.startswith("event:") and src.events_col is not None:
+        ev = F.col(src.events_col)
+        if name == "event:name":
+            return _first_where(ev, lambda e: e["name"] != "")["name"]
+        if name == "event:timeSinceStart":
+            start = F.col(src.start_col)
+            hit = _first_where(ev, lambda e: (e["ts_us"] - start) != 0)
+            return hit["ts_us"] - start  # duration, µs
+    if name.startswith("link:") and src.links_col is not None:
+        ln = F.col(src.links_col)
+        if name == "link:traceID":
+            return _first_where(ln, lambda e: e["trace_id"].isNotNull())[
+                "trace_id"
+            ]
+        if name == "link:spanID":
+            return _first_where(ln, lambda e: e["span_id"].isNotNull())[
+                "span_id"
+            ]
+    return None
+
+
+_PARENT_INTRINSICS = {"name", "duration", "status", "kind"}
+
+
+def _parent_resolve(src: SpanSource, name: str) -> str:
+    """Underlying column for a parent-scope attribute."""
+    if name in _PARENT_INTRINSICS:
+        return {
+            "name": src.name_col,
+            "duration": src.duration_col,
+            "status": src.status_col,
+            "kind": src.kind_col,
+        }[name]
+    if name in src.attr_cols:
+        return src.attr_cols[name]
+    raise KeyError(f"TraceQL: unknown parent attribute {name}")
+
+
+def _collect_attrs(node, out: list) -> None:
+    if isinstance(node, P.Attr):
+        out.append(node)
+    elif isinstance(node, P.FieldOp):
+        _collect_attrs(node.lhs, out)
+        if node.rhs is not None:
+            _collect_attrs(node.rhs, out)
+    elif isinstance(node, P.Spanset):
+        if node.expr is not None:
+            _collect_attrs(node.expr, out)
+    elif isinstance(node, P.Structural):
+        _collect_attrs(node.lhs, out)
+        _collect_attrs(node.rhs, out)
+
+
+def _with_parent_columns(source: SpanSource, query) -> SpanSource:
+    """If the query references parent.x, left-join each span to its
+    parent once and materialize the needed parent columns.  The join
+    key is (trace_id, span_id) — co-partitioned by trace, so at scale
+    this is a single per-trace shuffle, not a broadcast of the span
+    table.  Spans without a parent get nulls → comparisons drop them
+    (nil semantics)."""
+    import dataclasses
+
+    attrs: list[P.Attr] = []
+    _collect_attrs(query.root, attrs)
+    for st in query.stages:
+        if isinstance(st, P.ScalarFilter) and st.attr is not None:
+            _collect_attrs(st.attr, attrs)
+        elif isinstance(st, P.Select):
+            for a in st.attrs:
+                _collect_attrs(a, attrs)
+    needed = sorted(
+        {_parent_resolve(source, a.name) for a in attrs if a.scope == "parent"}
+    )
+    if not needed:
+        return source
+    df = source.df
+    p = df.select(
+        F.col(source.trace_col).alias("__ptid"),
+        F.col(source.span_col).alias("__psid"),
+        *[F.col(c).alias(f"__parent_{c}") for c in needed],
+    )
+    enriched = df.join(
+        p,
+        (F.col(source.trace_col) == F.col("__ptid"))
+        & (F.col(source.parent_col) == F.col("__psid")),
+        "left",
+    ).drop("__ptid", "__psid")
+    return dataclasses.replace(source, df=enriched)
 
 
 def _field_col(src: SpanSource, e) -> Column:
@@ -110,7 +250,7 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
     if isinstance(query, str):
         query = P.parse(query)
 
-    spans = source.df
+    source = _with_parent_columns(source, query)
     out = _compile_structural(query.root, source)
 
     for stage in query.stages:
@@ -148,6 +288,9 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
             out = out.select(*cols)
         else:
             raise SyntaxError(f"TraceQL: unsupported stage {stage!r}")
+    parent_cols = [c for c in out.columns if c.startswith("__parent_")]
+    if parent_cols:
+        out = out.drop(*parent_cols)
     return out
 
 

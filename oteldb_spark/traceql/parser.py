@@ -180,8 +180,15 @@ class Parser:
         if t.kind == "ident":
             name = self.next().text
             if name in ("span", "resource", "instrumentation", "event", "link", "parent"):
+                # scoped intrinsics: span:id, span:parentID, event:name,
+                # event:timeSinceStart, link:traceID, link:spanID,
+                # instrumentation:name/version (attribute.go:38-84)
+                if self.accept(":"):
+                    return Attr("intrinsic", f"{name}:{self.next().text}")
                 self.expect(".")
                 return Attr(name, self._dotted())
+            if name == "trace" and self.accept(":"):
+                return Attr("intrinsic", f"trace:{self.next().text}")
             if name == "status" and self.peek().text in ("=", "!="):
                 return Attr("intrinsic", "status")
             if name in INTRINSICS:
