@@ -68,6 +68,34 @@ MATH_FUNCS = {
     "log10": F.log10,
     "sqrt": F.sqrt,
     "sgn": F.signum,
+    # trigonometric family (Prometheus functions.go; plain libm on
+    # both engines)
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+    "deg": F.degrees,
+    "rad": F.radians,
+}
+
+DATE_FUNCS = {
+    "time",
+    "hour",
+    "minute",
+    "day_of_week",
+    "day_of_month",
+    "day_of_year",
+    "month",
+    "year",
+    "days_in_month",
 }
 
 
@@ -102,11 +130,16 @@ def _instant_vector(
     to the fixed time and repeated across every output step."""
     pts = _selector_points(sel, source)
     if sel.at_us is not None:
+        at_us = sel.at_us
+        if at_us == "start":  # @ start() / @ end() sentinels
+            at_us = params.start_us
+        elif at_us == "end":
+            at_us = params.end_us
         pinned = range_aggregate(
             pts,
             "last_over_time",
-            start_us=sel.at_us,
-            end_us=sel.at_us,
+            start_us=at_us,
+            end_us=at_us,
             step_us=params.step_us,
             range_us=params.lookback_us,
             by=source.label_cols,
@@ -357,11 +390,13 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             .alias("value")
         )
 
-    if name in ("time", "hour", "minute", "day_of_week", "day_of_month", "month"):
-        # evaluation-time functions: computed from step_us with pure
-        # integer epoch math (UTC), no timezone library involved
+    if name in DATE_FUNCS:
+        # evaluation-time functions: without an argument the input is
+        # the step time; with one, the SAMPLE VALUES are epoch seconds
+        # (Prometheus dateWrapper: time.Unix(int64(v), 0) per sample)
         if fc.args:
             inner = _compile(fc.args[0], source, params, spark)
+            secs = F.col("value").cast("long")
         else:
             from ..operators.stepfanout import step_spine
 
@@ -369,8 +404,7 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             inner = step_spine(
                 spark, params.start_us, params.end_us, params.step_us
             ).withColumn("value", F.lit(0.0))
-        s = F.col("step_us")
-        secs = (s / 1_000_000).cast("long")
+            secs = (F.col("step_us") / 1_000_000).cast("long")
         if name == "time":
             v = secs.cast("double")
         elif name == "hour":
@@ -382,9 +416,102 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             v = (((secs / 86400).cast("long") + 4) % 7).cast("double")
         elif name == "day_of_month":
             v = F.dayofmonth(F.timestamp_seconds(secs)).cast("double")
+        elif name == "day_of_year":
+            v = F.dayofyear(F.timestamp_seconds(secs)).cast("double")
+        elif name == "year":
+            v = F.year(F.timestamp_seconds(secs)).cast("double")
+        elif name == "days_in_month":
+            v = F.dayofmonth(F.last_day(F.timestamp_seconds(secs))).cast(
+                "double"
+            )
         else:  # month
             v = F.month(F.timestamp_seconds(secs)).cast("double")
         return inner.withColumn("value", v)
+
+    if name == "pi":
+        import math
+
+        return _compile(ast.Literal(math.pi), source, params, spark)
+
+    if name == "timestamp":
+        # timestamp(v): the evaluation timestamp of each sample — for
+        # a plain selector, the ts of the sample the staleness
+        # lookback chose at each step (seconds, float)
+        sel = fc.args[0]
+        if isinstance(sel, ast.VectorSelector) and sel.range_us is None:
+            pts = _selector_points(sel, source)
+            fanned = fanout(
+                pts,
+                params.start_us,
+                params.end_us,
+                params.step_us,
+                params.lookback_us,
+            )
+            return fanned.groupBy(*source.label_cols, "step_us").agg(
+                (F.max("ts_us") / F.lit(1e6)).alias("value")
+            )
+        inner = _compile(sel, source, params, spark)
+        return inner.withColumn(
+            "value", (F.col("step_us") / F.lit(1e6)).cast("double")
+        )
+
+    if name in ("sort", "sort_desc"):
+        # presentation ordering of the final instant vector
+        # (Prometheus sorts by value; ties keep label order)
+        inner = _compile(fc.args[0], source, params, spark)
+        labels = _labels_of(inner)
+        v = F.col("value")
+        order = v.asc_nulls_last() if name == "sort" else v.desc_nulls_last()
+        return inner.orderBy(order, *[F.col(l) for l in labels])
+
+    if name == "double_exponential_smoothing":
+        # Holt-Winters double smoothing over each range window
+        # (Prometheus functions.go funcDoubleExponentialSmoothing):
+        # s1 := x0; b := x1 - x0; then for each further sample
+        # s1' = sf*x + (1-sf)*(s1+b); b' = tf*(s1'-s1) + (1-tf)*b.
+        # Expressed as one aggregate() fold over the sorted window —
+        # stays JVM-side, no UDF.
+        sel, sf_a, tf_a = fc.args
+        if not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
+            raise SyntaxError(
+                "PromQL: double_exponential_smoothing() needs a range vector"
+            )
+        sf = F.lit(sf_a.value)
+        tf = F.lit(tf_a.value)
+        pts = _selector_points(sel, source)
+        fanned = fanout(
+            pts, params.start_us, params.end_us, params.step_us, sel.range_us
+        )
+        g = fanned.groupBy(*source.label_cols, "step_us").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("ts_us"), F.col("sample")))
+                ),
+                lambda e: e["sample"],
+            ).alias("__vals")
+        )
+        vals = F.col("__vals")
+        zero = F.struct(
+            F.element_at(vals, 1).alias("s1"),
+            (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+        )
+
+        def step(acc, x):
+            ns1 = sf * x + (F.lit(1.0) - sf) * (acc["s1"] + acc["b"])
+            nb = tf * (ns1 - acc["s1"]) + (F.lit(1.0) - tf) * acc["b"]
+            return F.struct(ns1.alias("s1"), nb.alias("b"))
+
+        smoothed = F.aggregate(
+            F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+            zero,
+            step,
+            lambda acc: acc["s1"],
+        )
+        return (
+            g.filter(F.size(vals) >= 2)
+            .withColumn("value", smoothed)
+            .drop("__vals")
+        )
 
     if name == "label_join":
         inner = _compile(fc.args[0], source, params, spark)

@@ -70,7 +70,29 @@ FUNCS = {
     "minute",
     "day_of_week",
     "day_of_month",
+    "day_of_year",
     "month",
+    "year",
+    "days_in_month",
+    "timestamp",
+    "sort",
+    "sort_desc",
+    "pi",
+    "sin",
+    "cos",
+    "tan",
+    "asin",
+    "acos",
+    "atan",
+    "sinh",
+    "cosh",
+    "tanh",
+    "asinh",
+    "acosh",
+    "atanh",
+    "deg",
+    "rad",
+    "double_exponential_smoothing",
 }
 
 _PREC = [
@@ -181,11 +203,21 @@ class Parser:
                 else:
                     raise SyntaxError("PromQL: offset on non-selector")
             elif self.accept("@"):
-                at = float(self.next().text)  # unix seconds
-                if isinstance(e, ast.VectorSelector):
-                    e.at_us = int(at * 1e6)
+                if self.peek().text in ("start", "end"):
+                    # @ start() / @ end(): pinned to the query window
+                    # bounds, resolved against params at compile time
+                    which = self.next().text
+                    self.expect("(")
+                    self.expect(")")
+                    if not isinstance(e, ast.VectorSelector):
+                        raise SyntaxError("PromQL: @ on non-selector")
+                    e.at_us = which  # sentinel
                 else:
-                    raise SyntaxError("PromQL: @ on non-selector")
+                    at = float(self.next().text)  # unix seconds
+                    if isinstance(e, ast.VectorSelector):
+                        e.at_us = int(at * 1e6)
+                    else:
+                        raise SyntaxError("PromQL: @ on non-selector")
             else:
                 return e
 

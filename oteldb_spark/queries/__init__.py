@@ -32,6 +32,7 @@ from . import misc_ext  # noqa: F401
 from . import prw_ingest  # noqa: F401
 from . import otlp_hist  # noqa: F401
 from . import traceql_events  # noqa: F401
+from . import promql_fns2  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

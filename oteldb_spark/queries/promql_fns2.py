@@ -1,0 +1,199 @@
+"""PromQL function tail (round 2): timestamp(), the extended date
+family, trig functions, double_exponential_smoothing, sort/sort_desc
+and @ start()/end() — all through the full parse → compile path.
+
+Prometheus semantics throughout (functions.go); the reference's
+compliance corpus (``dev/local/ch-compliance/promql-test-queries.yml``)
+uses ``timestamp()`` five times and lists
+``double_exponential_smoothing``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.stepfanout import fanout_join_sql, spine_sql
+from ..promql import MetricSource, PromParams, compile_promql
+from ..signals import COUNTERS_CTE, counter_points_frame, with_ctes
+from .registry import END_US, RANGE_US, START_US, STEP_US, register
+
+PARAMS = PromParams(START_US, END_US, STEP_US, lookback_us=RANGE_US)
+METRICS = {
+    "events_value_total": "counter_mod",
+    "events_counter_total": "counter",
+    "events_gauge": "gauge",
+}
+
+_G_FAN = fanout_join_sql(
+    "(SELECT mtype, instance, ts_us, gauge AS sample FROM counters)",
+    START_US,
+    END_US,
+    STEP_US,
+    RANGE_US,
+)
+
+
+def _source(spark, sf_dir) -> MetricSource:
+    return MetricSource(
+        df=counter_points_frame(spark, sf_dir),
+        metrics=METRICS,
+        label_cols=["mtype", "instance"],
+    )
+
+
+def _run(q: str, round_digits: int | None = None, select=None):
+    def fn(spark, sf_dir):
+        out = compile_promql(q, _source(spark, sf_dir), PARAMS, spark)
+        if round_digits is not None:
+            out = out.withColumn("value", F.round("value", round_digits))
+        if select is not None:
+            out = out.select(*select)
+        return out
+
+    return fn
+
+
+# timestamp(events_gauge): the ts of the sample the staleness lookback
+# picked at each step, in float seconds
+register(
+    "ppql_parsed_timestamp",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       round(CAST(max(ts_us) AS DOUBLE) / 1000000.0, 6) AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("timestamp(events_gauge)", round_digits=6))
+
+
+# extended date family over the step spine (pure UTC epoch math)
+register(
+    "ppql_parsed_year",
+    f"""SELECT step_us,
+       CAST(year(to_timestamp(step_us // 1000000)) AS DOUBLE) AS value
+FROM {spine_sql(START_US, END_US, STEP_US)} t""",
+)(_run("year()", select=["step_us", "value"]))
+
+
+register(
+    "ppql_parsed_day_of_year",
+    f"""SELECT step_us,
+       CAST(dayofyear(to_timestamp(step_us // 1000000)) AS DOUBLE) AS value
+FROM {spine_sql(START_US, END_US, STEP_US)} t""",
+)(_run("day_of_year()", select=["step_us", "value"]))
+
+
+register(
+    "ppql_parsed_days_in_month",
+    f"""SELECT step_us,
+       CAST(day(last_day(to_timestamp(step_us // 1000000))) AS DOUBLE) AS value
+FROM {spine_sql(START_US, END_US, STEP_US)} t""",
+)(_run("days_in_month()", select=["step_us", "value"]))
+
+
+# trig chain sin → atan → deg over exact integer counts; round 6
+# absorbs any last-ulp libm divergence between engines
+register(
+    "ppql_parsed_trig",
+    with_ctes(
+        COUNTERS_CTE,
+        f"per_series AS (SELECT mtype, instance, step_us,"
+        f" CAST(count(*) AS DOUBLE) AS value"
+        f" FROM {_G_FAN} s GROUP BY mtype, instance, step_us)",
+        body="""SELECT mtype, instance, step_us,
+       round(degrees(atan(sin(value))), 6) AS value
+FROM per_series""",
+    ),
+)(_run("deg(atan(sin(count_over_time(events_gauge[12h]))))", round_digits=6))
+
+
+# double_exponential_smoothing over 12h windows: the same fold
+# expressed with list_reduce in DuckDB (list-typed accumulator
+# [s1, b]); windows need >= 2 samples.  Factors stay off dyadic
+# values — exact .xxxxxx5 results round differently across engines
+# (Spark rounds the decimal repr, DuckDB the binary double)
+_SF, _TF = 0.4, 0.3
+_NS1 = (
+    f"{_SF}::DOUBLE*e[1] + (1.0::DOUBLE - {_SF}::DOUBLE)*(acc[1]+acc[2])"
+)
+register(
+    "ppql_parsed_smoothing",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""w AS (
+  SELECT mtype, instance, step_us,
+         list(sample ORDER BY ts_us) AS vals
+  FROM {_G_FAN} s GROUP BY mtype, instance, step_us
+)""",
+        body=f"""SELECT mtype, instance, step_us,
+       round(list_reduce(
+         list_concat([[vals[1], vals[2]-vals[1]]],
+                     list_transform(vals[2:], x -> [x, 0.0::DOUBLE])),
+         (acc, e) -> [{_NS1},
+                      {_TF}::DOUBLE*(({_NS1}) - acc[1])
+                        + (1.0::DOUBLE - {_TF}::DOUBLE)*acc[2]]
+       )[1], 6) AS value
+FROM w WHERE len(vals) >= 2""",
+    ),
+)(_run(f"double_exponential_smoothing(events_gauge[12h], {_SF}, {_TF})", round_digits=6))
+
+
+# @ end(): instant value pinned to the window end, repeated per step
+register(
+    "ppql_parsed_at_end",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""pinned AS (
+  SELECT mtype, instance, arg_max(gauge, ts_us) AS value
+  FROM counters
+  WHERE ts_us > {END_US} - {RANGE_US} AND ts_us <= {END_US}
+  GROUP BY mtype, instance
+)""",
+        body=f"""SELECT mtype, instance, step_us, value
+FROM pinned CROSS JOIN {spine_sql(START_US, END_US, STEP_US)} t""",
+    ),
+)(_run("events_gauge @ end()"))
+
+
+# @ start(): pinned to the window start.  The query window begins
+# mid-month so the lookback behind start actually holds samples
+# (with the full-month window the gate would be vacuously empty).
+_MID_US = START_US + 15 * 86_400_000_000
+
+
+@register(
+    "ppql_parsed_at_start",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""pinned AS (
+  SELECT mtype, instance, arg_max(gauge, ts_us) AS value
+  FROM counters
+  WHERE ts_us > {_MID_US} - {RANGE_US} AND ts_us <= {_MID_US}
+  GROUP BY mtype, instance
+)""",
+        body=f"""SELECT mtype, instance, step_us, value
+FROM pinned CROSS JOIN {spine_sql(_MID_US, END_US, STEP_US)} t""",
+    ),
+)
+def ppql_parsed_at_start(spark, sf_dir):
+    return compile_promql(
+        "events_gauge @ start()",
+        _source(spark, sf_dir),
+        PromParams(_MID_US, END_US, STEP_US, lookback_us=RANGE_US),
+        spark,
+    )
+
+
+# sort_desc ordering is presentation-level (row set unchanged → the
+# order-insensitive hash gate still applies; ordering itself is
+# asserted in tests/test_promql_fns2.py)
+register(
+    "ppql_parsed_sort_desc",
+    with_ctes(
+        COUNTERS_CTE,
+        f"per_series AS (SELECT mtype, instance, step_us,"
+        f" CAST(count(*) AS DOUBLE) AS value"
+        f" FROM {_G_FAN} s GROUP BY mtype, instance, step_us)",
+        body="SELECT mtype, instance, step_us, value FROM per_series",
+    ),
+)(_run("sort_desc(count_over_time(events_gauge[12h]))"))
