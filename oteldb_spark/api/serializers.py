@@ -12,14 +12,35 @@ from collections import defaultdict
 
 from pyspark.sql import DataFrame
 
+# Safety cap applied before every collect — the facade equivalent of
+# the reference's sample-rows limit (querier_logs_query.go:95-151:
+# server-side LIMIT cap+1, then error when cap+1 rows came back).
+DEFAULT_MAX_RESULT_ROWS = 100_000
+
+
+class ResultTooLargeError(RuntimeError):
+    """Raised when a result exceeds the facade row cap
+    (ErrLogsTooManySamples / ErrTooManyRowsOrBytes analog)."""
+
+
+def bounded_collect(df: DataFrame, max_rows: int | None):
+    """Collect with limit+1 truncation detection, never unbounded."""
+    if max_rows is None:
+        return df.collect()
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ResultTooLargeError(f"result exceeds {max_rows} rows")
+    return rows
+
 
 def loki_streams(df: DataFrame, label_cols: list[str], ts_col: str = "ts_us",
-                 line_col: str = "body") -> dict:
+                 line_col: str = "body",
+                 max_rows: int | None = DEFAULT_MAX_RESULT_ROWS) -> dict:
     """Log-query result → Loki query_range 'streams' shape:
     {status, data: {resultType: streams, result: [{stream, values}]}}
     with ns-string timestamps, newest rows as returned."""
     groups: dict[tuple, list] = defaultdict(list)
-    for r in df.collect():
+    for r in bounded_collect(df, max_rows):
         key = tuple((c, r[c]) for c in label_cols)
         groups[key].append([str(int(r[ts_col]) * 1000), r[line_col]])
     return {
@@ -33,11 +54,12 @@ def loki_streams(df: DataFrame, label_cols: list[str], ts_col: str = "ts_us",
     }
 
 
-def loki_matrix(df: DataFrame, label_cols: list[str]) -> dict:
+def loki_matrix(df: DataFrame, label_cols: list[str],
+                max_rows: int | None = DEFAULT_MAX_RESULT_ROWS) -> dict:
     """Metric-query result → Loki/Prometheus matrix shape with
     [unix_seconds, "value"] sample pairs ordered by step."""
     series: dict[tuple, list] = defaultdict(list)
-    for r in df.collect():
+    for r in bounded_collect(df, max_rows):
         key = tuple((c, r[c]) for c in label_cols)
         series[key].append((r["step_us"] / 1e6, str(r["value"])))
     return {
@@ -55,7 +77,8 @@ def loki_matrix(df: DataFrame, label_cols: list[str]) -> dict:
 prom_matrix = loki_matrix  # identical wire shape
 
 
-def prom_vector(df: DataFrame, label_cols: list[str], ts_s: float) -> dict:
+def prom_vector(df: DataFrame, label_cols: list[str], ts_s: float,
+                max_rows: int | None = DEFAULT_MAX_RESULT_ROWS) -> dict:
     """Instant-query result → Prometheus vector shape."""
     return {
         "status": "success",
@@ -66,7 +89,7 @@ def prom_vector(df: DataFrame, label_cols: list[str], ts_s: float) -> dict:
                     "metric": {c: r[c] for c in label_cols},
                     "value": [ts_s, str(r["value"])],
                 }
-                for r in df.collect()
+                for r in bounded_collect(df, max_rows)
             ],
         },
     }

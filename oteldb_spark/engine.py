@@ -18,6 +18,8 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 from .api.serializers import (
+    DEFAULT_MAX_RESULT_ROWS,
+    bounded_collect,
     loki_matrix,
     loki_streams,
     prom_labels,
@@ -33,27 +35,44 @@ from .traceql import SpanSource, compile_traceql
 class LogQLEngine:
     source: LogSource
     spark: SparkSession | None = None
+    # safety cap for every collect (querier_logs_query.go:95-151);
+    # user-facing `limit` is the Loki request limit for log listings
+    max_result_rows: int = DEFAULT_MAX_RESULT_ROWS
 
     def _spark(self):
         return self.spark or self.source.df.sparkSession
 
-    def query_range(self, q: str, start_us: int, end_us: int, step_us: int) -> dict:
+    def query_range(
+        self,
+        q: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        limit: int | None = None,
+    ) -> dict:
         params = EvalParams(start_us, end_us, step_us)
         df = compile_logql(q, self.source, params, self._spark())
         if "step_us" in df.columns:  # metric query → matrix
             labels = [c for c in df.columns if c not in ("step_us", "value")]
-            return loki_matrix(df, labels)
+            return loki_matrix(df, labels, max_rows=self.max_result_rows)
         labels = [
             c for c in df.columns if c not in ("ts_us", "body")
         ]  # log query → streams
-        return loki_streams(df, labels)
+        if limit is not None:
+            df = df.limit(limit)
+        return loki_streams(df, labels, max_rows=self.max_result_rows)
 
     def labels(self) -> dict:
         return prom_labels(list(self.source.label_cols))
 
     def label_values(self, label: str) -> dict:
         col = self.source.label_cols[label]
-        vals = [r[0] for r in self.source.df.select(col).distinct().collect()]
+        vals = [
+            r[0]
+            for r in bounded_collect(
+                self.source.df.select(col).distinct(), self.max_result_rows
+            )
+        ]
         return prom_labels(vals)
 
 
@@ -62,6 +81,7 @@ class PromQLEngine:
     source: MetricSource
     spark: SparkSession | None = None
     lookback_us: int = 5 * 60 * 1_000_000
+    max_result_rows: int = DEFAULT_MAX_RESULT_ROWS
 
     def _spark(self):
         return self.spark or self.source.df.sparkSession
@@ -70,14 +90,18 @@ class PromQLEngine:
         params = PromParams(start_us, end_us, step_us, lookback_us=self.lookback_us)
         df = compile_promql(q, self.source, params, self._spark())
         labels = [c for c in df.columns if c not in ("step_us", "value")]
-        return prom_matrix(df, labels)
+        return prom_matrix(df, labels, max_rows=self.max_result_rows)
 
     def labels(self) -> dict:
         return prom_labels(list(self.source.label_cols))
 
-    def series(self, q: str | None = None) -> list[dict]:
+    def series(self, q: str | None = None, limit: int | None = None) -> list[dict]:
         df = self.source.df.select(*self.source.label_cols).distinct()
-        return [r.asDict() for r in df.collect()]
+        if limit is not None:
+            df = df.limit(limit)
+        return [
+            r.asDict() for r in bounded_collect(df, self.max_result_rows)
+        ]
 
 
 @dataclass
@@ -96,12 +120,19 @@ class TraceQLEngine:
             self.source.trace_col,
             "left_semi",
         )
+        # the root span is the span WITHOUT a parent (min start_us as
+        # the tie-break for broken traces), not the min span id
+        root_rank = F.when(F.col(self.source.parent_col).isNull(), 0).otherwise(1)
         traces = (
             spans.groupBy(self.source.trace_col)
             .agg(
                 F.min_by(
                     F.col(self.source.name_col),
-                    F.col(self.source.span_col),
+                    F.struct(
+                        root_rank.alias("r"),
+                        F.col(self.source.start_col).alias("s"),
+                        F.col(self.source.span_col).alias("i"),
+                    ),
                 ).alias("root_name"),
                 (
                     F.max(

@@ -429,7 +429,13 @@ def compile_logql(
         else:
             by = []
         if expr.op in ("sort", "sort_desc"):
-            return inner  # ordering is presentation-only in a DataFrame result
+            # real output ordering per step (logqlmetric/vector_agg.go
+            # orders series by value; label order breaks ties)
+            v = F.col("value")
+            order = v.asc_nulls_last() if expr.op == "sort" else v.desc_nulls_last()
+            return inner.orderBy(
+                "step_us", order, *[F.col(l) for l in labels]
+            )
         return vector_aggregate(
             inner, expr.op, by=by, k=expr.k, q=expr.q, keep_labels=labels
         )

@@ -68,6 +68,61 @@ def test_promql_engine(spark):
     assert len(eng.series()) == 50
 
 
+def test_result_caps_and_limits(spark):
+    import pytest
+
+    from oteldb_spark.api.serializers import ResultTooLargeError
+
+    src = LogSource(
+        df=logs_frame(spark, SF),
+        label_cols={"service": "service", "env": "env", "level": "level"},
+    )
+    # tiny safety cap → a broad log query must refuse, not collect
+    eng = LogQLEngine(src, max_result_rows=5)
+    with pytest.raises(ResultTooLargeError):
+        eng.query_range("{}", START, END, STEP)
+    # a user limit below the cap bounds the result instead
+    out = eng.query_range("{}", START, END, STEP, limit=3)
+    n = sum(len(s["values"]) for s in out["data"]["result"])
+    assert n == 3
+    # metric results go through the same cap
+    with pytest.raises(ResultTooLargeError):
+        eng.query_range("count_over_time({}[12h])", START, END, STEP)
+    # series() caps too
+    peng = PromQLEngine(
+        MetricSource(
+            df=counter_points_frame(spark, SF),
+            metrics={"events_gauge": "gauge"},
+            label_cols=["mtype", "instance"],
+        ),
+        max_result_rows=5,
+    )
+    with pytest.raises(ResultTooLargeError):
+        peng.series()
+    assert len(peng.series(limit=4)) == 4
+
+
+def test_logql_sort_desc_orders_series(spark):
+    from oteldb_spark.logql import EvalParams, compile_logql
+
+    src = LogSource(
+        df=logs_frame(spark, SF),
+        label_cols={"service": "service", "env": "env", "level": "level"},
+    )
+    out = compile_logql(
+        "sort_desc(sum by (level) (count_over_time({}[12h])))",
+        src,
+        EvalParams(START, END, STEP),
+        spark,
+    ).collect()
+    assert out
+    by_step: dict[int, list[float]] = {}
+    for r in out:
+        by_step.setdefault(r.step_us, []).append(r.value)
+    for vals in by_step.values():
+        assert vals == sorted(vals, reverse=True)
+
+
 def test_traceql_engine_search(spark):
     eng = TraceQLEngine(
         SpanSource(
