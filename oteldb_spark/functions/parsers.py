@@ -81,16 +81,33 @@ _DURATION_UNITS = [
 ]
 
 
-def parse_duration_seconds(col: Column | str) -> Column:
-    """'123.45ms' → 0.12345 (seconds, double).  Single-component
-    durations (the common log-label case); unknown unit → null."""
-    c = F.col(col) if isinstance(col, str) else col
-    num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
-    unit = F.regexp_extract(c, r"([a-zµ]+)$", 1)
+def _duration_component_seconds(x: Column) -> Column:
+    num = F.regexp_extract(x, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
+    unit = F.regexp_extract(x, r"([a-zµ]+)$", 1)
     expr = F.lit(None).cast("double")
     for u, mult in _DURATION_UNITS:
         expr = F.when(unit == u, num * F.lit(mult)).otherwise(expr)
     return expr
+
+
+def parse_duration_seconds(col: Column | str) -> Column:
+    """Go ``time.ParseDuration`` → seconds (double): compound
+    components like '1h2m3.5s' sum; optional leading '-'; a string
+    that is not entirely duration components → null."""
+    c = F.col(col) if isinstance(col, str) else col
+    comps = F.regexp_extract_all(
+        c, F.lit(r"([0-9]*\.?[0-9]+(?:ns|us|µs|ms|s|m|h))"), 1
+    )
+    body = F.regexp_replace(c, r"^[+-]", "")
+    total = F.aggregate(
+        comps,
+        F.lit(0.0),
+        lambda acc, x: acc + _duration_component_seconds(x),
+    )
+    sign = F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when(
+        (F.size(comps) > 0) & (F.array_join(comps, "") == body), sign * total
+    )
 
 
 _BYTES_UNITS = [

@@ -267,6 +267,7 @@ def _apply_stage(env: _Env, stage) -> _Env:
     if isinstance(stage, ast.LineFormat):
         fields = dict(env.labels)
         fields["__line__"] = env.body
+        fields["__timestamp__"] = F.timestamp_micros(F.col(env.source.ts_col))
         env.body = compile_template(stage.template, fields)
         return env
     if isinstance(stage, ast.LabelFormat):

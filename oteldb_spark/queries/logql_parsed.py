@@ -153,3 +153,42 @@ register(
 FROM {_FAN} s GROUP BY service, step_us""",
     ),
 )(_run('sum by (service) (rate({level="ERROR"}[12h])) * 100'))
+
+
+# line_format with the extended template surface (template.go:33-170):
+# printf (builtin), alignRight (Loki), lower|trunc pipeline (sprig)
+register(
+    "lql_parsed_line_format_fns",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT ts_us,
+       printf('%s|%s', service, level) || ' k='
+         || lpad(json_extract_string(body, '$.k'), 4, ' ')
+         || ' ' || substr(lower(level), 1, 2) AS body,
+       service, env, level, value,
+       json_extract_string(body, '$.k') AS k
+FROM logs WHERE env = 'prod' AND ts_us BETWEEN {s} AND {e}""".format(
+            s=START_US, e=END_US
+        ),
+    ),
+)(
+    _run(
+        '{env="prod"} | json k="k" | line_format '
+        '`{{ printf "%s|%s" .service .level }}'
+        " k={{ .k | alignRight 4 }} {{ .level | lower | trunc 2 }}`"
+    )
+)
+
+
+# label_format deriving a label from a template pipeline
+register(
+    "lql_parsed_label_format_tmpl",
+    with_ctes(
+        LOGS_CTE,
+        body="""SELECT ts_us, body, service, env, level, value,
+       substr(lower(level), 1, 2) AS lvl
+FROM logs WHERE env = 'prod' AND ts_us BETWEEN {s} AND {e}""".format(
+            s=START_US, e=END_US
+        ),
+    ),
+)(_run('{env="prod"} | label_format lvl=`{{ .level | lower | trunc 2 }}`'))
