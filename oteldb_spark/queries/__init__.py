@@ -7,32 +7,36 @@ SURVEY.md §2 (or a training-data-pipeline operator); the oracle SQL is
 the ANSI/DuckDB re-statement of the same semantics.
 """
 
+# Registration order is driver-grading order: the driver certifies a
+# prefix of the registry each round, so the newest / least-certified
+# gate families are imported first and the round-1-certified LogQL /
+# TPC-H families last.
 from . import registry  # noqa: F401
-from . import tpch  # noqa: F401
-from . import logql_log  # noqa: F401
-from . import logql_metric  # noqa: F401
-from . import logql_parsers  # noqa: F401
-from . import logql_parsed  # noqa: F401
-from . import promql  # noqa: F401
-from . import promql_ext  # noqa: F401
-from . import promql_parsed  # noqa: F401
-from . import traceql  # noqa: F401
-from . import traceql_ext  # noqa: F401
-from . import traceql_parsed  # noqa: F401
-from . import profiles  # noqa: F401
-from . import pipeline  # noqa: F401
-from . import dedup_lsh  # noqa: F401
-from . import similarity_ext  # noqa: F401
-from . import coverage_ext  # noqa: F401
-from . import histograms  # noqa: F401
-from . import final_ext  # noqa: F401
-from . import promql_fns  # noqa: F401
-from . import sessions  # noqa: F401
-from . import misc_ext  # noqa: F401
 from . import prw_ingest  # noqa: F401
 from . import otlp_hist  # noqa: F401
 from . import traceql_events  # noqa: F401
 from . import promql_fns2  # noqa: F401
+from . import similarity_ext  # noqa: F401
+from . import dedup_lsh  # noqa: F401
+from . import pipeline  # noqa: F401
+from . import profiles  # noqa: F401
+from . import traceql  # noqa: F401
+from . import traceql_ext  # noqa: F401
+from . import traceql_parsed  # noqa: F401
+from . import histograms  # noqa: F401
+from . import promql_ext  # noqa: F401
+from . import promql_fns  # noqa: F401
+from . import promql_parsed  # noqa: F401
+from . import sessions  # noqa: F401
+from . import misc_ext  # noqa: F401
+from . import final_ext  # noqa: F401
+from . import coverage_ext  # noqa: F401
+from . import promql  # noqa: F401
+from . import logql_metric  # noqa: F401
+from . import logql_parsers  # noqa: F401
+from . import logql_parsed  # noqa: F401
+from . import logql_log  # noqa: F401
+from . import tpch  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES
