@@ -75,6 +75,122 @@ class LogQLEngine:
         ]
         return prom_labels(vals)
 
+    def volume_frame(
+        self,
+        query: str,
+        start_us: int,
+        end_us: int,
+        step_us: int = 0,
+        target_labels: list[str] | None = None,
+    ):
+        """DataFrame behind /loki/api/v1/index/volume[_range].
+
+        Mirrors lokihandler.go:494-556 (evalVolumeQuery): synthesize
+        ``sum by (L) (count_over_time({sel}[end-start]))`` where L is
+        ``target_labels`` or, absent that, the selector's matcher
+        labels, then evaluate it as an instant at ``end``.
+        """
+        from .logql import parse
+        from .logql.ast import LogQuery
+
+        node = parse(query)
+        if not isinstance(node, LogQuery) or node.stages or node.unwrap:
+            raise ValueError("volume query must be a plain stream selector")
+        labels = list(target_labels or [])
+        if not labels:
+            labels = [m.name for m in node.selector.matchers]
+        labels = sorted(set(labels))
+        agg_range_s = max((end_us - start_us) // 1_000_000, 1)
+        expr = (
+            f"sum by ({', '.join(labels)}) "
+            f"(count_over_time({query}[{agg_range_s}s]))"
+        )
+        # the reference evaluates at the single instant `end`
+        params = EvalParams(end_us, end_us, step_us or 1)
+        return compile_logql(expr, self.source, params, self._spark())
+
+    def query_volume(
+        self,
+        query: str,
+        start_us: int,
+        end_us: int,
+        target_labels: list[str] | None = None,
+    ) -> dict:
+        """GET /loki/api/v1/index/volume (lokihandler.go:409-443)."""
+        from .api.serializers import prom_vector
+
+        df = self.volume_frame(query, start_us, end_us, 0, target_labels)
+        labels = [c for c in df.columns if c not in ("step_us", "value")]
+        return prom_vector(
+            df, labels, end_us / 1e6, max_rows=self.max_result_rows
+        )
+
+    def query_volume_range(
+        self,
+        query: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        target_labels: list[str] | None = None,
+    ) -> dict:
+        """GET /loki/api/v1/index/volume_range (lokihandler.go:445-491).
+
+        The reference parses ``step`` but still evaluates the synthetic
+        expression at the single instant ``end`` (evalVolumeQuery sets
+        Start=End), returning a one-point matrix per series.
+        """
+        df = self.volume_frame(query, start_us, end_us, step_us, target_labels)
+        labels = [c for c in df.columns if c not in ("step_us", "value")]
+        return loki_matrix(df, labels, max_rows=self.max_result_rows)
+
+    def detected_field_values(
+        self,
+        field: str,
+        query: str,
+        start_us: int,
+        end_us: int,
+        parser: str = "logfmt",
+    ) -> dict:
+        """GET /loki/api/v1/detected_field/{field}/values
+        (lokihandler.go:62-113): distinct values of a body-parsed field
+        under a selector + time range."""
+        df = self.detected_field_values_frame(
+            field, query, start_us, end_us, parser
+        )
+        values = sorted(
+            r[0]
+            for r in bounded_collect(df, self.max_result_rows)
+            if r[0] is not None
+        )
+        return {"values": values, "limit": len(values)}
+
+    def detected_field_values_frame(
+        self,
+        field: str,
+        query: str,
+        start_us: int,
+        end_us: int,
+        parser: str = "logfmt",
+    ):
+        """DataFrame of distinct parsed-field values: run the selector
+        + parser stage through the LogQL compiler, then distinct the
+        detected column (LabelValues over parsed fields in the ref's
+        logstorage)."""
+        from pyspark.sql import functions as F
+
+        # explicit label-extraction form so the parsed field
+        # materializes as an output column
+        q = f'{query} | {parser} {field}="{field}"' if parser else query
+        params = EvalParams(start_us, end_us, max(end_us - start_us, 1))
+        df = compile_logql(q, self.source, params, self._spark())
+        if field not in df.columns:
+            raise KeyError(f"field {field!r} not detected by {parser}")
+        return (
+            df.filter(F.col(field).isNotNull())
+            .select(F.col(field).cast("string").alias("value"))
+            .distinct()
+        )
+
 
 @dataclass
 class PromQLEngine:

@@ -1,0 +1,87 @@
+"""Loki secondary-endpoint gates: index/volume_range and
+detected_field/{field}/values, both running through the LogQLEngine
+facade (lokihandler.go:62-113, 445-556) rather than hand-built plans.
+"""
+
+from __future__ import annotations
+
+from ..engine import LogQLEngine
+from ..logql import LogSource
+from ..operators.stepfanout import fanout_join_sql
+from ..signals import LOGS_CTE, logs_frame, with_ctes
+from .registry import END_US, START_US, STEP_US, register
+
+_LBL = {"service": "service", "env": "env", "level": "level"}
+
+
+def _engine(spark, sf_dir) -> LogQLEngine:
+    return LogQLEngine(
+        source=LogSource(df=logs_frame(spark, sf_dir), label_cols=dict(_LBL)),
+        spark=spark,
+    )
+
+
+# volume_range: the reference synthesizes
+#   sum by (target_labels) (count_over_time({sel}[end-start]))
+# and evaluates it at the single instant `end`
+# (lokihandler.go:494-556: evalVolumeQuery sets Start=End).
+_VOL_RANGE_US = END_US - START_US
+_VOL_FAN = fanout_join_sql("samples", END_US, END_US, STEP_US, _VOL_RANGE_US)
+
+
+@register(
+    "logql_volume_range",
+    with_ctes(
+        LOGS_CTE,
+        "samples AS (SELECT service, level, ts_us FROM logs WHERE env = 'prod')",
+        body=f"""SELECT level, service, step_us, CAST(count(*) AS DOUBLE) AS value
+FROM {_VOL_FAN} s GROUP BY service, level, step_us""",
+    ),
+)
+def logql_volume_range(spark, sf_dir):
+    return _engine(spark, sf_dir).volume_frame(
+        '{env="prod"}',
+        START_US,
+        END_US,
+        STEP_US,
+        target_labels=["service", "level"],
+    )
+
+
+# detected_field/{field}/values: distinct values of a body-parsed
+# field under a selector + time range (lokihandler.go:62-113; the
+# ref's LabelValues over materialized_fields in logstorage).
+@register(
+    "logql_detected_field_values",
+    None,  # oracle attached below (needs the logfmt CTE)
+)
+def logql_detected_field_values(spark, sf_dir):
+    from .logql_parsers import _logfmt_frame
+
+    eng = LogQLEngine(
+        source=LogSource(
+            df=_logfmt_frame(spark, sf_dir),
+            label_cols={"service": "service", "level": "level"},
+        ),
+        spark=spark,
+    )
+    return eng.detected_field_values_frame(
+        "evt", '{level="INFO"}', START_US, END_US, parser="logfmt"
+    )
+
+
+def _dfv_oracle() -> str:
+    from .logql_parsers import _LOGFMT_CTE
+
+    return with_ctes(
+        LOGS_CTE,
+        _LOGFMT_CTE,
+        body=f"""SELECT DISTINCT regexp_extract(body, 'evt=([^ ]+)', 1) AS value
+FROM logfmt_logs
+WHERE level = 'INFO' AND ts_us BETWEEN {START_US} AND {END_US}""",
+    )
+
+
+from .registry import ORACLES  # noqa: E402
+
+ORACLES["logql_detected_field_values"] = _dfv_oracle()

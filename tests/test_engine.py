@@ -141,3 +141,42 @@ def test_traceql_engine_search(spark):
         "durationMs",
     }
     assert t["rootTraceName"].startswith("order-")
+
+def test_loki_volume_endpoints(spark):
+    eng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, SF),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    # instant volume: vector shape, grouped by the selector's labels
+    vec = eng.query_volume('{env="prod"}', START, END)
+    assert vec["data"]["resultType"] == "vector"
+    assert all(r["metric"]["env"] == "prod" for r in vec["data"]["result"])
+    total = sum(float(r["value"][1]) for r in vec["data"]["result"])
+    assert total > 0
+    # volume_range: matrix shape, target_labels override, one point
+    # per series at `end` (evalVolumeQuery sets Start=End)
+    mat = eng.query_volume_range(
+        '{env="prod"}', START, END, STEP, target_labels=["service"]
+    )
+    assert mat["data"]["resultType"] == "matrix"
+    assert all(len(s["values"]) == 1 for s in mat["data"]["result"])
+    assert (
+        sum(float(s["values"][0][1]) for s in mat["data"]["result"]) == total
+    )
+
+
+def test_loki_detected_field_values(spark):
+    from oteldb_spark.queries.logql_parsers import _logfmt_frame
+
+    eng = LogQLEngine(
+        LogSource(
+            df=_logfmt_frame(spark, SF),
+            label_cols={"service": "service", "level": "level"},
+        ),
+        spark=spark,
+    )
+    out = eng.detected_field_values("evt", '{level="INFO"}', START, END)
+    assert set(out["values"]) <= {"click", "error", "purchase", "signup", "view"}
+    assert out["limit"] == len(out["values"]) > 0
