@@ -100,13 +100,14 @@ def prom_labels(values: list[str]) -> dict:
 
 
 def profile_collapsed(df: DataFrame, stack_col: str = "stack",
-                      value_col: str = "total_us") -> str:
+                      value_col: str = "total_us",
+                      max_rows: int | None = DEFAULT_MAX_RESULT_ROWS) -> str:
     """Flamegraph rows → Brendan-Gregg collapsed format
     (``stack;frames value`` lines, as in profileqlengine/collapsed.go).
     Stacks use '>' internally; collapsed uses ';'."""
     lines = [
         f"{r[stack_col].replace('>', ';')} {int(r[value_col])}"
-        for r in df.collect()
+        for r in bounded_collect(df, max_rows)
     ]
     return "\n".join(sorted(lines))
 

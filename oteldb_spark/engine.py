@@ -221,6 +221,51 @@ class PromQLEngine:
 
 
 @dataclass
+class ProfileQLEngine:
+    """Render surface over a merged flamegraph result — the analog of
+    the reference's ``profileqlengine.Result`` (render formats:
+    collapsed / flamebearer / pprof / HTML, per ``collapsed.go``,
+    ``flamebearer.go``, ``pprof.go``, ``html.go``).
+
+    ``df`` is the merge output: one row per distinct collapsed stack
+    (``stack`` using '>' separators, ``total_us`` self value) — e.g.
+    the ``profile_flamegraph`` query.
+    """
+
+    df: object  # DataFrame of (stack, total_us)
+    sample_type: str = "cpu"
+    sample_unit: str = "nanoseconds"
+
+    def collapsed(self) -> str:
+        from .api.serializers import profile_collapsed
+
+        return profile_collapsed(self.df)
+
+    def flamebearer(self, max_nodes: int = 0) -> dict:
+        from .api.profile_render import profile_flamebearer
+
+        return profile_flamebearer(
+            self.df, sample_type=self.sample_type, max_nodes=max_nodes
+        )
+
+    def pprof(self) -> bytes:
+        from .api.profile_render import profile_pprof
+
+        return profile_pprof(
+            self.df,
+            sample_type=self.sample_type,
+            sample_unit=self.sample_unit,
+            period_type=self.sample_type,
+            period_unit=self.sample_unit,
+        )
+
+    def html(self) -> str:
+        from .api.profile_render import profile_html
+
+        return profile_html(self.df, sample_type=self.sample_type)
+
+
+@dataclass
 class TraceQLEngine:
     source: SpanSource
 
