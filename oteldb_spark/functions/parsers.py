@@ -172,6 +172,30 @@ def ip_in_range(col: Column | str, lo: str, hi: str) -> Column:
     return ip.isNotNull() & ip.between(s2l(lo), s2l(hi))
 
 
+def ip_pattern_pred(col: Column | str, pattern: str) -> Column:
+    """One ip("...") pattern against an IP-string column: exact
+    address, CIDR, or lo-hi range (logql/logqlengine ip matcher)."""
+    if "-" in pattern:
+        lo, _, hi = pattern.partition("-")
+        return ip_in_range(col, lo.strip(), hi.strip())
+    if "/" in pattern:
+        return ip_in_cidr(col, pattern)
+    return ip_in_range(col, pattern, pattern)
+
+
+def ip_line_match(body: Column | str, patterns: list[str]) -> Column:
+    """LogQL ``|= ip("...")`` line filter: true when ANY IPv4 token in
+    the line matches ANY pattern.  Extraction + membership stay in
+    whole-stage codegen (regexp_extract_all + exists)."""
+    b = F.col(body) if isinstance(body, str) else body
+    ips = F.regexp_extract_all(b, F.lit(r"((?:\d{1,3}\.){3}\d{1,3})"), 1)
+    pred = None
+    for p in patterns:
+        cur = F.exists(ips, lambda x: ip_pattern_pred(x, p))
+        pred = cur if pred is None else (pred | cur)
+    return pred if pred is not None else F.lit(False)
+
+
 ANSI_RE = r"\x1b\[[0-9;]*m"
 
 

@@ -29,6 +29,9 @@ class LineFilter:
     value: str
     # `or`-chained alternatives (pipeline.go:38): |= "a" or "b"
     alts: list[str] = field(default_factory=list)
+    # ip("...") patterns for |= ip(...) / != ip(...) line filters
+    # (lexerql ip tokens; any IP in the line matching any pattern)
+    ips: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -93,8 +93,20 @@ def _resolve(env: _Env, name: str) -> Column:
     raise KeyError(f"LogQL: unknown label {name!r}")
 
 
+def _resolve_or_empty(env: _Env, name: str) -> Column:
+    try:
+        return _resolve(env, name)
+    except KeyError:
+        return F.lit("")
+
+
 def _matcher_pred(env: _Env, m: ast.LabelMatcher) -> Column:
-    c = _resolve(env, m.name)
+    try:
+        c = _resolve(env, m.name)
+    except KeyError:
+        # matcher on a label no stream carries compares against the
+        # empty string (Loki: absent label == "")
+        c = F.lit("")
     if m.op == "=":
         return c == m.value
     if m.op == "!=":
@@ -106,6 +118,11 @@ def _matcher_pred(env: _Env, m: ast.LabelMatcher) -> Column:
 
 def _line_filter_pred(env: _Env, f: ast.LineFilter) -> Column:
     body = env.body
+    if f.ips:
+        from ..functions.parsers import ip_line_match
+
+        pred = ip_line_match(body, f.ips)
+        return pred if f.op == "|=" else ~pred
     values = [f.value, *f.alts]
 
     def any_of(mk):
@@ -378,7 +395,13 @@ def compile_logql(
         if expr.offset_us:
             ts = ts + F.lit(expr.offset_us)
         proj = env.df.withColumns(
-            {**{l: _resolve(env, l) for l in by}, "__ts": ts, "__sample": sample}
+            {
+                # grouping labels no stream carries become "" (Loki
+                # groups such series under the empty label value)
+                **{l: _resolve_or_empty(env, l) for l in by},
+                "__ts": ts,
+                "__sample": sample,
+            }
         )
         if expr.op not in ("count_over_time", "rate", "absent_over_time"):
             proj = proj.filter(F.col("__sample").isNotNull())
@@ -425,6 +448,11 @@ def compile_logql(
         labels = [c for c in inner.columns if c not in ("step_us", "value")]
         if expr.grouping and not expr.grouping.without:
             by = expr.grouping.labels
+            # by-labels absent from every series group under ""
+            missing = [l for l in by if l not in labels]
+            if missing:
+                inner = inner.withColumns({l: F.lit("") for l in missing})
+                labels = labels + missing
         elif expr.grouping and expr.grouping.without:
             by = [l for l in labels if l not in expr.grouping.labels]
         else:
@@ -456,7 +484,9 @@ def compile_logql(
         llabels = [c for c in lhs.columns if c not in ("step_us", "value")]
         rlabels = [c for c in rhs.columns if c not in ("step_us", "value")]
         if expr.on is not None:
-            on = expr.on
+            # on-labels absent from both sides drop out of the join
+            # keys ("" == "" everywhere)
+            on = [l for l in expr.on if l in llabels and l in rlabels]
         elif expr.ignoring is not None:
             on = [l for l in llabels if l not in expr.ignoring and l in rlabels]
         else:
@@ -485,6 +515,22 @@ def _fold_literal(expr: ast.BinOp) -> float:
     a, b = expr.lhs.value, expr.rhs.value
     import math
 
+    cmps = {
+        "==": a == b,
+        "!=": a != b,
+        ">": a > b,
+        ">=": a >= b,
+        "<": a < b,
+        "<=": a <= b,
+    }
+    if expr.op in cmps:
+        # scalar-scalar comparisons require the bool modifier
+        # (promql/parser.go check shared by LogQL)
+        if not expr.bool_mode:
+            raise SyntaxError(
+                "comparisons between scalars must use BOOL modifier"
+            )
+        return 1.0 if cmps[expr.op] else 0.0
     return {
         "+": a + b,
         "-": a - b,

@@ -10,11 +10,11 @@ from dataclasses import dataclass
 
 TOKEN_RE = re.compile(
     r"""
-    (?P<ws>\s+)
+    (?P<ws>\s+|\#[^\n]*)
   | (?P<string>"(?:\\.|[^"\\])*"|`[^`]*`)
   | (?P<duration>[0-9]+(?:\.[0-9]+)?(?:ns|us|µs|ms|s|m|h|d|w)(?:[0-9]+(?:\.[0-9]+)?(?:ns|us|µs|ms|s|m|h|d|w))*)
   | (?P<bytes>[0-9]+(?:\.[0-9]+)?(?:[KMGTP]i?B|b))
-  | (?P<number>[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)
+  | (?P<number>0[xX][0-9a-fA-F]+|(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)
   | (?P<op>\|\||&&|\|=|\|~|\|>|!=|!~|!>|<=|>=|==|=~|>>|<<|\band\b|\bor\b|\bunless\b|\bby\b|\bwithout\b|\bbool\b|\bon\b|\bignoring\b|\bgroup_left\b|\bgroup_right\b|\boffset\b|[{}()\[\],=<>+\-*/%^|.:!~&@])
   | (?P<ident>[a-zA-Z_][a-zA-Z0-9_]*)
 """,
@@ -49,6 +49,14 @@ class Token:
     kind: str  # string duration bytes number op ident eof
     text: str
     pos: int
+
+    def number(self) -> float:
+        """Numeric value of a number token (decimal, leading-dot,
+        scientific, or 0x hex — promql/parser.go lexer numbers)."""
+        t = self.text
+        if t[:2].lower() == "0x":
+            return float(int(t, 16))
+        return float(t)
 
     def unquote(self) -> str:
         t = self.text

@@ -159,10 +159,25 @@ class Parser:
             t = self.peek()
             if t.text in ("|=", "|~", "!~", "!=", "|>", "!>"):
                 self.next()
-                lf = ast.LineFilter(t.text, self.next().unquote())
-                while self.peek().text == "or" and self.peek(1).kind == "string":
-                    self.next()
-                    lf.alts.append(self.next().unquote())
+                if (
+                    t.text in ("|=", "!=")
+                    and self.peek().text == "ip"
+                    and self.peek(1).text == "("
+                ):
+                    lf = ast.LineFilter(t.text, "", ips=[self._ip_arg()])
+                    while (
+                        self.peek().text == "or" and self.peek(1).text == "ip"
+                    ):
+                        self.next()
+                        lf.ips.append(self._ip_arg())
+                else:
+                    lf = ast.LineFilter(t.text, self.next().unquote())
+                    while (
+                        self.peek().text == "or"
+                        and self.peek(1).kind == "string"
+                    ):
+                        self.next()
+                        lf.alts.append(self.next().unquote())
                 q.stages.append(lf)
             elif t.text == "|":
                 self.next()
@@ -170,6 +185,13 @@ class Parser:
             else:
                 break
         return q
+
+    def _ip_arg(self) -> str:
+        self.expect("ip")
+        self.expect("(")
+        val = self.next().unquote()
+        self.expect(")")
+        return val
 
     def parse_selector(self) -> ast.Selector:
         self.expect("{")
@@ -256,10 +278,22 @@ class Parser:
             lhs = ("or", lhs, self._label_filter_and())
         return lhs
 
+    _CMP_OPS = ("=", "==", "!=", "=~", "!~", ">", ">=", "<", "<=")
+
     def _label_filter_and(self):
         lhs = self._label_filter_atom()
-        while self.peek().text in ("and", ","):
-            self.next()
+        while True:
+            if self.peek().text in ("and", ","):
+                self.next()
+            elif (
+                # space-separated predicates are an implicit `and`
+                # (logql grammar: `| a > 1 b < 2`)
+                self.peek().kind == "ident"
+                and self.peek(1).text in self._CMP_OPS
+            ):
+                pass
+            else:
+                break
             lhs = ("and", lhs, self._label_filter_atom())
         return lhs
 

@@ -84,7 +84,11 @@ def range_aggregate(
     }
     if op == "quantile_over_time":
         assert q is not None
-        agg = F.percentile(v, F.lit(q))
+        if q < 0 or q > 1:
+            # Prometheus: out-of-range q → ±Inf per window
+            agg = F.max(F.lit(float("-inf") if q < 0 else float("inf")))
+        else:
+            agg = F.percentile(v, F.lit(q))
     else:
         agg = aggs[op]
     return grouped.agg(agg.alias("value"))

@@ -50,6 +50,13 @@ def vector_aggregate(
         return stepped.groupBy(*by, "step_us").agg(SIMPLE[op](v).alias("value"))
     if op == "quantile":
         assert q is not None
+        # Prometheus: q < 0 → -Inf, q > 1 → +Inf (quantile.go warns
+        # but still returns); Spark's percentile rejects the range
+        if q < 0 or q > 1:
+            inf = float("-inf") if q < 0 else float("inf")
+            return stepped.groupBy(*by, "step_us").agg(
+                F.max(F.lit(inf)).alias("value")
+            )
         return stepped.groupBy(*by, "step_us").agg(
             F.percentile(v, F.lit(q)).alias("value")
         )

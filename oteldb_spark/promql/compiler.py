@@ -101,10 +101,18 @@ DATE_FUNCS = {
 
 def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame:
     if sel.name is None or sel.name not in source.metrics:
-        raise KeyError(f"PromQL: unknown metric {sel.name!r}")
+        # unknown metric → empty instant/range vector, not an error
+        # (Prometheus returns no series for a name with no samples)
+        return source.df.filter(F.lit(False)).select(
+            *source.label_cols,
+            F.col(source.ts_col).alias("ts_us"),
+            F.lit(0.0).cast("double").alias("sample"),
+        )
     df = source.df
     for m in sel.matchers:
-        c = F.col(m.name)
+        # a matcher on a label no series carries compares against the
+        # empty string (Prometheus: absent label == "")
+        c = F.col(m.name) if m.name in source.label_cols else F.lit("")
         if m.op == "=":
             df = df.filter(c == m.value)
         elif m.op == "!=":
@@ -221,18 +229,11 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
         lty = isinstance(expr.lhs, ast.Literal)
         rty = isinstance(expr.rhs, ast.Literal)
         if lty and rty:
-            import math
+            from ..logql.compiler import _fold_literal
 
-            a, b = expr.lhs.value, expr.rhs.value
-            v = {
-                "+": a + b,
-                "-": a - b,
-                "*": a * b,
-                "/": a / b if b else math.nan,
-                "%": math.fmod(a, b) if b else math.nan,
-                "^": a**b,
-            }[expr.op]
-            return _compile(ast.Literal(v), source, params, spark)
+            return _compile(
+                ast.Literal(_fold_literal(expr)), source, params, spark
+            )
         if lty or rty:
             vec = _compile(expr.rhs if lty else expr.lhs, source, params, spark)
             return scalar_binop(
@@ -243,7 +244,10 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
         rhs = _compile(expr.rhs, source, params, spark)
         llabels, rlabels = _labels_of(lhs), _labels_of(rhs)
         if expr.on is not None:
-            on = expr.on
+            # on-labels absent from both sides are "" == "" everywhere
+            # (Prometheus: absent label matches absent label), so they
+            # drop out of the join keys
+            on = [l for l in expr.on if l in llabels and l in rlabels]
         elif expr.ignoring is not None:
             on = [l for l in llabels if l not in expr.ignoring and l in rlabels]
         else:
@@ -273,9 +277,13 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         inner = _compile(fc.args[0], source, params, spark)
         # inner step results become samples for an outer range window
         rng = fc.range_us  # type: ignore[attr-defined]
+        ts = F.col("step_us")
+        off = getattr(fc, "offset_us", 0)
+        if off:
+            ts = ts + F.lit(off)  # subquery offset shifts the samples
         samples = inner.select(
             *_labels_of(inner),
-            F.col("step_us").alias("ts_us"),
+            ts.alias("ts_us"),
             F.col("value").alias("sample"),
         )
         fc.samples = samples  # type: ignore[attr-defined]
@@ -534,6 +542,10 @@ def histogram_quantile(buckets: DataFrame, q: float, le_col: str = "le") -> Data
     highest finite bucket bound for the +Inf case.
     """
     labels = [c for c in buckets.columns if c not in ("step_us", "value", le_col)]
+    if le_col not in buckets.columns:
+        # series without an `le` label are silently dropped
+        # (Prometheus quantile.go bucketQuantile input filtering)
+        return buckets.select(*labels, "step_us", "value").filter(F.lit(False))
     from pyspark.sql import Window
 
     le = (

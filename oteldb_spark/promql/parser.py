@@ -197,9 +197,18 @@ class Parser:
                     e.range_us = rng
                 self.expect("]")
             elif self.accept("offset"):
-                off = duration_to_us(self.next().text)
+                # negative offsets look forward (promql/parser.go
+                # allows `offset -5m` since Prometheus 2.26)
+                sign = 1
+                if self.accept("-"):
+                    sign = -1
+                elif self.accept("+"):
+                    pass
+                off = sign * duration_to_us(self.next().text)
                 if isinstance(e, ast.VectorSelector):
                     e.offset_us = off
+                elif isinstance(e, ast.FuncCall) and e.name == "__subquery__":
+                    e.offset_us = off  # type: ignore[attr-defined]
                 else:
                     raise SyntaxError("PromQL: offset on non-selector")
             elif self.accept("@"):
@@ -230,14 +239,24 @@ class Parser:
             return e
         if t.kind == "number":
             self.next()
-            return ast.Literal(float(t.text))
-        if t.text == "-" and self.peek(1).kind == "number":
-            self.next()
-            return ast.Literal(-float(self.next().text))
+            return ast.Literal(t.number())
+        if t.text in ("-", "+"):
+            # unary +/- binds tighter than binary ops except ^
+            # (promql/parser.go: -1^2 is -(1^2)); -vector ≡ 0 - vector
+            sign = self.next().text
+            operand = self.parse_expr(len(_PREC) - 1)
+            if sign == "+":
+                return operand
+            if isinstance(operand, ast.Literal):
+                return ast.Literal(-operand.value)
+            return ast.BinOp("-", ast.Literal(0.0), operand)
         if t.text == "{":
             return self.parse_selector(None)
         if t.kind == "ident":
             name = t.text
+            if name in ("Inf", "inf", "NaN", "nan") and self.peek(1).text != "{":
+                self.next()
+                return ast.Literal(float(name.lower()))
             if name in AGG_OPS and self.peek(1).text in ("(", "by", "without"):
                 return self.parse_agg()
             if name in FUNCS and self.peek(1).text == "(":
@@ -282,11 +301,15 @@ class Parser:
         self.expect("(")
         k = q = None
         if op in ("topk", "bottomk"):
-            k = int(float(self.next().text))
+            sign = -1 if self.accept("-") else 1
+            k = sign * int(float(self.next().text))
             self.expect(",")
         elif op in ("quantile", "count_values"):
-            tok = self.next()
-            q = float(tok.text) if op == "quantile" else tok.unquote()
+            if op == "quantile":
+                sign = -1.0 if self.accept("-") else 1.0
+                q = sign * self.next().number()
+            else:
+                q = self.next().unquote()
             self.expect(",")
         inner = self.parse_expr()
         self.expect(")")
@@ -315,6 +338,7 @@ def _wrap_subquery(e, rng: int, step: int | None):
     fc = ast.FuncCall("__subquery__", [e])
     fc.range_us = rng  # type: ignore[attr-defined]
     fc.step_us = step  # type: ignore[attr-defined]
+    fc.offset_us = 0  # type: ignore[attr-defined]
     return fc
 
 

@@ -64,3 +64,101 @@ def test_absent_instant(spark):
     # selector matches nothing → absent = 1 at every step
     assert sorted(r.step_us for r in out) == [0, 50 * US, 100 * US]
     assert all(r.value == 1.0 for r in out)
+
+
+def test_ip_line_filter_matches(spark):
+    from oteldb_spark.logql import LogSource, EvalParams, compile_logql
+
+    df = spark.createDataFrame(
+        [
+            (1_704_067_300_000_000, "conn from 10.1.2.3 ok", "a"),
+            (1_704_067_400_000_000, "conn from 192.168.1.50 ok", "a"),
+            (1_704_067_500_000_000, "no address here", "a"),
+            (1_704_067_600_000_000, "peer 10.255.0.9 and 127.0.0.1", "a"),
+        ],
+        "ts_us long, body string, svc string",
+    )
+    src = LogSource(df=df, label_cols={"svc": "svc"})
+    p = EvalParams(1_704_067_200_000_000, 1_704_070_000_000_000, 3_600_000_000)
+
+    def rows(q):
+        return {r["body"] for r in compile_logql(q, src, p, spark).collect()}
+
+    assert rows('{svc="a"} |= ip("10.0.0.0/8")') == {
+        "conn from 10.1.2.3 ok",
+        "peer 10.255.0.9 and 127.0.0.1",
+    }
+    assert rows('{svc="a"} |= ip("192.168.1.1-192.168.1.99")') == {
+        "conn from 192.168.1.50 ok"
+    }
+    assert rows('{svc="a"} |= ip("127.0.0.1")') == {
+        "peer 10.255.0.9 and 127.0.0.1"
+    }
+    assert rows('{svc="a"} != ip("10.0.0.0/8")') == {
+        "conn from 192.168.1.50 ok",
+        "no address here",
+    }
+    # or-chained patterns
+    assert (
+        len(rows('{svc="a"} |= ip("127.0.0.1") or ip("192.168.1.0/24")')) == 2
+    )
+
+
+def test_promql_literal_edge_syntax(spark):
+    src = MetricSource(
+        df=spark.createDataFrame(
+            [("g", 1 * US, 1.0)], "mtype string, ts_us long, gauge double"
+        ),
+        metrics={"events_gauge": "gauge"},
+        label_cols=["mtype"],
+    )
+    params = PromParams(0, 4 * US, US, lookback_us=10 * US)
+
+    def val(q):
+        return compile_promql(q, src, params, spark).collect()[0]["value"]
+
+    assert val("0x3d") == 61.0
+    assert val(".5 * 2") == 1.0
+    assert val("Inf") == float("inf")
+    assert val("-Inf") == float("-inf")
+    assert str(val("NaN")) == "nan"
+    assert val("-1 ^ 2") == -1.0  # unary minus binds looser than ^
+    assert val("1 <= bool 2") == 1.0
+    assert val("3 > bool 4") == 0.0
+
+
+def test_promql_unary_minus_vector(spark):
+    src = MetricSource(
+        df=spark.createDataFrame(
+            [("g", 1 * US, 3.0), ("h", 2 * US, 5.0)],
+            "mtype string, ts_us long, gauge double",
+        ),
+        metrics={"events_gauge": "gauge"},
+        label_cols=["mtype"],
+    )
+    params = PromParams(0, 4 * US, US, lookback_us=10 * US)
+    pos = compile_promql("sum(events_gauge)", src, params, spark).collect()
+    neg = compile_promql("-sum(events_gauge)", src, params, spark).collect()
+    by_step = {r["step_us"]: r["value"] for r in pos}
+    for r in neg:
+        assert r["value"] == -by_step[r["step_us"]]
+
+
+def test_logql_implicit_and_label_filters(spark):
+    from oteldb_spark.logql import LogSource, EvalParams, compile_logql
+
+    df = spark.createDataFrame(
+        [
+            (1_704_067_300_000_000, '{"st": 500, "ms": 9}', "a"),
+            (1_704_067_400_000_000, '{"st": 200, "ms": 9}', "a"),
+            (1_704_067_500_000_000, '{"st": 500, "ms": 1}', "a"),
+        ],
+        "ts_us long, body string, svc string",
+    )
+    src = LogSource(df=df, label_cols={"svc": "svc"})
+    p = EvalParams(1_704_067_200_000_000, 1_704_070_000_000_000, 3_600_000_000)
+    # space-separated predicates are an implicit `and`
+    out = compile_logql(
+        '{svc="a"} | json | st >= 400 ms > 5', src, p, spark
+    ).collect()
+    assert len(out) == 1 and '"ms": 9' in out[0]["body"]
