@@ -16,6 +16,7 @@ from . import prw_ingest  # noqa: F401
 from . import otlp_hist  # noqa: F401
 from . import traceql_events  # noqa: F401
 from . import promql_fns2  # noqa: F401
+from . import histograms  # noqa: F401
 from . import loki_ext  # noqa: F401
 from . import similarity_ext  # noqa: F401
 from . import dedup_lsh  # noqa: F401
@@ -24,7 +25,6 @@ from . import profiles  # noqa: F401
 from . import traceql  # noqa: F401
 from . import traceql_ext  # noqa: F401
 from . import traceql_parsed  # noqa: F401
-from . import histograms  # noqa: F401
 from . import promql_ext  # noqa: F401
 from . import promql_fns  # noqa: F401
 from . import promql_parsed  # noqa: F401

@@ -108,6 +108,163 @@ def exp_histogram_p90(spark, sf_dir):
     )
 
 
+# --- native-histogram function family ---------------------------------------
+# histogram_count/sum/avg/stddev/stdvar/fraction over the decoded
+# scale-0 exponential buckets (the repo's native-histogram model; the
+# reference stores exp-histogram state and decodes at query time,
+# chstorage/columns_metrics.go:181-230).  count/sum are the exact
+# stored-state fields; stddev/stdvar/fraction are bucket estimates —
+# Prometheus places a bucket's mass at the arithmetic bucket midpoint
+# (promql/quantile.go histogramStdDev analog).  Scale-0 bounds and
+# midpoints are dyadic rationals, exact in doubles on both engines, so
+# the estimates hash-match without rounding.
+
+_MID_CASE = "CASE " + " ".join(
+    f"WHEN bucket = {e} THEN {float(2.0 ** (e - 1) + 2.0 ** e) / 2.0!r}"
+    for e in range(-6, 11)
+) + " END"
+
+# midpoints scaled by 2^8 are exact integers (3 * 2^(e+6), e >= -6):
+# moment sums become BIGINTs — exact in any order on both engines —
+# and the only float ops are a final deterministic divide/subtract
+_MID_SCALED_CASE = "CASE " + " ".join(
+    f"WHEN bucket = {e} THEN CAST({3 * 2 ** (e + 6)} AS BIGINT)"
+    for e in range(-6, 11)
+) + " END"
+
+
+def _bucket_frames(spark, sf_dir):
+    pts = counter_points_frame(spark, sf_dir)
+    samples = pts.select("mtype", "ts_us", F.col("gauge").alias("sample"))
+    return fanout(samples, START_US, END_US, STEP_US, RANGE_US)
+
+
+_HIST_CTES = (
+    COUNTERS_CTE,
+    f"""fanned AS (SELECT mtype, step_us, sample FROM {_G_FAN} s)""",
+    f"""b AS (
+  SELECT mtype, step_us, {_bucket_case_sql("sample")} AS bucket,
+         count(*) AS cnt
+  FROM fanned
+  GROUP BY mtype, step_us, {_bucket_case_sql("sample")}
+)""",
+)
+
+
+@register(
+    "hist_native_count_avg",
+    with_ctes(
+        *_HIST_CTES,
+        body="""SELECT mtype, step_us,
+       CAST(count(*) AS DOUBLE) AS h_count,
+       round(sum(sample), 6) AS h_sum,
+       round(sum(sample) / count(*), 6) AS h_avg
+FROM fanned GROUP BY mtype, step_us""",
+    ),
+)
+def hist_native_count_avg(spark, sf_dir):
+    """histogram_count / histogram_sum / histogram_avg: the exact
+    stored count/sum of the histogram state (Prometheus reads these
+    fields directly; avg = sum/count)."""
+    fanned = _bucket_frames(spark, sf_dir)
+    return fanned.groupBy("mtype", "step_us").agg(
+        F.count(F.lit(1)).cast("double").alias("h_count"),
+        F.round(F.sum("sample"), 6).alias("h_sum"),
+        F.round(F.sum("sample") / F.count(F.lit(1)), 6).alias("h_avg"),
+    )
+
+
+@register(
+    "hist_native_stdvar",
+    with_ctes(
+        *_HIST_CTES,
+        f"m AS (SELECT mtype, step_us, cnt, {_MID_SCALED_CASE} AS mid FROM b)",
+        """s AS (
+  SELECT mtype, step_us,
+         CAST(sum(cnt * mid) AS BIGINT) AS s1,
+         CAST(sum(cnt * mid * mid) AS BIGINT) AS s2,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM m GROUP BY mtype, step_us
+)""",
+        body="""SELECT mtype, step_us,
+       CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0)
+         - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
+           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
+         AS h_stdvar,
+       sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0)
+         - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
+           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0)))
+         AS h_stddev
+FROM s""",
+    ),
+)
+def hist_native_stdvar(spark, sf_dir):
+    """histogram_stdvar / histogram_stddev: bucket-midpoint estimate
+    (mass at the arithmetic midpoint of each scale-0 bucket); one-pass
+    E[m^2] - E[m]^2 with identical operation order on both engines."""
+    fanned = _bucket_frames(spark, sf_dir)
+    b = fanned.groupBy(
+        "mtype", "step_us", F.expr(_bucket_case_sql("sample")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = b.withColumn("mid", F.expr(_MID_SCALED_CASE))
+    s = m.groupBy("mtype", "step_us").agg(
+        F.sum(F.col("cnt") * F.col("mid")).alias("s1"),
+        F.sum(F.col("cnt") * F.col("mid") * F.col("mid")).alias("s2"),
+        F.sum("cnt").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    ex2 = F.col("s2").cast("double") / (nd * F.lit(65536.0))
+    ex = F.col("s1").cast("double") / (nd * F.lit(256.0))
+    var = ex2 - ex * ex
+    return s.select(
+        "mtype",
+        "step_us",
+        var.alias("h_stdvar"),
+        F.sqrt(var).alias("h_stddev"),
+    )
+
+
+_FRAC_LO, _FRAC_HI = 0.5, 8.0
+
+
+def _covered_sql(x: float) -> str:
+    # fraction of each scale-0 bucket (lo_e, hi_e] that lies below x,
+    # linear interpolation inside the straddling bucket
+    lo = "pow(2.0, bucket - 1)"
+    hi = "pow(2.0, bucket)"
+    return (
+        f"CASE WHEN {x!r} >= {hi} THEN 1.0 WHEN {x!r} <= {lo} THEN 0.0 "
+        f"ELSE ({x!r} - {lo}) / ({hi} - {lo}) END"
+    )
+
+
+@register(
+    "hist_native_fraction",
+    with_ctes(
+        *_HIST_CTES,
+        body=f"""SELECT mtype, step_us,
+       round(sum(cnt * ({_covered_sql(_FRAC_HI)}))
+             / sum(cnt)
+             - sum(cnt * ({_covered_sql(_FRAC_LO)})) / sum(cnt),
+             6) AS h_fraction
+FROM b GROUP BY mtype, step_us""",
+    ),
+)
+def hist_native_fraction(spark, sf_dir):
+    """histogram_fraction(0.5, 8, v): estimated share of observations
+    in [lo, hi] — cumulative bucket mass with linear interpolation
+    inside the two straddling buckets (Prometheus histogramFraction)."""
+    fanned = _bucket_frames(spark, sf_dir)
+    b = fanned.groupBy(
+        "mtype", "step_us", F.expr(_bucket_case_sql("sample")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    frac_hi = F.sum(F.col("cnt") * F.expr(_covered_sql(_FRAC_HI))) / F.sum("cnt")
+    frac_lo = F.sum(F.col("cnt") * F.expr(_covered_sql(_FRAC_LO))) / F.sum("cnt")
+    return b.groupBy("mtype", "step_us").agg(
+        F.round(frac_hi - frac_lo, 6).alias("h_fraction")
+    )
+
+
 # wide-range two-phase aggregation: count over 48h windows at 6h steps
 # via bucket pre-aggregation (8x smaller fan-out input); the oracle
 # does the naive row fan-out — results must agree exactly
