@@ -179,3 +179,126 @@ def ann_ivf_top5(spark, sf_dir):
         .limit(5)
         .select("vec_id", "cosine")
     )
+
+
+# IVF with k-means centroids (the production upgrade over the fixed
+# seed centroids above): one Lloyd iteration — spherical assignment by
+# rounded cosine, then per-dimension mean update.  Coordinates are
+# quantized to 2^20-scaled integers before the mean, so the update's
+# sums are exact BIGINTs in any accumulation order and the recomputed
+# centroids are bit-identical on both engines; every dot product is a
+# sequential left fold on both sides.  At scale this is the standard
+# IVF build: K centroid rows broadcast, assignment is a map-side
+# scan, the update one groupBy — no all-pairs anywhere.
+_QS = 1_048_576.0  # 2^20
+
+
+def _kmeans_cos(v_e: str, c_e: str) -> str:
+    return (
+        f"round(list_dot_product({v_e}, {c_e}) /"
+        f" (sqrt(list_dot_product({v_e}, {v_e})) *"
+        f" sqrt(list_dot_product({c_e}, {c_e}))), 6)"
+    )
+
+
+@register(
+    "ann_ivf_kmeans_top5",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+qv AS (SELECT vec_id, list_transform(e,
+         x -> CAST(floor(x * {_QS!r} + 0.5) AS BIGINT)) AS qe FROM v),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+s0 AS (SELECT v.vec_id, c.cid, {_kmeans_cos("v.e", "c.ce")} AS cos
+       FROM v CROSS JOIN c0 c),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM s0)
+       WHERE rn = 1),
+ex AS (SELECT a1.cid, d.d, qv.qe[CAST(d.d + 1 AS INT)] AS q
+       FROM a1 JOIN qv USING (vec_id)
+       CROSS JOIN (SELECT range AS d FROM range(0, 64, 1)) d),
+cs AS (SELECT cid, d, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+       FROM ex GROUP BY cid, d),
+c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / {_QS!r}
+                        ORDER BY d) AS ce
+       FROM cs GROUP BY cid),
+s1 AS (SELECT v.vec_id, c.cid, {_kmeans_cos("v.e", "c.ce")} AS cos
+       FROM v CROSS JOIN c1 c),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM s1)
+       WHERE rn = 1),
+probes AS (SELECT cid FROM s1 WHERE vec_id = 1
+           ORDER BY cos DESC, cid LIMIT 2),
+cand AS (SELECT a.vec_id FROM a2 a JOIN probes p ON a.cid = p.cid
+         WHERE a.vec_id <> 1)
+SELECT v.vec_id, {_kmeans_cos("v.e", "q.e")} AS cosine
+FROM v JOIN cand USING (vec_id), (SELECT e FROM v WHERE vec_id = 1) q
+ORDER BY cosine DESC, vec_id LIMIT 5""",
+)
+def ann_ivf_kmeans_top5(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    v = emb.withColumn(
+        "qe", F.transform(F.col("e"), lambda x: F.floor(x * F.lit(_QS) + 0.5))
+    )
+
+    def cos_col(a, b):
+        return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+    def nearest(scored):
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    cents0 = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    s0 = v.crossJoin(F.broadcast(cents0)).withColumn(
+        "cos", cos_col(F.col("e"), F.col("ce"))
+    )
+    a1 = nearest(s0)
+
+    ex = a1.join(v.select("vec_id", "qe"), "vec_id").select(
+        "cid", F.posexplode("qe").alias("d", "q")
+    )
+    cs = ex.groupBy("cid", "d").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    coord = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(_QS)
+    c1 = (
+        cs.withColumn("coord", coord)
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "coord"))),
+                lambda s: s["coord"],
+            ).alias("ce")
+        )
+    )
+
+    s1 = v.crossJoin(F.broadcast(c1)).withColumn(
+        "cos", cos_col(F.col("e"), F.col("ce"))
+    )
+    a2 = nearest(s1)
+    probes = (
+        s1.filter(F.col("vec_id") == 1)
+        .orderBy(F.col("cos").desc(), "cid")
+        .limit(2)
+        .select("cid")
+    )
+    cand = a2.join(F.broadcast(probes), "cid", "left_semi").filter(
+        F.col("vec_id") != 1
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("e").alias("qe2"))
+    return (
+        emb.join(cand.select("vec_id"), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos_col(F.col("e"), F.col("qe2")))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id", "cosine")
+    )
