@@ -19,6 +19,7 @@ from . import promql_fns2  # noqa: F401
 from . import histograms  # noqa: F401
 from . import loki_ext  # noqa: F401
 from . import similarity_ext  # noqa: F401
+from . import corpus_stats  # noqa: F401
 from . import dedup_lsh  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import profiles  # noqa: F401

@@ -1,0 +1,140 @@
+"""Corpus-analysis operators for training-data curation: vocabulary
+statistics, lexical-diversity scoring, keyword extraction.
+
+These sit beside the dedup/similarity tier (queries/pipeline.py): a
+100 TB curation run interleaves dedup with corpus-level frequency
+passes (vocabulary pruning, boilerplate detection) and per-document
+lexical quality signals.  All three are pure DataFrame aggregations —
+word explode is narrow, every groupBy partial-aggregates map-side,
+and the only joins broadcast a small side (the document-frequency
+table after its count collapse, the corpus-size literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# --- corpus-wide top bigrams -------------------------------------------------
+# vocabulary/boilerplate pass: most frequent word bigrams across the
+# corpus.  Deterministic top-k: count desc, bigram asc tie-break.
+
+
+@register(
+    "text_top_bigrams",
+    """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 20""",
+)
+def text_top_bigrams(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', split(text, ' ')[i],"
+                " split(text, ' ')[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# --- lexical diversity (type-token ratio) ------------------------------------
+# quality signal: near-duplicate / templated docs have low TTR.  The
+# ratio is one IEEE divide of two exact counts — deterministic.
+
+
+@register(
+    "text_ttr",
+    """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS types,
+       CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS ttr
+FROM w GROUP BY doc_id""",
+)
+def text_ttr(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tokens"),
+        F.countDistinct("tok").cast("long").alias("types"),
+        (F.countDistinct("tok").cast("double") / F.count(F.lit(1))).alias(
+            "ttr"
+        ),
+    )
+
+
+# --- keyword extraction (tf-idf, linear idf) ---------------------------------
+# top distinguishing term per document.  idf is the linear N/df rather
+# than ln(N/df): the ranking inside a document is what matters for
+# extraction, ln is monotone in N/df so top-1 is identical, and the
+# linear form keeps the score two IEEE ops on exact integers
+# (hash-deterministic; engine ln() differs at ulp level).
+
+
+@register(
+    "text_keyword_top1",
+    """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM w GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM w GROUP BY tok
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * (CAST(n.n AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS keyword, score FROM (
+  SELECT doc_id, tok, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+  FROM scored
+) WHERE rn = 1""",
+)
+def text_keyword_top1(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar corpus size (one job, not a join)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("keyword"), "score")
+    )

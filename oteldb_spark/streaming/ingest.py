@@ -54,6 +54,27 @@ def stream_logs_from_json(
     return writer.start()
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose key columns repeat
+    within the watermark horizon.
+
+    The scale property that matters: ``dropDuplicatesWithinWatermark``
+    keeps per-key state only until the event-time watermark passes, so
+    state is bounded by (arrival rate × watermark), not by stream
+    history — the streaming analog of the batch hash-groupBy dedup
+    (queries/pipeline.py).  Keys should be content fingerprints
+    (md5 of normalized text), not raw bodies, to keep state rows
+    small."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def upsert_series_registry(
     spark: SparkSession, batch: DataFrame, registry_dir: str
 ) -> None:

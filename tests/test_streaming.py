@@ -128,3 +128,36 @@ def test_retention_sweep(spark, tmp_path):
     dropped = retention_sweep(str(table), keep_days=3, now_date="2024-01-10")
     assert sorted(dropped) == ["date=2024-01-01", "date=2024-01-05"]
     assert (table / "date=2024-01-09").exists()
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from oteldb_spark.streaming.ingest import stream_dedup_exact
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "fp": "aaa", "body": "hello world"},
+        {"ts": "2024-01-01T00:00:05", "fp": "aaa", "body": "hello world"},
+        {"ts": "2024-01-01T00:00:10", "fp": "bbb", "body": "other"},
+        {"ts": "2024-01-01T00:00:12", "fp": "aaa", "body": "hello world"},
+        {"ts": "2024-01-01T00:00:20", "fp": "ccc", "body": "third"},
+    ]
+    (src / "batch.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, fp string, body string")
+        .json(str(src))
+    )
+    deduped = stream_dedup_exact(stream, ["fp"], ts_col="ts", watermark="1 minute")
+    out = tmp_path / "dedup_out"
+    ckpt = tmp_path / "dedup_ckpt"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out)).collect()
+    # one survivor per fingerprint within the watermark window
+    assert sorted(r["fp"] for r in got) == ["aaa", "bbb", "ccc"]
