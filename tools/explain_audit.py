@@ -21,6 +21,11 @@ DEFAULT = [
     "tpch_q1",
     "tpch_revenue_by_nation",
     "dedup_minhash_lsh",
+    "ann_ivf_kmeans_top5",
+    "ann_near_dup_pairs",
+    "hist_native_stdvar",
+    "text_keyword_top1",
+    "prw_ingest_points",
 ]
 
 
