@@ -472,6 +472,43 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         order = v.asc_nulls_last() if name == "sort" else v.desc_nulls_last()
         return inner.orderBy(order, *[F.col(l) for l in labels])
 
+    if name in ("sort_by_label", "sort_by_label_desc"):
+        # experimental Prometheus fns: presentation ordering by label
+        # values (functions.go funcSortByLabel); remaining labels and
+        # value break ties deterministically
+        inner = _compile(fc.args[0], source, params, spark)
+        keys = [a for a in fc.args[1:] if isinstance(a, str)]
+        labels = _labels_of(inner)
+        cols = [F.col(k) for k in keys if k in labels]
+        cols += [F.col(l) for l in labels if l not in keys]
+        if name == "sort_by_label_desc":
+            cols = [c.desc_nulls_last() for c in cols]
+        return inner.orderBy(*cols, F.col("value"))
+
+    if name == "mad_over_time":
+        # median absolute deviation per window (experimental,
+        # functions.go funcMadOverTime): median via the same
+        # percentile machinery as quantile_over_time, deviations
+        # joined back on the (series, step) key — two keyed shuffles,
+        # no all-pairs
+        sel = fc.args[0]
+        if not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
+            raise SyntaxError("PromQL: mad_over_time() needs a range vector")
+        pts = _selector_points(sel, source)
+        fanned = fanout(
+            pts, params.start_us, params.end_us, params.step_us, sel.range_us
+        )
+        keys = [*source.label_cols, "step_us"]
+        med = fanned.groupBy(*keys).agg(
+            F.percentile("sample", F.lit(0.5)).alias("__med")
+        )
+        dev = fanned.join(med, keys).withColumn(
+            "__dev", F.abs(F.col("sample") - F.col("__med"))
+        )
+        return dev.groupBy(*keys).agg(
+            F.percentile("__dev", F.lit(0.5)).alias("value")
+        )
+
     if name == "double_exponential_smoothing":
         # Holt-Winters double smoothing over each range window
         # (Prometheus functions.go funcDoubleExponentialSmoothing):

@@ -42,6 +42,9 @@ FUNCS = {
     "first_over_time",
     "present_over_time",
     "absent_over_time",
+    "mad_over_time",
+    "sort_by_label",
+    "sort_by_label_desc",
     "histogram_quantile",
     "abs",
     "ceil",

@@ -197,3 +197,38 @@ register(
         body="SELECT mtype, instance, step_us, value FROM per_series",
     ),
 )(_run("sort_desc(count_over_time(events_gauge[12h]))"))
+
+
+# mad_over_time (experimental Prometheus fn): median absolute
+# deviation per trailing window — median via the shared percentile
+# machinery, deviations joined back on the (series, step) key
+register(
+    "ppql_parsed_mad",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""med AS (
+  SELECT mtype, instance, step_us, quantile_cont(sample, 0.5) AS med
+  FROM {_G_FAN} s GROUP BY mtype, instance, step_us
+)""",
+        body=f"""SELECT s.mtype, s.instance, s.step_us,
+       round(quantile_cont(abs(s.sample - med.med), 0.5), 6) AS value
+FROM {_G_FAN} s JOIN med
+  ON med.mtype = s.mtype AND med.instance = s.instance
+ AND med.step_us = s.step_us
+GROUP BY s.mtype, s.instance, s.step_us""",
+    ),
+)(_run("mad_over_time(events_gauge[12h])", round_digits=6))
+
+
+# sort_by_label (experimental): presentation ordering — the driver's
+# value gate is order-insensitive, so this certifies the values flow
+# through unchanged; the ordering itself is pytest-asserted
+register(
+    "ppql_parsed_sort_by_label",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       arg_max(sample, ts_us) AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run('sort_by_label(events_gauge, "instance")'))

@@ -134,3 +134,52 @@ def test_at_start_end_sentinels_parse():
     assert e.at_us == "end"
     e = parse("events_gauge @ 1704067200")
     assert e.at_us == 1_704_067_200_000_000
+
+
+def test_sort_by_label_orders_rows(spark):
+    out = compile_promql(
+        'sort_by_label(count_over_time(events_gauge[12h]), "instance")',
+        _source(spark),
+        _params(),
+        spark,
+    ).collect()
+    assert out
+    insts = [r["instance"] for r in out]
+    assert insts == sorted(insts)
+    desc = compile_promql(
+        'sort_by_label_desc(count_over_time(events_gauge[12h]), "instance")',
+        _source(spark),
+        _params(),
+        spark,
+    ).collect()
+    insts_d = [r["instance"] for r in desc]
+    assert insts_d == sorted(insts_d, reverse=True)
+
+
+def test_mad_over_time_matches_definition(spark):
+    import statistics
+
+    src = _source(spark)
+    p = _params()
+    mad = {
+        (r["mtype"], r["instance"], r["step_us"]): r["value"]
+        for r in compile_promql(
+            "mad_over_time(events_gauge[12h])", src, p, spark
+        ).collect()
+    }
+    assert mad
+    # spot-check one window against a driver-side recomputation
+    fan_key = next(iter(mad))
+    from oteldb_spark.operators.stepfanout import fanout
+
+    pts = src.df.select(
+        "mtype", "instance", "ts_us", F.col("gauge").alias("sample")
+    ).filter((F.col("mtype") == fan_key[0]) & (F.col("instance") == fan_key[1]))
+    fanned = fanout(pts, p.start_us, p.end_us, p.step_us, p.lookback_us)
+    vals = [
+        r["sample"]
+        for r in fanned.filter(F.col("step_us") == fan_key[2]).collect()
+    ]
+    med = statistics.median(vals)
+    expect = statistics.median(abs(v - med) for v in vals)
+    assert abs(mad[fan_key] - expect) < 1e-9
