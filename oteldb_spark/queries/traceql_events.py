@@ -143,3 +143,50 @@ FROM espans c JOIN orders o ON o.o_orderkey = c.trace_id
 WHERE floor(o.o_totalprice * 10) > 4000000 AND c.status_code = 2""",
     ),
 )(_run("{ parent.duration > 4s && status = error }"))
+
+
+# | by(span.service) | count() >= 3 — group spansets per (trace,
+# service) and keep groups with at least 3 spans.  The reference
+# parses by() but 501s execution (traceqlengine/pipeline.go:78);
+# this exceeds it, like TraceQL metrics.
+register(
+    "tql_parsed_by_group",
+    with_ctes(
+        _ESPANS_CTE,
+        """big AS (
+  SELECT trace_id, service FROM espans
+  GROUP BY trace_id, service HAVING count(*) >= 3
+)""",
+        body=f"""SELECT {", ".join("s." + c.strip() for c in _ALL.split(","))}
+FROM espans s JOIN big
+  ON s.trace_id = big.trace_id AND s.service = big.service""",
+    ),
+)(_run("{ } | by(span.service) | count() >= 3"))
+
+
+# by() groups feed the scalar filter, coalesce() merges the trace's
+# surviving spansets back, and a second count() applies per trace
+register(
+    "tql_parsed_by_coalesce",
+    with_ctes(
+        _ESPANS_CTE,
+        """grp AS (
+  SELECT trace_id, service FROM espans
+  WHERE duration_us > 20000
+  GROUP BY trace_id, service HAVING count(*) >= 2
+)""",
+        """kept AS (
+  SELECT s.* FROM espans s JOIN grp
+    ON s.trace_id = grp.trace_id AND s.service = grp.service
+  WHERE s.duration_us > 20000
+)""",
+        body=f"""SELECT {_ALL} FROM kept s
+WHERE trace_id IN (
+  SELECT trace_id FROM kept GROUP BY trace_id HAVING count(*) > 4)""",
+    ),
+)(
+    _run(
+        "{ duration > 20ms } | by(span.service) | count() >= 2"
+        " | coalesce() | count() > 4"
+    )
+)

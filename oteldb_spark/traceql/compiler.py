@@ -253,8 +253,23 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
     source = _with_parent_columns(source, query)
     out = _compile_structural(query.root, source)
 
+    # spanset identity: trace_id, split further by any active by()
+    # group columns (merged back by coalesce()) — the reference parses
+    # these stages but 501s execution (traceqlengine/pipeline.go:78);
+    # here they run
+    group_cols: list[str] = []
+    n_groups = 0
     for stage in query.stages:
-        if isinstance(stage, P.ScalarFilter):
+        if isinstance(stage, P.Group):
+            n_groups += 1
+            gcol = f"__group_{n_groups}"
+            out = out.withColumn(gcol, _field_col(source, stage.by))
+            # a span with no group value belongs to no spanset
+            out = out.filter(F.col(gcol).isNotNull())
+            group_cols.append(gcol)
+        elif isinstance(stage, P.Coalesce):
+            group_cols = []
+        elif isinstance(stage, P.ScalarFilter):
             if stage.agg == "count":
                 agg = F.count(F.lit(1)).cast("double")
             else:
@@ -269,7 +284,8 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
                     "avg": F.avg,
                     "sum": F.sum,
                 }[stage.agg](col).cast("double")
-            per_trace = out.groupBy(source.trace_col).agg(agg.alias("__agg"))
+            keys = [source.trace_col, *group_cols]
+            per_set = out.groupBy(*keys).agg(agg.alias("__agg"))
             cmp = {
                 "=": F.col("__agg") == stage.value,
                 "!=": F.col("__agg") != stage.value,
@@ -278,8 +294,8 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
                 "<": F.col("__agg") < stage.value,
                 "<=": F.col("__agg") <= stage.value,
             }[stage.op]
-            keep = per_trace.filter(cmp).select(source.trace_col)
-            out = out.join(keep, source.trace_col, "left_semi")
+            keep = per_set.filter(cmp).select(*keys)
+            out = out.join(keep, keys, "left_semi")
         elif isinstance(stage, P.Select):
             cols = [source.trace_col, source.span_col] + [
                 _attr_col(source, a).alias(a.name.replace(".", "_"))
@@ -288,9 +304,13 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
             out = out.select(*cols)
         else:
             raise SyntaxError(f"TraceQL: unsupported stage {stage!r}")
-    parent_cols = [c for c in out.columns if c.startswith("__parent_")]
-    if parent_cols:
-        out = out.drop(*parent_cols)
+    internal = [
+        c
+        for c in out.columns
+        if c.startswith("__parent_") or c.startswith("__group_")
+    ]
+    if internal:
+        out = out.drop(*internal)
     return out
 
 

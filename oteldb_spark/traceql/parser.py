@@ -82,6 +82,20 @@ class Select:
 
 
 @dataclass
+class Group:
+    # | by(<field expr>) — spansets split per group value
+    # (traceql/parser_pipeline.go:316 parseGroupOperation; the
+    # reference engine does not execute it, pipeline.go:78)
+    by: object
+
+
+@dataclass
+class Coalesce:
+    # | coalesce() — merge a trace's spansets back into one
+    pass
+
+
+@dataclass
 class TraceQuery:
     root: object
     stages: list[object] = field(default_factory=list)
@@ -220,6 +234,15 @@ class Parser:
                 attrs.append(a)
                 self.accept(",")
             return Select(attrs)
+        if t.text == "by":
+            self.expect("(")
+            e = self.parse_field(0)
+            self.expect(")")
+            return Group(e)
+        if t.text == "coalesce":
+            self.expect("(")
+            self.expect(")")
+            return Coalesce()
         if t.text in ("count", "max", "min", "avg", "sum"):
             self.expect("(")
             attr = None
