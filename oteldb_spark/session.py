@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bucketed stores (sources/bucketed.py) hash rows by the
+        # coarse key (trace_id / series_hash); joins on finer key sets
+        # that include it should reuse that layout instead of
+        # reshuffling — the subset co-partition rule makes structural
+        # trace joins Exchange-free over the bucketed span table
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

@@ -1,0 +1,58 @@
+"""Bucketed table writers — the shuffle-free layout for trace joins.
+
+The reference co-locates a trace's spans physically via the MergeTree
+ORDER BY (trace_id, ...) so structural queries never redistribute
+data.  The Spark-native equivalent is a bucketed table: bucketBy
+(trace_id) hash-splits rows into a fixed bucket count at write time,
+and any later equi-join whose keys contain trace_id reads both sides
+already co-partitioned — the sort-merge join plans with ZERO Exchange
+nodes (asserted in tests/test_bucketed.py).  At 100 TB this converts
+every per-trace self-join (child/sibling/descendant, trace assembly)
+from a full shuffle of the span table into a local per-bucket join.
+
+Series stores bucket by series_hash for the same reason: step
+aggregation and rate windows group on the series key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """Write ``df`` as a bucketed, sorted managed table (overwrite)."""
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def write_bucketed_spans(
+    spans: DataFrame, table: str = "spans_bucketed", n_buckets: int = 64
+) -> None:
+    """Span store bucketed by trace_id, sorted (trace_id, start_us) —
+    the layout under every structural operator."""
+    write_bucketed(
+        spans, table, ["trace_id"], ["trace_id", "start_us"], n_buckets
+    )
+
+
+def write_bucketed_points(
+    points: DataFrame,
+    table: str = "points_bucketed",
+    key: str = "series_hash",
+    ts: str = "ts_us",
+    n_buckets: int = 64,
+) -> None:
+    """Metric point store bucketed by the series key, time-sorted
+    within buckets (rate windows scan one bucket run)."""
+    write_bucketed(points, table, [key], [key, ts], n_buckets)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -82,6 +82,30 @@ def main() -> None:
         .parquet(f"{out}/metric_series")
     )
 
+    # bucketed variants: trace-co-located spans and series-co-located
+    # points — structural joins / rate windows plan without Exchange
+    # (see sources/bucketed.py and tests/test_bucketed.py)
+    from oteldb_spark.operators.structural import child_join
+    from oteldb_spark.plans.audit import audit
+    from oteldb_spark.sources.bucketed import (
+        write_bucketed_points,
+        write_bucketed_spans,
+    )
+
+    write_bucketed_spans(spans.drop("date"), "store_spans_bucketed")
+    write_bucketed_points(keyed.drop("date"), "store_points_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    j = child_join(
+        spark.table("store_spans_bucketed"),
+        F.col("status_code") == 2,
+        F.col("duration_us") > 0,
+    )
+    print(
+        f"bucketed spans: child-join exchanges={audit(j).n_exchanges}"
+        f" rows={j.count()}"
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     # demonstrate partition-pruned reads
     for table, pred, cols in [
         ("logs", "date = '2024-01-15' AND severity_number >= 17", "count(*)"),
