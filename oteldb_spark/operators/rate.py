@@ -53,13 +53,25 @@ def with_reset_adjustment(
         )
     )
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pts = pts.withColumn("__corr", F.sum("__drop").over(wcum))
+    # the running correction accumulates in DECIMAL: window sums of
+    # doubles are NOT a left fold in every engine (DuckDB evaluates
+    # window aggregates with segment trees, i.e. tree-order addition),
+    # so float accumulation drifts by an ulp between engines at larger
+    # SFs; decimal addition is exact in any order, and the single
+    # decimal→double cast at the end is correctly rounded in both
+    dec = "decimal(38,9)"
+    pts = pts.withColumn(
+        "__corr", F.sum(F.col("__drop").cast(dec)).over(wcum)
+    )
+    raw_dec = F.col(value_col).cast(dec)
+    pts = pts.withColumn("adj", raw_dec + F.col("__corr"))
     return (
-        pts.withColumn("adj", F.col(value_col) + F.col("__corr"))
-        .withColumn(
+        pts.withColumn(
             "prev_adj",
-            F.when(F.col("__prev").isNull(), F.lit(None)).otherwise(
-                F.col("__prev") + F.col("__corr") - F.col("__drop")
+            F.when(F.col("__prev").isNull(), F.lit(None))
+            .when(F.col(value_col) < F.col("__prev"), F.col("adj") - raw_dec)
+            .otherwise(
+                F.col("adj") - raw_dec + F.col("__prev").cast(dec)
             ),
         )
         .withColumn("prev_raw", F.col("__prev"))
@@ -77,7 +89,9 @@ def _extrapolated(
     """
     range_s = range_us / 1e6
     e = {}
-    e["raw_inc"] = F.col("last_adj") - F.col("first_adj")
+    # adj is decimal for counters (exact increment), raw double for
+    # delta; the cast to double is a no-op for the latter
+    e["raw_inc"] = (F.col("last_adj") - F.col("first_adj")).cast("double")
     dur_start = (F.col("first_ts") - (F.col("step_us") - F.lit(range_us))) / 1e6
     dur_end = (F.col("step_us") - F.col("last_ts")) / 1e6
     sampled = (F.col("last_ts") - F.col("first_ts")) / 1e6
@@ -94,10 +108,13 @@ def _extrapolated(
         + F.when(dur_start < threshold, dur_start).otherwise(avg_spacing / 2)
         + F.when(dur_end < threshold, dur_end).otherwise(avg_spacing / 2)
     )
-    factor = extrap / sampled
+    # keep the oracle's association: (inc * (extrap/sampled)) / range_s
+    # — a different grouping rounds differently at the ulp level and
+    # the 9-digit gate flips on larger inputs
+    value = e["raw_inc"] * (extrap / sampled)
     if is_rate:
-        factor = factor / F.lit(range_s)
-    return grouped.withColumn("value", e["raw_inc"] * factor)
+        value = value / F.lit(range_s)
+    return grouped.withColumn("value", value)
 
 
 def rate_family(
@@ -153,7 +170,7 @@ def rate_family(
             & (F.col("prev_ts_us") > F.col("step_us") - F.lit(range_us))
         )
         if op == "irate":
-            value = (F.col("adj") - F.col("prev_adj")) / (
+            value = (F.col("adj") - F.col("prev_adj")).cast("double") / (
                 (F.col(ts_col) - F.col("prev_ts_us")) / 1e6
             )
         else:
@@ -288,11 +305,16 @@ def rate_family_oracle_sql(
     columns series..., ts_us, value_col)."""
     range_s = range_us / 1e6
     sser = ", ".join(series_sql)
+    # the correction accumulates in DECIMAL (exact in any order —
+    # window sums of doubles are segment-tree-ordered here, a left
+    # fold in Spark; see with_reset_adjustment)
     adj = f"""adjusted AS (
   SELECT {sser}, ts_us, {value_col} AS raw,
          lag({value_col}) OVER w AS prev_raw,
          lag(ts_us) OVER w AS prev_ts_us,
-         {value_col} + coalesce(sum(CASE WHEN {value_col} < lagv THEN lagv ELSE 0 END)
+         CAST({value_col} AS DECIMAL(38,9))
+           + coalesce(sum(CAST(CASE WHEN {value_col} < lagv THEN lagv
+                                    ELSE 0 END AS DECIMAL(38,9)))
              OVER (PARTITION BY {sser} ORDER BY ts_us
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS adj
   FROM (
@@ -303,8 +325,9 @@ def rate_family_oracle_sql(
     # prev_adj = prev_raw + correction before this point's drop
     adj2 = f"""adjusted2 AS (
   SELECT *, CASE WHEN prev_raw IS NULL THEN NULL
-                 WHEN raw < prev_raw THEN adj - raw
-                 ELSE adj - raw + prev_raw END AS prev_adj
+                 WHEN raw < prev_raw THEN adj - CAST(raw AS DECIMAL(38,9))
+                 ELSE adj - CAST(raw AS DECIMAL(38,9))
+                        + CAST(prev_raw AS DECIMAL(38,9)) END AS prev_adj
   FROM adjusted
 )"""
     fan = fanout_join_sql(
@@ -326,20 +349,21 @@ def rate_family_oracle_sql(
   GROUP BY {sser}, step_us
   HAVING count(*) >= 2
 )"""
+        inc = "CAST(last_adj - first_adj AS DOUBLE)"
         zero = (
-            """CASE WHEN (last_adj - first_adj) > 0 AND first_raw >= 0
-                AND ((last_ts - first_ts)/1e6) * (first_raw / (last_adj - first_adj))
+            """CASE WHEN {inc} > 0 AND first_raw >= 0
+                AND ((last_ts - first_ts)/1e6) * (first_raw / {inc})
                     < (first_ts - (step_us - {range_us}))/1e6
-           THEN ((last_ts - first_ts)/1e6) * (first_raw / (last_adj - first_adj))
+           THEN ((last_ts - first_ts)/1e6) * (first_raw / {inc})
            ELSE (first_ts - (step_us - {range_us}))/1e6 END""".format(
-                range_us=range_us
+                range_us=range_us, inc=inc
             )
             if is_counter
             else f"(first_ts - (step_us - {range_us}))/1e6"
         )
         rate_div = f" / {range_s!r}" if op == "rate" else ""
         body = f"""SELECT {sser}, step_us,
-       (last_adj - first_adj) *
+       {inc} *
        ((((last_ts - first_ts)/1e6)
          + CASE WHEN ({zero}) < (((last_ts - first_ts)/1e6) / (n - 1)) * 1.1
                 THEN ({zero})
@@ -364,7 +388,9 @@ FROM g"""
   GROUP BY {sser}, step_us
 )"""
         val = (
-            "(ladj - padj) / ((lts - pts)/1e6)" if op == "irate" else "lraw - praw"
+            "CAST(ladj - padj AS DOUBLE) / ((lts - pts)/1e6)"
+            if op == "irate"
+            else "lraw - praw"
         )
         body = f"""SELECT {sser}, step_us, {val} AS value
 FROM g WHERE pts IS NOT NULL AND pts > step_us - {range_us}"""

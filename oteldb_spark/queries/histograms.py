@@ -157,20 +157,26 @@ _HIST_CTES = (
         *_HIST_CTES,
         body="""SELECT mtype, step_us,
        CAST(count(*) AS DOUBLE) AS h_count,
-       round(sum(sample), 6) AS h_sum,
-       round(sum(sample) / count(*), 6) AS h_avg
+       CAST(round(sum(CAST(sample AS DECIMAL(38,9))), 6) AS DOUBLE) AS h_sum,
+       CAST(round(sum(CAST(sample AS DECIMAL(38,9))), 6) AS DOUBLE)
+         / count(*) AS h_avg
 FROM fanned GROUP BY mtype, step_us""",
     ),
 )
 def hist_native_count_avg(spark, sf_dir):
     """histogram_count / histogram_sum / histogram_avg: the exact
     stored count/sum of the histogram state (Prometheus reads these
-    fields directly; avg = sum/count)."""
+    fields directly; avg = sum/count).  The sum accumulates in
+    DECIMAL so it is exact in any order — a double sum drifts by an
+    ulp between engines at larger SFs and flips the rounded digit."""
     fanned = _bucket_frames(spark, sf_dir)
+    sum_dec = F.round(F.sum(F.col("sample").cast("decimal(38,9)")), 6).cast(
+        "double"
+    )
     return fanned.groupBy("mtype", "step_us").agg(
         F.count(F.lit(1)).cast("double").alias("h_count"),
-        F.round(F.sum("sample"), 6).alias("h_sum"),
-        F.round(F.sum("sample") / F.count(F.lit(1)), 6).alias("h_avg"),
+        sum_dec.alias("h_sum"),
+        (sum_dec / F.count(F.lit(1))).alias("h_avg"),
     )
 
 
