@@ -34,6 +34,10 @@ class MetricSource:
     metrics: dict[str, str]  # metric name → value column
     label_cols: list[str]
     ts_col: str = "ts_us"
+    # metric names whose samples are native-histogram observation
+    # streams (decoded to scale-0 exp buckets at query time); the
+    # histogram_* functions only accept selectors of these
+    histograms: frozenset[str] = frozenset()
 
 
 @dataclass
@@ -564,12 +568,79 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         cols = [F.col(s) if s in inner.columns else F.lit("") for s in srcs]
         return inner.withColumn(dst, F.concat_ws(sep, *cols))
 
+    if name in HIST_NATIVE_FNS or (
+        name == "histogram_quantile"
+        and isinstance(fc.args[-1], ast.VectorSelector)
+        and fc.args[-1].name in source.histograms
+    ):
+        return _compile_hist_native(fc, source, params)
+
     if name == "histogram_quantile":
         q = fc.args[0].value
         inner = _compile(fc.args[1], source, params, spark)
         return histogram_quantile(inner, q)
 
     raise SyntaxError(f"PromQL: unsupported function {name!r}")
+
+
+HIST_NATIVE_FNS = {
+    "histogram_count",
+    "histogram_sum",
+    "histogram_avg",
+    "histogram_stddev",
+    "histogram_stdvar",
+    "histogram_fraction",
+}
+
+
+def _compile_hist_native(
+    fc: ast.FuncCall, source: MetricSource, params: PromParams
+) -> DataFrame:
+    """Native-histogram function family over an exp-histogram-typed
+    selector (see operators/histogram.py for decode + numeric
+    policy).  Prometheus applies these only to histogram samples —
+    any other argument shape is a compile error here."""
+    from ..operators.histogram import (
+        bucket_counts,
+        hist_count_sum_avg,
+        hist_fraction,
+        hist_quantile,
+        hist_stdvar,
+    )
+
+    name = fc.name
+    sel = fc.args[-1]
+    if not (
+        isinstance(sel, ast.VectorSelector) and sel.name in source.histograms
+    ):
+        raise SyntaxError(
+            f"PromQL: {name}() needs a native-histogram selector"
+        )
+    rng = sel.range_us or params.lookback_us
+    pts = _selector_points(sel, source)
+    fanned = fanout(
+        pts, params.start_us, params.end_us, params.step_us, rng
+    )
+    keys = [*source.label_cols, "step_us"]
+    if name in ("histogram_count", "histogram_sum", "histogram_avg"):
+        col = {
+            "histogram_count": "h_count",
+            "histogram_sum": "h_sum",
+            "histogram_avg": "h_avg",
+        }[name]
+        return hist_count_sum_avg(fanned, keys).select(
+            *keys, F.col(col).alias("value")
+        )
+    b = bucket_counts(fanned, keys)
+    if name in ("histogram_stddev", "histogram_stdvar"):
+        col = "h_stddev" if name == "histogram_stddev" else "h_stdvar"
+        return hist_stdvar(b, keys).select(*keys, F.col(col).alias("value"))
+    if name == "histogram_fraction":
+        lo, hi = fc.args[0].value, fc.args[1].value
+        return hist_fraction(b, keys, lo, hi).select(
+            *keys, F.col("h_fraction").alias("value")
+        )
+    return hist_quantile(b, keys, fc.args[0].value)
 
 
 def histogram_quantile(buckets: DataFrame, q: float, le_col: str = "le") -> DataFrame:

@@ -42,6 +42,12 @@ FUNCS = {
     "first_over_time",
     "present_over_time",
     "absent_over_time",
+    "histogram_count",
+    "histogram_sum",
+    "histogram_avg",
+    "histogram_stddev",
+    "histogram_stdvar",
+    "histogram_fraction",
     "mad_over_time",
     "sort_by_label",
     "sort_by_label_desc",

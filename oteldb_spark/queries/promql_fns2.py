@@ -22,6 +22,9 @@ METRICS = {
     "events_value_total": "counter_mod",
     "events_counter_total": "counter",
     "events_gauge": "gauge",
+    # native-histogram view of the observation stream (engine-path
+    # histogram_* functions; operators/histogram.py)
+    "events_hist": "gauge",
 }
 
 _G_FAN = fanout_join_sql(
@@ -38,6 +41,7 @@ def _source(spark, sf_dir) -> MetricSource:
         df=counter_points_frame(spark, sf_dir),
         metrics=METRICS,
         label_cols=["mtype", "instance"],
+        histograms=frozenset({"events_hist"}),
     )
 
 
@@ -232,3 +236,98 @@ register(
 FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
     ),
 )(_run('sort_by_label(events_gauge, "instance")'))
+
+
+# --- native-histogram functions through the PromQL front-end --------
+# events_hist is an exp-histogram-typed metric; the functions decode
+# scale-0 buckets per window (operators/histogram.py)
+
+from ..operators.histogram import (  # noqa: E402
+    bucket_case_sql as _hb,
+    covered_sql as _hcov,
+    mid_scaled_case_sql as _hmid,
+)
+
+_HB_CTE = f"""hb AS (
+  SELECT mtype, instance, step_us, {_hb("sample")} AS bucket,
+         count(*) AS cnt
+  FROM {_G_FAN} s
+  GROUP BY mtype, instance, step_us, {_hb("sample")}
+)"""
+
+register(
+    "ppql_parsed_hist_count",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       CAST(count(*) AS DOUBLE) AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("histogram_count(events_hist[12h])"))
+
+
+register(
+    "ppql_parsed_hist_sum",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       CAST(round(sum(CAST(sample AS DECIMAL(38,9))), 6) AS DOUBLE) AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("histogram_sum(events_hist[12h])"))
+
+
+register(
+    "ppql_parsed_hist_stddev",
+    with_ctes(
+        COUNTERS_CTE,
+        _HB_CTE,
+        f"hm AS (SELECT mtype, instance, step_us, cnt, {_hmid()} AS mid FROM hb)",
+        """hs AS (
+  SELECT mtype, instance, step_us,
+         CAST(sum(cnt * mid) AS BIGINT) AS s1,
+         CAST(sum(cnt * mid * mid) AS BIGINT) AS s2,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM hm GROUP BY mtype, instance, step_us
+)""",
+        body="""SELECT mtype, instance, step_us,
+       sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0)
+         - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
+           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0)))
+         AS value
+FROM hs""",
+    ),
+)(_run("histogram_stddev(events_hist[12h])"))
+
+
+register(
+    "ppql_parsed_hist_fraction",
+    with_ctes(
+        COUNTERS_CTE,
+        _HB_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       round(sum(cnt * ({_hcov(8.0)})) / sum(cnt)
+             - sum(cnt * ({_hcov(0.5)})) / sum(cnt), 6) AS value
+FROM hb GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("histogram_fraction(0.5, 8, events_hist[12h])"))
+
+
+register(
+    "ppql_parsed_hist_quantile_native",
+    with_ctes(
+        COUNTERS_CTE,
+        _HB_CTE,
+        """hc AS (
+  SELECT mtype, instance, step_us, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY mtype, instance, step_us
+                        ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY mtype, instance, step_us) AS total
+  FROM hb
+)""",
+        body="""SELECT mtype, instance, step_us,
+       CAST(pow(2.0, min(bucket)) AS DOUBLE) AS value
+FROM hc WHERE cum >= 0.9 * total
+GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("histogram_quantile(0.9, events_hist[12h])"))
