@@ -138,3 +138,73 @@ def text_keyword_top1(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("keyword"), "score")
     )
+
+
+# --- end-to-end curation pipeline --------------------------------------------
+# the composed pass a corpus run executes: quality gate → exact dedup
+# (content-hash keep-first) → MinHash-LSH near-dup drop → per-shard
+# stats.  One gate over the whole composition so stage wiring (not
+# just each stage alone) is oracle-checked.
+
+from ..operators.dedup import (  # noqa: E402
+    MINHASH_ORACLE_CTES,
+    lsh_candidate_pairs,
+    minhash_vector,
+)
+
+_SURV_SQL = """survivors AS (
+  SELECT doc_id, text, lang, source
+  FROM (
+    SELECT d.*, row_number() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM (
+      SELECT * FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 30 AND 400
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.2
+    ) d
+  ) WHERE rn = 1
+)"""
+
+_MINH_SURV = MINHASH_ORACLE_CTES.replace("FROM documents", "FROM survivors")
+
+
+@register(
+    "pipeline_curation",
+    f"""WITH {_SURV_SQL},
+{_MINH_SURV},
+agree AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sigs sa ON sa.doc = c.doc_a
+  JOIN sigs sb ON sb.doc = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING count(CASE WHEN sa.sig = sb.sig THEN 1 END) >= 8
+),
+final AS (
+  SELECT s.* FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT doc_b FROM agree)
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+FROM final GROUP BY lang, source""",
+)
+def pipeline_curation(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    uniq = F.size(F.array_distinct(words)).cast("double") / n_words
+    q = docs.filter(n_words.between(30, 400) & (uniq >= 0.2))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    sur = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    vecs = minhash_vector(sur, "doc_id", "text")
+    pairs = lsh_candidate_pairs(vecs, threshold_components=8)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = sur.join(dropped, "doc_id", "left_anti")
+    return final.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+    )
