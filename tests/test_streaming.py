@@ -161,3 +161,59 @@ def test_stream_dedup_exact(spark, tmp_path):
     got = spark.read.parquet(str(out)).collect()
     # one survivor per fingerprint within the watermark window
     assert sorted(r["fp"] for r in got) == ["aaa", "bbb", "ccc"]
+
+
+def test_tail_logs_follows_matching_lines(spark, tmp_path):
+    import pytest as _pytest
+
+    from oteldb_spark.streaming.tail import tail_logs
+
+    store = tmp_path / "tail_store"
+    schema = "ts_us long, body string, service string, level string"
+    base = 1_704_067_200_000_000
+    rows1 = [
+        (base + 1_000_000, "GET /api ok", "web", "info"),
+        (base + 2_000_000, "GET /api error", "web", "error"),
+        (base + 3_000_000, "worker tick", "worker", "info"),
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(store))
+
+    stream = tail_logs(
+        spark,
+        str(store),
+        '{service="web"} |= "error"',
+        {"service": "service", "level": "level"},
+        schema,
+        start_us=base,
+    )
+    assert stream.isStreaming
+    ckpt = tmp_path / "tail_ckpt"
+    sink = tmp_path / "tail_sink"
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["body"] for r in spark.read.parquet(str(sink)).collect()}
+
+    assert drain() == {"GET /api error"}
+
+    # new files appended to the store arrive on the next trigger
+    rows2 = [(base + 9_000_000, "POST /api error again", "web", "warn")]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(store))
+    assert drain() == {"GET /api error", "POST /api error again"}
+
+    # metric queries cannot be tailed
+    with _pytest.raises(SyntaxError):
+        tail_logs(
+            spark,
+            str(store),
+            'count_over_time({service="web"}[5m])',
+            {"service": "service"},
+            schema,
+        )
