@@ -100,7 +100,9 @@ def lsh_candidate_pairs(
                 F.array_sort(F.collect_list(F.struct("i", "sig"))), lambda s: s["sig"]
             ).alias("sigv")
         )
-    vecs = vecs.localCheckpoint(eager=False)
+    from .pin import pin
+
+    vecs = pin(vecs)
     banded = vecs.select(
         "doc",
         "sigv",

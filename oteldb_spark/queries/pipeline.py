@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.pin import pin
 from ..tables import load
 from .registry import register
 
@@ -104,7 +105,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
         docs.repartition(par)
         .select("doc_id", F.explode(shingles).alias("shingle"))
         .repartition(par, "shingle")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
