@@ -570,8 +570,7 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
 
     if name in HIST_NATIVE_FNS or (
         name == "histogram_quantile"
-        and isinstance(fc.args[-1], ast.VectorSelector)
-        and fc.args[-1].name in source.histograms
+        and _native_hist_sel(fc.args[-1], source) is not None
     ):
         return _compile_hist_native(fc, source, params)
 
@@ -593,13 +592,32 @@ HIST_NATIVE_FNS = {
 }
 
 
+def _native_hist_sel(arg, source: MetricSource):
+    """The native-histogram selector inside ``arg``: either the bare
+    selector, or ``rate(sel[r])`` around one (a histogram rate —
+    per-window histogram scaled by 1/range).  None otherwise."""
+    if isinstance(arg, ast.VectorSelector) and arg.name in source.histograms:
+        return arg, False
+    if (
+        isinstance(arg, ast.FuncCall)
+        and arg.name == "rate"
+        and isinstance(arg.args[0], ast.VectorSelector)
+        and arg.args[0].name in source.histograms
+    ):
+        return arg.args[0], True
+    return None
+
+
 def _compile_hist_native(
     fc: ast.FuncCall, source: MetricSource, params: PromParams
 ) -> DataFrame:
     """Native-histogram function family over an exp-histogram-typed
-    selector (see operators/histogram.py for decode + numeric
-    policy).  Prometheus applies these only to histogram samples —
-    any other argument shape is a compile error here."""
+    selector — bare or rate()-wrapped (see operators/histogram.py
+    for decode + numeric policy).  Bucket-relative functions
+    (quantile/fraction/stddev/stdvar/avg) are invariant under the
+    rate's 1/range scaling; count and sum divide by the range in
+    seconds (Prometheus histogram-rate semantics).  Any other
+    argument shape is a compile error."""
     from ..operators.histogram import (
         bucket_counts,
         hist_count_sum_avg,
@@ -609,13 +627,14 @@ def _compile_hist_native(
     )
 
     name = fc.name
-    sel = fc.args[-1]
-    if not (
-        isinstance(sel, ast.VectorSelector) and sel.name in source.histograms
-    ):
+    found = _native_hist_sel(fc.args[-1], source)
+    if found is None:
         raise SyntaxError(
             f"PromQL: {name}() needs a native-histogram selector"
         )
+    sel, is_rate = found
+    if is_rate and sel.range_us is None:
+        raise SyntaxError("PromQL: rate() needs a range vector")
     rng = sel.range_us or params.lookback_us
     pts = _selector_points(sel, source)
     fanned = fanout(
@@ -628,9 +647,11 @@ def _compile_hist_native(
             "histogram_sum": "h_sum",
             "histogram_avg": "h_avg",
         }[name]
-        return hist_count_sum_avg(fanned, keys).select(
-            *keys, F.col(col).alias("value")
-        )
+        out = hist_count_sum_avg(fanned, keys)
+        value = F.col(col)
+        if is_rate and name != "histogram_avg":  # avg is scale-free
+            value = value / F.lit(rng / 1e6)
+        return out.select(*keys, value.alias("value"))
     b = bucket_counts(fanned, keys)
     if name in ("histogram_stddev", "histogram_stdvar"):
         col = "h_stddev" if name == "histogram_stddev" else "h_stdvar"

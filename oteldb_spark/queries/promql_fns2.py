@@ -331,3 +331,37 @@ FROM hc WHERE cum >= 0.9 * total
 GROUP BY mtype, instance, step_us""",
     ),
 )(_run("histogram_quantile(0.9, events_hist[12h])"))
+
+
+# histogram rate: count/sum scale by 1/range, bucket-relative fns are
+# invariant — histogram_count(rate(h[12h])) is the per-second
+# observation rate
+register(
+    "ppql_parsed_hist_count_rate",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       CAST(count(*) AS DOUBLE) / {12 * 3600.0!r} AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("histogram_count(rate(events_hist[12h]))"))
+
+
+register(
+    "ppql_parsed_hist_quantile_rate",
+    with_ctes(
+        COUNTERS_CTE,
+        _HB_CTE,
+        """hc2 AS (
+  SELECT mtype, instance, step_us, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY mtype, instance, step_us
+                        ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY mtype, instance, step_us) AS total
+  FROM hb
+)""",
+        body="""SELECT mtype, instance, step_us,
+       CAST(pow(2.0, min(bucket)) AS DOUBLE) AS value
+FROM hc2 WHERE cum >= 0.5 * total
+GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("histogram_quantile(0.5, rate(events_hist[12h]))"))
