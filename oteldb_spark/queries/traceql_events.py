@@ -190,3 +190,39 @@ WHERE trace_id IN (
         " | coalesce() | count() > 4"
     )
 )
+
+
+# event-scope autocomplete: distinct event names / attr keys / values
+# with counts (SearchTagValues extended to the event scope, which the
+# reference's autocomplete does not reach)
+@register(
+    "tql_event_tag_values",
+    with_ctes(
+        _ESPANS_CTE,
+        body="""SELECT event_name, attr_key, attr_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT 'ship' AS event_name, 'mode' AS attr_key, mode AS attr_value
+  FROM espans
+  UNION ALL
+  SELECT 'receipt', 'mode', mode || '-r' FROM espans
+  UNION ALL
+  SELECT 'receipt', 'disc', CAST(disc AS VARCHAR) FROM espans
+)
+GROUP BY event_name, attr_key, attr_value""",
+    ),
+)
+def tql_event_tag_values(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..signals import spans_events_frame
+
+    spans = spans_events_frame(spark, sf_dir)
+    ev = spans.select(F.explode("events").alias("e")).select(
+        F.col("e.name").alias("event_name"), F.explode("e.attrs")
+    )
+    return ev.groupBy(
+        "event_name",
+        F.col("key").alias("attr_key"),
+        F.col("value").alias("attr_value"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
