@@ -208,3 +208,90 @@ def pipeline_curation(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
     )
+
+
+# --- frequency-capped n-gram Jaccard -----------------------------------------
+# the scale tier between exact shingle-join Jaccard (quadratic in
+# shared-shingle frequency) and MinHash-LSH: shingles appearing in
+# more than CAP documents are boilerplate and contribute pairs
+# quadratically, so they are dropped BEFORE the self-join — candidate
+# volume then scales with sum(df^2) over rare shingles only.  The
+# Jaccard denominator still uses the full shingle sets, so scores for
+# surviving pairs are exact; only pairs connected solely through
+# boilerplate are (intentionally) lost.
+
+_SHINGLE_CAP = 50
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""WITH shingled AS (
+  SELECT doc_id AS doc, unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n FROM shingled GROUP BY doc),
+rare AS (
+  SELECT shingle FROM shingled GROUP BY shingle
+  HAVING count(*) <= {_SHINGLE_CAP}
+),
+filtered AS (
+  SELECT s.doc, s.shingle FROM shingled s JOIN rare USING (shingle)
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common), 6)
+         AS jaccard_lb
+FROM pairs p
+JOIN sizes sa ON sa.doc = p.doc_a
+JOIN sizes sb ON sb.doc = p.doc_b
+WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= 0.1""",
+)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    from ..operators.dedup import shingles as shingle_expr
+
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(shingle_expr("text")).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SHINGLE_CAP)
+        .select("shingle")
+    )
+    filt = sh.join(rare, "shingle").repartition(par, "shingle")
+    a, b = filt.alias("a"), filt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_lb"))
+    )
