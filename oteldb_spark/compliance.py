@@ -179,6 +179,28 @@ _PROM_REWRITES = [
 _LOGQL_REWRITES = [
     (r'job="varlogs"', 'env="prod"'),
     (r'job=~"\.\*varlogs\.\*"', 'env=~".*pro.*"'),
+    # nginx-demo log fields → the testdata bodies' single field k
+    # ({"k": N}, N in 0..100), preserving each entry's tested path:
+    # string equality stays a string compare on the parsed label,
+    # numeric thresholds stay numeric, regexes stay regexes.  Entries
+    # designed to be empty ("no way line ...", absent labels) and the
+    # ip()/bytes filters (no such tokens in the bodies) stay empty.
+    (r'\| regexp `\\\{\.\*"method":"\(\?P<method>\\w\+\)"\.\*\\\}`',
+     r'| regexp `\\{"k": (?P<method>\\d+)\\}`'),
+    (r'\| pattern `<_>"method":"<method>"<_>`', '| pattern `{"k": <method>}`'),
+    (r'method = "HEAD"', 'method =~ "1."'),
+    (r'method != "HEAD"', 'method !~ "1."'),
+    (r'method =~ "\(HEAD\|GET\)"', 'method =~ "(1.|2.)"'),
+    (r'method !~ "\(HEAD\|GET\)"', 'method !~ "(1.|2.)"'),
+    # after | json the discovered field is k, not method
+    (r"\| json \| method", "| json | k"),
+    (r"status >= 400", "k >= 40"),
+    (r"status > 400", "k > 40"),
+    (r"took >= 1ms", "k >= 10"),
+    (r"size >= 1KB", "k <= 90"),
+    (r'\|= "HEAD" or "GET"', '|= "9" or "8"'),
+    (r'\|= "HEAD"', '|= "9"'),
+    (r'\|~ "\(HEAD\|GET\)"', '|~ "(1|2)"'),
 ]
 
 
