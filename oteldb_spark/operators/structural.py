@@ -81,6 +81,60 @@ def descendants(
     )
 
 
+def parent_join(spans: DataFrame, child_pred, parent_pred) -> DataFrame:
+    """Spans matching ``parent_pred`` with a DIRECT child matching
+    ``child_pred`` (TraceQL ``{child} < {parent}``; the reference
+    parses ``<`` but does not evaluate it, spanset_op.go:89-102)."""
+    c = spans.filter(child_pred).select(
+        F.col("trace_id").alias("c_trace_id"),
+        F.col("parent_span_id").alias("c_parent_id"),
+    )
+    p = spans.filter(parent_pred)
+    return p.join(
+        c,
+        (p.trace_id == c.c_trace_id) & (p.span_id == c.c_parent_id),
+        "left_semi",
+    )
+
+
+def ancestors_of(
+    spans: DataFrame, descendant_pred, ancestor_pred, max_depth: int = 8
+) -> DataFrame:
+    """Spans matching ``ancestor_pred`` with ANY descendant matching
+    ``descendant_pred`` (TraceQL ``{desc} << {anc}``) — the upward
+    mirror of ``descendants``: the frontier climbs parent pointers,
+    each round one hash join on (trace_id, span_id)."""
+    edges = spans.select("trace_id", "span_id", "parent_span_id")
+    frontier = (
+        spans.filter(descendant_pred)
+        .select("trace_id", F.col("parent_span_id").alias("span_id"))
+        .distinct()
+    )
+    covered = frontier
+    for _ in range(max_depth - 1):
+        parents = (
+            edges.alias("e")
+            .join(
+                frontier.alias("f"),
+                (F.col("e.trace_id") == F.col("f.trace_id"))
+                & (F.col("e.span_id") == F.col("f.span_id")),
+            )
+            .select(
+                F.col("e.trace_id").alias("trace_id"),
+                F.col("e.parent_span_id").alias("span_id"),
+            )
+            .distinct()
+        )
+        new = parents.join(covered, ["trace_id", "span_id"], "left_anti")
+        if new.isEmpty():
+            break
+        covered = covered.unionByName(new)
+        frontier = new
+    return spans.filter(ancestor_pred).join(
+        covered, ["trace_id", "span_id"], "left_semi"
+    )
+
+
 def nested_sets(spans: DataFrame, max_depth: int = 8) -> DataFrame:
     """Compute nested-set (left, right) numbers per span.
 

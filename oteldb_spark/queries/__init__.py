@@ -15,6 +15,7 @@ from . import registry  # noqa: F401
 from . import prw_ingest  # noqa: F401
 from . import otlp_hist  # noqa: F401
 from . import traceql_events  # noqa: F401
+from . import traceql_structural2  # noqa: F401
 from . import promql_fns2  # noqa: F401
 from . import histograms  # noqa: F401
 from . import loki_ext  # noqa: F401

@@ -1,0 +1,122 @@
+"""Extended TraceQL structural operators — parent ``<``, ancestor
+``<<``, and the negated forms ``!>`` / ``!>>`` / ``!~`` — through the
+full parse → compile path.
+
+The reference PARSES this whole op set (``traceql/op.go:218-239``)
+but its engine evaluates only ``&& || > >> ~`` and rejects the rest
+(``traceqlengine/spanset_op.go:89-102``) — these run here, like
+TraceQL metrics and by()/coalesce().  Negation compiles to the
+rhs-matching spans minus the positive relation (one left-anti join);
+``<`` is a semi-join on the child's parent pointer; ``<<`` climbs
+parent pointers with the same bounded frontier loop ``>>`` uses
+downward.
+"""
+
+from __future__ import annotations
+
+from ..signals import SPANS_CTE, spans_frame, with_ctes
+from ..traceql import SpanSource, compile_traceql
+from .registry import register
+
+_ALL = "trace_id, span_id, parent_span_id, service, name, kind, start_us, duration_us, status_code"
+
+
+def _run(q: str):
+    def fn(spark, sf_dir):
+        src = SpanSource(
+            df=spans_frame(spark, sf_dir),
+            attr_cols={"service": "service", "service.name": "service"},
+        )
+        out = compile_traceql(q, src)
+        return out.select(*[c.strip() for c in _ALL.split(",")])
+
+    return fn
+
+
+# { status = error } < { kind = server } — parents (roots) with an
+# error child
+register(
+    "tql_parsed_parent_op",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans p
+WHERE p.kind = 2 AND EXISTS (
+  SELECT 1 FROM spans c
+  WHERE c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+    AND c.status_code = 2)""",
+    ),
+)(_run("{ status = error } < { kind = server }"))
+
+
+# { duration > 100ms } << { } — ancestors at any depth of a slow span
+register(
+    "tql_parsed_ancestor_op",
+    f"""WITH RECURSIVE {SPANS_CTE},
+anc AS (
+  SELECT trace_id, parent_span_id AS aid FROM spans
+  WHERE duration_us > 100000 AND parent_span_id IS NOT NULL
+  UNION
+  SELECT sp.trace_id, sp.parent_span_id
+  FROM spans sp JOIN anc ON sp.trace_id = anc.trace_id
+                        AND sp.span_id = anc.aid
+  WHERE sp.parent_span_id IS NOT NULL
+)
+SELECT {", ".join("s." + c.strip() for c in _ALL.split(","))}
+FROM spans s
+JOIN (SELECT DISTINCT trace_id, aid FROM anc) a
+  ON s.trace_id = a.trace_id AND s.span_id = a.aid""",
+)(_run("{ duration > 100ms } << { }"))
+
+
+# { status = error } !> { duration > 100ms } — slow spans whose direct
+# parent is NOT an error span (roots qualify: no parent at all)
+register(
+    "tql_parsed_not_child",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans b
+WHERE b.duration_us > 100000 AND NOT EXISTS (
+  SELECT 1 FROM spans a
+  WHERE a.trace_id = b.trace_id AND a.span_id = b.parent_span_id
+    AND a.status_code = 2)""",
+    ),
+)(_run("{ status = error } !> { duration > 100ms }"))
+
+
+# { status = error } !~ { duration > 100ms } — slow spans with no
+# error sibling under the same parent
+register(
+    "tql_parsed_not_sibling",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans b
+WHERE b.duration_us > 100000 AND NOT EXISTS (
+  SELECT 1 FROM spans a
+  WHERE a.trace_id = b.trace_id
+    AND a.parent_span_id IS NOT DISTINCT FROM b.parent_span_id
+    AND a.span_id <> b.span_id AND a.status_code = 2)""",
+    ),
+)(_run("{ status = error } !~ { duration > 100ms }"))
+
+
+# { service = "frontend" } !>> { duration > 100ms } — slow spans with
+# no frontend ancestor at any depth
+register(
+    "tql_parsed_not_descendant",
+    f"""WITH RECURSIVE {SPANS_CTE},
+cov AS (
+  SELECT s.trace_id, s.span_id FROM spans s
+  JOIN spans a ON a.trace_id = s.trace_id
+              AND s.parent_span_id = a.span_id
+  WHERE a.service = 'frontend'
+  UNION
+  SELECT s.trace_id, s.span_id FROM spans s
+  JOIN cov ON s.trace_id = cov.trace_id
+          AND s.parent_span_id = cov.span_id
+)
+SELECT {", ".join("b." + c.strip() for c in _ALL.split(","))}
+FROM spans b
+WHERE b.duration_us > 100000 AND NOT EXISTS (
+  SELECT 1 FROM cov
+  WHERE cov.trace_id = b.trace_id AND cov.span_id = b.span_id)""",
+)(_run('{ service = "frontend" } !>> { duration > 100ms }'))

@@ -14,7 +14,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.structural import child_join, descendants
+from ..operators.structural import (
+    ancestors_of,
+    child_join,
+    descendants,
+    parent_join,
+)
 from . import parser as P
 
 
@@ -342,7 +347,7 @@ def _compile_structural(node, source: SpanSource) -> DataFrame:
             return child_join(spans, lp, rp)
         if node.op == ">>":
             return descendants(spans, lp, rp)
-        if node.op == "~":
+        def siblings():
             a = spans.filter(lp).select(
                 F.col(source.trace_col).alias("__tid"),
                 F.col(source.parent_col).alias("__pid"),
@@ -358,6 +363,26 @@ def _compile_structural(node, source: SpanSource) -> DataFrame:
                 )
                 .drop("__tid", "__pid", "__sid")
                 .dropDuplicates([source.trace_col, source.span_col])
+            )
+
+        if node.op == "~":
+            return siblings()
+        # parent / ancestor and the negated forms: the reference
+        # parses these (op.go:229-239) but its engine rejects them;
+        # negation = rhs-matching spans minus the positive relation
+        key = [source.trace_col, source.span_col]
+        if node.op == "<":
+            return parent_join(spans, lp, rp)
+        if node.op == "<<":
+            return ancestors_of(spans, lp, rp)
+        if node.op in ("!>", "!>>", "!~"):
+            pos = {
+                "!>": lambda: child_join(spans, lp, rp),
+                "!>>": lambda: descendants(spans, lp, rp),
+                "!~": siblings,
+            }[node.op]()
+            return spans.filter(rp).join(
+                pos.select(*key), key, "left_anti"
             )
         raise SyntaxError(f"TraceQL: unsupported structural op {node.op}")
     raise SyntaxError(f"TraceQL: bad node {node!r}")

@@ -142,9 +142,23 @@ class Parser:
         return q
 
     def parse_structural(self):
+        # full reference op set incl. parent/ancestor and negations
+        # (traceql/op.go:218-239; the reference engine evaluates only
+        # && || > >> ~, spanset_op.go:89-102 — the rest run here)
         lhs = self.parse_spanset()
-        while self.peek().text in ("&&", "||", ">", ">>", "~"):
-            op = self.next().text
+        while self.peek().text in (
+            "&&", "||", ">", ">>", "~", "<", "<<", "!>", "!~",
+        ):
+            t = self.next()
+            op = t.text
+            # `!>>` lexes as `!>` + `>`: paste adjacent tokens
+            if (
+                op == "!>"
+                and self.peek().text == ">"
+                and self.peek().pos == t.pos + 2
+            ):
+                self.next()
+                op = "!>>"
             rhs = self.parse_spanset()
             lhs = Structural(op, lhs, rhs)
         return lhs
