@@ -120,3 +120,87 @@ WHERE b.duration_us > 100000 AND NOT EXISTS (
   SELECT 1 FROM cov
   WHERE cov.trace_id = b.trace_id AND cov.span_id = b.span_id)""",
 )(_run('{ service = "frontend" } !>> { duration > 100ms }'))
+
+
+# union structural ops: both sides of the relation (op.go:233-239,
+# engine-rejected in the reference)
+
+# { status = error } &> { duration > 100ms } — slow children of error
+# parents PLUS those error parents themselves
+register(
+    "tql_parsed_union_child",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans b
+WHERE b.duration_us > 100000 AND EXISTS (
+  SELECT 1 FROM spans a
+  WHERE a.trace_id = b.trace_id AND a.span_id = b.parent_span_id
+    AND a.status_code = 2)
+UNION
+SELECT {_ALL} FROM spans p
+WHERE p.status_code = 2 AND EXISTS (
+  SELECT 1 FROM spans c
+  WHERE c.trace_id = p.trace_id AND c.parent_span_id = p.span_id
+    AND c.duration_us > 100000)""",
+    ),
+)(_run("{ status = error } &> { duration > 100ms }"))
+
+
+# { status = error } &~ { duration > 100ms } — both sibling sides
+register(
+    "tql_parsed_union_sibling",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans b
+WHERE b.duration_us > 100000 AND EXISTS (
+  SELECT 1 FROM spans a
+  WHERE a.trace_id = b.trace_id
+    AND a.parent_span_id IS NOT DISTINCT FROM b.parent_span_id
+    AND a.span_id <> b.span_id AND a.status_code = 2)
+UNION
+SELECT {_ALL} FROM spans b
+WHERE b.status_code = 2 AND EXISTS (
+  SELECT 1 FROM spans a
+  WHERE a.trace_id = b.trace_id
+    AND a.parent_span_id IS NOT DISTINCT FROM b.parent_span_id
+    AND a.span_id <> b.span_id AND a.duration_us > 100000)""",
+    ),
+)(_run("{ status = error } &~ { duration > 100ms }"))
+
+
+# { duration > 100ms } &<< { kind = server } — server-kind ancestors
+# of slow spans PLUS the slow spans below them
+register(
+    "tql_parsed_union_ancestor",
+    f"""WITH RECURSIVE {SPANS_CTE},
+anc AS (
+  SELECT trace_id, parent_span_id AS aid FROM spans
+  WHERE duration_us > 100000 AND parent_span_id IS NOT NULL
+  UNION
+  SELECT sp.trace_id, sp.parent_span_id
+  FROM spans sp JOIN anc ON sp.trace_id = anc.trace_id
+                        AND sp.span_id = anc.aid
+  WHERE sp.parent_span_id IS NOT NULL
+),
+cov AS (
+  SELECT s.trace_id, s.span_id FROM spans s
+  JOIN spans a ON a.trace_id = s.trace_id
+              AND s.parent_span_id = a.span_id
+  WHERE a.kind = 2
+  UNION
+  SELECT s.trace_id, s.span_id FROM spans s
+  JOIN cov ON s.trace_id = cov.trace_id
+          AND s.parent_span_id = cov.span_id
+)
+SELECT {", ".join("s." + c.strip() for c in _ALL.split(","))}
+FROM spans s
+JOIN (SELECT DISTINCT trace_id, aid FROM anc) a
+  ON s.trace_id = a.trace_id AND s.span_id = a.aid
+WHERE s.kind = 2
+UNION
+SELECT {", ".join("b." + c.strip() for c in _ALL.split(","))}
+FROM spans b
+WHERE b.duration_us > 100000 AND EXISTS (
+  SELECT 1 FROM cov
+  WHERE cov.trace_id = b.trace_id AND cov.span_id = b.span_id)""",
+)(_run("{ duration > 100ms } &<< { kind = server }"))

@@ -384,6 +384,49 @@ def _compile_structural(node, source: SpanSource) -> DataFrame:
             return spans.filter(rp).join(
                 pos.select(*key), key, "left_anti"
             )
+        if node.op.startswith("&"):
+            # union structural: spans from BOTH sides of the relation
+            # (op.go:233-239 UnionChild..UnionSibling, engine-rejected
+            # in the reference) — positive relation ∪ its mirror with
+            # the predicates swapped
+            def sib_swapped():
+                a = spans.filter(rp).select(
+                    F.col(source.trace_col).alias("__tid"),
+                    F.col(source.parent_col).alias("__pid"),
+                    F.col(source.span_col).alias("__sid"),
+                )
+                b = spans.filter(lp)
+                return b.join(
+                    a,
+                    (b[source.trace_col] == F.col("__tid"))
+                    & (b[source.parent_col].eqNullSafe(F.col("__pid")))
+                    & (b[source.span_col] != F.col("__sid")),
+                ).drop("__tid", "__pid", "__sid")
+
+            rel, mirror = {
+                "&>": (
+                    lambda: child_join(spans, lp, rp),
+                    lambda: parent_join(spans, rp, lp),
+                ),
+                "&<": (
+                    lambda: parent_join(spans, lp, rp),
+                    lambda: child_join(spans, rp, lp),
+                ),
+                "&>>": (
+                    lambda: descendants(spans, lp, rp),
+                    lambda: ancestors_of(spans, rp, lp),
+                ),
+                "&<<": (
+                    lambda: ancestors_of(spans, lp, rp),
+                    lambda: descendants(spans, rp, lp),
+                ),
+                "&~": (siblings, sib_swapped),
+            }[node.op]
+            return (
+                rel()
+                .unionByName(mirror())
+                .dropDuplicates([source.trace_col, source.span_col])
+            )
         raise SyntaxError(f"TraceQL: unsupported structural op {node.op}")
     raise SyntaxError(f"TraceQL: bad node {node!r}")
 

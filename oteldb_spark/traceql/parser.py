@@ -147,11 +147,12 @@ class Parser:
         # && || > >> ~, spanset_op.go:89-102 — the rest run here)
         lhs = self.parse_spanset()
         while self.peek().text in (
-            "&&", "||", ">", ">>", "~", "<", "<<", "!>", "!~",
+            "&&", "||", ">", ">>", "~", "<", "<<", "!>", "!~", "&",
         ):
             t = self.next()
             op = t.text
-            # `!>>` lexes as `!>` + `>`: paste adjacent tokens
+            # `!>>` lexes as `!>` + `>`; the union ops `&> &>> &< &<<
+            # &~` lex as `&` + relation: paste adjacent tokens
             if (
                 op == "!>"
                 and self.peek().text == ">"
@@ -159,6 +160,16 @@ class Parser:
             ):
                 self.next()
                 op = "!>>"
+            elif op == "&":
+                nxt = self.peek()
+                if nxt.text not in (">", ">>", "<", "<<", "~") or (
+                    nxt.pos != t.pos + 1
+                ):
+                    raise SyntaxError(
+                        f"TraceQL: bad operator '&{nxt.text}' at {t.pos}"
+                    )
+                self.next()
+                op = "&" + nxt.text
             rhs = self.parse_spanset()
             lhs = Structural(op, lhs, rhs)
         return lhs
