@@ -300,9 +300,16 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         assert spark is not None
         spine = step_spine(spark, params.start_us, params.end_us, params.step_us)
         present = inner.select("step_us").distinct()
-        return spine.join(present, "step_us", "left_anti").withColumn(
+        out = spine.join(present, "step_us", "left_anti").withColumn(
             "value", F.lit(1.0)
         )
+        # Prometheus derives the result labels from the selector's
+        # equality matchers (functions.go createLabelsForAbsentFunction)
+        if isinstance(fc.args[0], ast.VectorSelector):
+            for m in fc.args[0].matchers:
+                if m.op == "=":
+                    out = out.withColumn(m.name, F.lit(m.value))
+        return out
 
     if name in RATE_FUNCS or name in ("resets", "changes", "deriv", "predict_linear"):
         sel = fc.args[0]

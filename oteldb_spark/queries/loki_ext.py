@@ -85,3 +85,48 @@ WHERE level = 'INFO' AND ts_us BETWEEN {START_US} AND {END_US}""",
 from .registry import ORACLES  # noqa: E402
 
 ORACLES["logql_detected_field_values"] = _dfv_oracle()
+
+
+# __error__ labels: parse failures become labels instead of dropped
+# rows (logqlengine pipeline error model) — a fifth of the bodies are
+# doctored to non-JSON and must group under JSONParserErr
+@register(
+    "logql_error_labels",
+    with_ctes(
+        LOGS_CTE,
+        f"""doct AS (
+  SELECT ts_us,
+         CASE WHEN user_id % 5 = 0 THEN 'plain text line' ELSE body END
+           AS body,
+         CASE WHEN user_id % 5 = 0 THEN 'JSONParserErr' ELSE '' END
+           AS err
+  FROM logs WHERE env = 'prod'
+)""",
+        body=f"""SELECT err AS __error__, step_us,
+       CAST(count(*) AS DOUBLE) AS value
+FROM {fanout_join_sql("doct", START_US, END_US, STEP_US, 6 * 3_600_000_000)} s
+GROUP BY err, step_us""",
+    ),
+)
+def logql_error_labels(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..logql import EvalParams, compile_logql
+
+    logs = logs_frame(spark, sf_dir)
+    doctored = logs.withColumn(
+        "body",
+        F.when(F.col("user_id") % 5 == 0, F.lit("plain text line")).otherwise(
+            F.col("body")
+        ),
+    )
+    src = LogSource(df=doctored, label_cols=dict(_LBL), error_labels=True)
+    out = compile_logql(
+        'sum by (__error__) (count_over_time({env="prod"} | json kv="k" [6h]))',
+        src,
+        EvalParams(START_US, END_US, STEP_US),
+        spark,
+    )
+    return out.withColumn(
+        "__error__", F.coalesce(F.col("__error__"), F.lit(""))
+    )

@@ -365,3 +365,13 @@ FROM hc2 WHERE cum >= 0.5 * total
 GROUP BY mtype, instance, step_us""",
     ),
 )(_run("histogram_quantile(0.5, rate(events_hist[12h]))"))
+
+
+# absent(): 1 at every step where the selector matches nothing, with
+# labels from the equality matchers (createLabelsForAbsentFunction)
+register(
+    "ppql_parsed_absent",
+    f"""SELECT CAST(s.range AS BIGINT) AS step_us, 1.0::DOUBLE AS value,
+       'no-such-host' AS instance
+FROM range({START_US}, {END_US} + 1, {STEP_US}) s""",
+)(_run('absent(events_gauge{instance="no-such-host"})'))
