@@ -219,6 +219,30 @@ class PromQLEngine:
             r.asDict() for r in bounded_collect(df, self.max_result_rows)
         ]
 
+    def metadata(self, metric: str | None = None, limit: int = -1) -> dict:
+        """GET /api/v1/metadata shape (promhandler.go:460-492): per
+        metric one entry with type/help/unit; types derive from the
+        remote-write suffix rules (``sources/prw.py``, suffix.go)
+        unless the source registered an explicit kind."""
+        from .sources.prw import metric_type_and_unit
+
+        explicit = {"counter": "counter", "counter_mod": "counter"}
+        data: dict[str, list[dict]] = {}
+        for name in sorted(self.source.metrics):
+            if metric is not None and name != metric:
+                continue
+            if limit >= 0 and len(data) >= limit:
+                break
+            stype, unit = metric_type_and_unit(name)
+            kind = explicit.get(
+                self.source.metrics[name],
+                "counter" if stype == "sum" else "gauge",
+            )
+            if name in self.source.histograms:
+                kind = "histogram"
+            data[name] = [{"type": kind, "help": "", "unit": unit}]
+        return {"status": "success", "data": data}
+
 
 @dataclass
 class ProfileQLEngine:

@@ -180,3 +180,31 @@ def test_loki_detected_field_values(spark):
     out = eng.detected_field_values("evt", '{level="INFO"}', START, END)
     assert set(out["values"]) <= {"click", "error", "purchase", "signup", "view"}
     assert out["limit"] == len(out["values"]) > 0
+
+
+def test_prom_metadata_shape(spark):
+    from oteldb_spark.engine import PromQLEngine
+    from oteldb_spark.promql import MetricSource
+    from oteldb_spark.signals import counter_points_frame
+
+    eng = PromQLEngine(
+        MetricSource(
+            df=counter_points_frame(spark, "/root/testdata/sf0.001"),
+            metrics={
+                "events_value_total": "counter_mod",
+                "events_gauge": "gauge",
+                "events_hist": "gauge",
+            },
+            label_cols=["mtype", "instance"],
+            histograms=frozenset({"events_hist"}),
+        )
+    )
+    md = eng.metadata()
+    assert md["status"] == "success"
+    assert md["data"]["events_value_total"][0]["type"] == "counter"
+    assert md["data"]["events_gauge"][0]["type"] == "gauge"
+    assert md["data"]["events_hist"][0]["type"] == "histogram"
+    one = eng.metadata(metric="events_gauge")
+    assert list(one["data"]) == ["events_gauge"]
+    capped = eng.metadata(limit=1)
+    assert len(capped["data"]) == 1
