@@ -332,3 +332,46 @@ class TraceQLEngine:
             .limit(limit)
         )
         return tempo_search(traces)
+
+    def search_tags_v2(self) -> dict:
+        """GET /api/v2/search/tags shape (tempohandler.go:453-536):
+        tag names grouped per scope — span/resource attribute columns
+        plus the intrinsic set."""
+        from .traceql.parser import INTRINSICS
+
+        span_tags = sorted(
+            {n for n in self.source.attr_cols if "." not in n}
+        )
+        resource_tags = sorted(
+            {n for n in self.source.attr_cols if "." in n}
+        )
+        return {
+            "scopes": [
+                {"name": "span", "tags": span_tags},
+                {"name": "resource", "tags": resource_tags},
+                {"name": "intrinsic", "tags": sorted(INTRINSICS)},
+            ]
+        }
+
+    def search_tag_values_v2(self, tag: str, limit: int = 100) -> dict:
+        """GET /api/v2/search/tag/{tag}/values shape: typed distinct
+        values of one attribute (tempohandler.go:306-396)."""
+        from pyspark.sql import functions as F
+
+        name = tag.split(".", 1)[-1] if tag.startswith(("span.", "resource.")) else tag
+        col = self.source.attr_cols.get(name) or self.source.attr_cols.get(tag)
+        if col is None:
+            return {"tagValues": []}
+        rows = (
+            self.source.df.select(F.col(col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .orderBy("v")
+            .limit(limit)
+            .collect()
+        )
+        return {
+            "tagValues": [
+                {"type": "string", "value": str(r["v"])} for r in rows
+            ]
+        }

@@ -208,3 +208,26 @@ def test_prom_metadata_shape(spark):
     assert list(one["data"]) == ["events_gauge"]
     capped = eng.metadata(limit=1)
     assert len(capped["data"]) == 1
+
+
+def test_tempo_v2_tag_discovery(spark):
+    from oteldb_spark.engine import TraceQLEngine
+    from oteldb_spark.signals import spans_frame
+    from oteldb_spark.traceql import SpanSource
+
+    eng = TraceQLEngine(
+        SpanSource(
+            df=spans_frame(spark, "/root/testdata/sf0.001"),
+            attr_cols={"service": "service", "service.name": "service"},
+        )
+    )
+    scopes = {s["name"]: s["tags"] for s in eng.search_tags_v2()["scopes"]}
+    assert "service" in scopes["span"]
+    assert "service.name" in scopes["resource"]
+    assert "duration" in scopes["intrinsic"]
+
+    vals = eng.search_tag_values_v2("span.service", limit=3)["tagValues"]
+    assert len(vals) == 3
+    assert all(v["type"] == "string" for v in vals)
+    assert vals == sorted(vals, key=lambda v: v["value"])
+    assert eng.search_tag_values_v2("span.nope") == {"tagValues": []}
