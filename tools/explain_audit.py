@@ -26,6 +26,8 @@ DEFAULT = [
     "hist_native_stdvar",
     "text_keyword_top1",
     "prw_ingest_points",
+    "tql_parsed_ancestor_op",
+    "pipeline_curation",
 ]
 
 
