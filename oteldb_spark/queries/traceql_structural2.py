@@ -204,3 +204,102 @@ WHERE b.duration_us > 100000 AND EXISTS (
   SELECT 1 FROM cov
   WHERE cov.trace_id = b.trace_id AND cov.span_id = b.span_id)""",
 )(_run("{ duration > 100ms } &<< { kind = server }"))
+
+
+# --- TraceQL metrics through the full parse path -----------------------------
+# the reference parses metrics queries (parser_metrics_expr.go) but
+# 501s execution; compile_traceql_metrics runs them on the shared
+# step fan-out machinery
+
+from ..operators.stepfanout import fanout_join_sql  # noqa: E402
+from ..traceql import compile_traceql_metrics  # noqa: E402
+
+_M_START_US = 820_454_400_000_000  # 1996-01-01
+_M_END_US = _M_START_US + 364 * 86_400_000_000
+_M_STEP_US = 7 * 86_400_000_000
+_M_RANGE_US = 28 * 86_400_000_000
+
+
+def _run_metrics(q: str):
+    def fn(spark, sf_dir):
+        src = SpanSource(
+            df=spans_frame(spark, sf_dir),
+            attr_cols={"service": "service", "service.name": "service"},
+        )
+        return compile_traceql_metrics(
+            q,
+            src,
+            start_us=_M_START_US,
+            end_us=_M_END_US,
+            step_us=_M_STEP_US,
+            range_us=_M_RANGE_US,
+            spark=spark,
+        )
+
+    return fn
+
+
+_ERR_SAMPLES = """samples AS (
+  SELECT service, start_us AS ts_us FROM spans WHERE status_code = 2
+)"""
+
+# { status = error } | rate() by (span.service)
+register(
+    "tql_parsed_metrics_rate",
+    with_ctes(
+        SPANS_CTE,
+        _ERR_SAMPLES,
+        body=f"""SELECT service, step_us,
+       CAST(count(*) AS DOUBLE) / {_M_RANGE_US / 1e6!r} AS value
+FROM {fanout_join_sql("samples", _M_START_US, _M_END_US, _M_STEP_US, _M_RANGE_US)} s
+GROUP BY service, step_us""",
+    ),
+)(_run_metrics("{ status = error } | rate() by (span.service)"))
+
+
+# { } | quantile_over_time(duration, 0.9) by (span.service)
+@register(
+    "tql_parsed_metrics_quantile",
+    with_ctes(
+        SPANS_CTE,
+        """dsamples AS (
+  SELECT service, start_us AS ts_us, CAST(duration_us AS DOUBLE) AS sample
+  FROM spans
+)""",
+        body=f"""SELECT service, step_us,
+       round(quantile_cont(sample, 0.9), 6) AS value
+FROM {fanout_join_sql("dsamples", _M_START_US, _M_END_US, _M_STEP_US, _M_RANGE_US)} s
+GROUP BY service, step_us""",
+    ),
+)
+def tql_parsed_metrics_quantile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = _run_metrics(
+        "{ } | quantile_over_time(duration, 0.9) by (span.service)"
+    )(spark, sf_dir)
+    return out.withColumn("value", F.round("value", 6))
+
+
+# { status = error } | avg_over_time(duration) by (span.service)
+@register(
+    "tql_parsed_metrics_avg",
+    with_ctes(
+        SPANS_CTE,
+        """asamples AS (
+  SELECT service, start_us AS ts_us, CAST(duration_us AS DOUBLE) AS sample
+  FROM spans WHERE status_code = 2
+)""",
+        body=f"""SELECT service, step_us,
+       round(avg(sample), 6) AS value
+FROM {fanout_join_sql("asamples", _M_START_US, _M_END_US, _M_STEP_US, _M_RANGE_US)} s
+GROUP BY service, step_us""",
+    ),
+)
+def tql_parsed_metrics_avg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = _run_metrics(
+        "{ status = error } | avg_over_time(duration) by (span.service)"
+    )(spark, sf_dir)
+    return out.withColumn("value", F.round("value", 6))

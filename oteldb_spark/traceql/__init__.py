@@ -8,4 +8,8 @@ filters are trace-level aggregates.
 """
 
 from .parser import parse  # noqa: F401
-from .compiler import SpanSource, compile_traceql  # noqa: F401
+from .compiler import (  # noqa: F401
+    SpanSource,
+    compile_traceql,
+    compile_traceql_metrics,
+)

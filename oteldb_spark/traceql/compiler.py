@@ -319,6 +319,57 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
     return out
 
 
+def compile_traceql_metrics(
+    query,
+    source: SpanSource,
+    *,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+    spark=None,
+) -> DataFrame:
+    """TraceQL metrics queries — ``{filter} | rate() by (attrs)`` and
+    the *_over_time family — through the full parse path.  The
+    reference parses these (``parser_metrics_expr.go``) but its
+    engine returns 501; here the matched spans become samples on the
+    shared step fan-out machinery (operators/range_agg.py), so trace
+    metrics reuse the exact LogQL/PromQL aggregation path."""
+    from ..operators.range_agg import range_aggregate
+
+    if isinstance(query, str):
+        query = P.parse(query)
+    if not (query.stages and isinstance(query.stages[-1], P.MetricFn)):
+        raise SyntaxError("TraceQL: not a metrics query (no trailing fn)")
+    fn = query.stages[-1]
+    base = P.TraceQuery(query.root, query.stages[:-1])
+    spans = compile_traceql(base, source)
+
+    def by_name(a) -> str:
+        return a.name.replace(".", "_")
+
+    cols = [_field_col(source, a).alias(by_name(a)) for a in fn.by]
+    sample = (
+        _field_col(source, fn.attr).cast("double")
+        if fn.attr is not None
+        else F.lit(1.0)
+    )
+    samples = spans.select(
+        *cols, F.col(source.start_col).alias("ts_us"), sample.alias("sample")
+    )
+    return range_aggregate(
+        samples,
+        fn.name if fn.name != "rate" else "rate",
+        start_us=start_us,
+        end_us=end_us,
+        step_us=step_us,
+        range_us=range_us,
+        by=[by_name(a) for a in fn.by],
+        q=fn.q,
+        spark=spark,
+    )
+
+
 def _compile_structural(node, source: SpanSource) -> DataFrame:
     spans = source.df
     if isinstance(node, P.Spanset):

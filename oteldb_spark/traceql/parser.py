@@ -96,6 +96,29 @@ class Coalesce:
 
 
 @dataclass
+class MetricFn:
+    # trailing metrics stage (Tempo metrics queries; the reference
+    # returns 501 for all of these, parser_metrics_expr.go):
+    #   | rate() | count_over_time() | min/max/avg/sum_over_time(attr)
+    #   | quantile_over_time(attr, q)        [ by (attrs...) ]
+    name: str
+    attr: object | None = None
+    q: float | None = None
+    by: list[object] = field(default_factory=list)
+
+
+METRIC_FNS = {
+    "rate",
+    "count_over_time",
+    "min_over_time",
+    "max_over_time",
+    "avg_over_time",
+    "sum_over_time",
+    "quantile_over_time",
+}
+
+
+@dataclass
 class TraceQuery:
     root: object
     stages: list[object] = field(default_factory=list)
@@ -259,6 +282,22 @@ class Parser:
                 attrs.append(a)
                 self.accept(",")
             return Select(attrs)
+        if t.text in METRIC_FNS and self.peek().text == "(":
+            self.expect("(")
+            attr = None
+            q = None
+            if self.peek().text != ")":
+                attr = self.parse_primary()
+                if self.accept(","):
+                    q = float(self.next().text)
+            self.expect(")")
+            by: list[object] = []
+            if self.accept("by"):
+                self.expect("(")
+                while not self.accept(")"):
+                    by.append(self.parse_primary())
+                    self.accept(",")
+            return MetricFn(t.text, attr, q, by)
         if t.text == "by":
             self.expect("(")
             e = self.parse_field(0)
