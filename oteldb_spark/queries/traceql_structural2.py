@@ -303,3 +303,29 @@ def tql_parsed_metrics_avg(spark, sf_dir):
         "{ status = error } | avg_over_time(duration) by (span.service)"
     )(spark, sf_dir)
     return out.withColumn("value", F.round("value", 6))
+
+
+# { } | histogram_over_time(duration) by (span.service) — Tempo's
+# histogram series: scale-0 exp-bucket counts of duration seconds
+from ..operators.histogram import bucket_case_sql as _tql_hb  # noqa: E402
+
+
+@register(
+    "tql_parsed_metrics_histogram",
+    with_ctes(
+        SPANS_CTE,
+        """hsamples AS (
+  SELECT service, start_us AS ts_us,
+         CAST(duration_us AS DOUBLE) / 1e6 AS secs
+  FROM spans
+)""",
+        body=f"""SELECT service, step_us, {_tql_hb("secs")} AS bucket,
+       CAST(count(*) AS DOUBLE) AS value
+FROM {fanout_join_sql("hsamples", _M_START_US, _M_END_US, _M_STEP_US, _M_RANGE_US)} s
+GROUP BY service, step_us, {_tql_hb("secs")}""",
+    ),
+)
+def tql_parsed_metrics_histogram(spark, sf_dir):
+    return _run_metrics(
+        "{ } | histogram_over_time(duration) by (span.service)"
+    )(spark, sf_dir)

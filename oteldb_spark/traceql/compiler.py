@@ -357,6 +357,20 @@ def compile_traceql_metrics(
     samples = spans.select(
         *cols, F.col(source.start_col).alias("ts_us"), sample.alias("sample")
     )
+    if fn.name == "histogram_over_time":
+        # Tempo's histogram series: per-window scale-0 exp-bucket
+        # counts of the attr values (operators/histogram.py ladder) —
+        # seconds for duration, per Tempo's histogram buckets
+        from ..operators.histogram import bucket_case_sql
+        from ..operators.stepfanout import fanout
+
+        fanned = fanout(samples, start_us, end_us, step_us, range_us)
+        secs = (F.col("sample") / F.lit(1e6)).alias("__secs")
+        fanned = fanned.withColumn("__secs", secs)
+        bucket = F.expr(bucket_case_sql("__secs")).alias("bucket")
+        return fanned.groupBy(
+            *[by_name(a) for a in fn.by], "step_us", bucket
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
     return range_aggregate(
         samples,
         fn.name if fn.name != "rate" else "rate",

@@ -115,6 +115,7 @@ METRIC_FNS = {
     "avg_over_time",
     "sum_over_time",
     "quantile_over_time",
+    "histogram_over_time",
 }
 
 
