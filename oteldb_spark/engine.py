@@ -212,7 +212,30 @@ class PromQLEngine:
         return prom_labels(list(self.source.label_cols))
 
     def series(self, q: str | None = None, limit: int | None = None) -> list[dict]:
-        df = self.source.df.select(*self.source.label_cols).distinct()
+        from pyspark.sql import functions as F
+
+        df = self.source.df
+        if q:
+            # match[] selector filters the series set
+            # (promhandler.go:505-571 querySeries)
+            from .promql.parser import parse as parse_promql
+
+            sel = parse_promql(q)
+            for m in getattr(sel, "matchers", []):
+                c = (
+                    F.col(m.name)
+                    if m.name in self.source.label_cols
+                    else F.lit("")
+                )
+                df = df.filter(
+                    {
+                        "=": c == m.value,
+                        "!=": c != m.value,
+                        "=~": c.rlike(m.value),
+                        "!~": ~c.rlike(m.value),
+                    }[m.op]
+                )
+        df = df.select(*self.source.label_cols).distinct()
         if limit is not None:
             df = df.limit(limit)
         return [

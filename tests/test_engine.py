@@ -231,3 +231,23 @@ def test_tempo_v2_tag_discovery(spark):
     assert all(v["type"] == "string" for v in vals)
     assert vals == sorted(vals, key=lambda v: v["value"])
     assert eng.search_tag_values_v2("span.nope") == {"tagValues": []}
+
+
+def test_prom_series_selector_filters(spark):
+    from oteldb_spark.engine import PromQLEngine
+    from oteldb_spark.promql import MetricSource
+    from oteldb_spark.signals import counter_points_frame
+
+    eng = PromQLEngine(
+        MetricSource(
+            df=counter_points_frame(spark, "/root/testdata/sf0.001"),
+            metrics={"events_gauge": "gauge"},
+            label_cols=["mtype", "instance"],
+        )
+    )
+    all_series = eng.series()
+    one = eng.series('{instance="host-1"}')
+    assert 0 < len(one) < len(all_series)
+    assert all(s["instance"] == "host-1" for s in one)
+    rx = eng.series('{instance=~"host-[12]"}')
+    assert {s["instance"] for s in rx} == {"host-1", "host-2"}
