@@ -65,6 +65,45 @@ class LogQLEngine:
     def labels(self) -> dict:
         return prom_labels(list(self.source.label_cols))
 
+    def series(
+        self, match: str | None = None, limit: int | None = None
+    ) -> list[dict]:
+        """GET /loki/api/v1/series (lokihandler.go:558-603): distinct
+        label sets of streams matching the selector."""
+        from pyspark.sql import functions as F
+
+        from .logql.parser import parse as parse_logql
+
+        df = self.source.df
+        if match:
+            q = parse_logql(match)
+            sel = getattr(q, "selector", q)
+            for m in sel.matchers:
+                c = (
+                    F.col(self.source.label_cols[m.name])
+                    if m.name in self.source.label_cols
+                    else F.lit("")
+                )
+                df = df.filter(
+                    {
+                        "=": c == m.value,
+                        "!=": c != m.value,
+                        "=~": c.rlike(m.value),
+                        "!~": ~c.rlike(m.value),
+                    }[m.op]
+                )
+        out = df.select(
+            *[
+                F.col(col).alias(lbl)
+                for lbl, col in self.source.label_cols.items()
+            ]
+        ).distinct()
+        if limit is not None:
+            out = out.limit(limit)
+        return [
+            r.asDict() for r in bounded_collect(out, self.max_result_rows)
+        ]
+
     def label_values(self, label: str) -> dict:
         col = self.source.label_cols[label]
         vals = [

@@ -251,3 +251,23 @@ def test_prom_series_selector_filters(spark):
     assert all(s["instance"] == "host-1" for s in one)
     rx = eng.series('{instance=~"host-[12]"}')
     assert {s["instance"] for s in rx} == {"host-1", "host-2"}
+
+
+def test_loki_series_endpoint(spark):
+    from oteldb_spark.engine import LogQLEngine
+    from oteldb_spark.logql import LogSource
+    from oteldb_spark.signals import logs_frame
+
+    eng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, "/root/testdata/sf0.001"),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    alls = eng.series()
+    prod = eng.series('{env="prod"}')
+    assert 0 < len(prod) < len(alls)
+    assert all(s["env"] == "prod" for s in prod)
+    rx = eng.series('{service=~"svc-[01]", env="prod"}')
+    assert {s["service"] for s in rx} <= {"svc-0", "svc-1"}
+    assert len(eng.series(limit=2)) == 2
