@@ -329,3 +329,41 @@ def tql_parsed_metrics_histogram(spark, sf_dir):
     return _run_metrics(
         "{ } | histogram_over_time(duration) by (span.service)"
     )(spark, sf_dir)
+
+
+# instrumentation:name / instrumentation:version intrinsics
+# (attribute.go:80-84) — scope columns derived deterministically on
+# the span frame
+@register(
+    "tql_parsed_instrumentation",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans
+WHERE 'otel-' || service = 'otel-svc-1'
+  AND '1.' || CAST(span_id % 3 AS VARCHAR) = '1.2'
+  AND status_code = 2""",
+    ),
+)
+def tql_parsed_instrumentation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    spans = spans_frame(spark, sf_dir).withColumns(
+        {
+            "scope_name": F.concat(F.lit("otel-"), F.col("service")),
+            "scope_version": F.concat(
+                F.lit("1."), (F.col("span_id") % 3).cast("string")
+            ),
+        }
+    )
+    src = SpanSource(
+        df=spans,
+        attr_cols={"service": "service", "service.name": "service"},
+        scope_name_col="scope_name",
+        scope_version_col="scope_version",
+    )
+    out = compile_traceql(
+        '{ instrumentation:name = "otel-svc-1"'
+        ' && instrumentation:version = "1.2" && status = error }',
+        src,
+    )
+    return out.select(*[c.strip() for c in _ALL.split(",")])
