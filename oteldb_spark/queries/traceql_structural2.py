@@ -367,3 +367,33 @@ def tql_parsed_instrumentation(spark, sf_dir):
         src,
     )
     return out.select(*[c.strip() for c in _ALL.split(",")])
+
+
+# instrumentation.<attr> scope (ScopeInstrumentation attributes,
+# attribute.go:251-265) — scoped column lookup through the parse path
+@register(
+    "tql_parsed_instrumentation_attr",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans
+WHERE 'lib-' || CAST(kind AS VARCHAR) = 'lib-2' AND duration_us > 50000""",
+    ),
+)
+def tql_parsed_instrumentation_attr(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    spans = spans_frame(spark, sf_dir).withColumn(
+        "scope_lib", F.concat(F.lit("lib-"), F.col("kind").cast("string"))
+    )
+    src = SpanSource(
+        df=spans,
+        attr_cols={
+            "service": "service",
+            "service.name": "service",
+            "instrumentation.lib": "scope_lib",
+        },
+    )
+    out = compile_traceql(
+        '{ instrumentation.lib = "lib-2" && duration > 50ms }', src
+    )
+    return out.select(*[c.strip() for c in _ALL.split(",")])

@@ -93,7 +93,10 @@ def _attr_col(src: SpanSource, a: P.Attr) -> Column:
     key = a.name
     if key in src.attr_cols:
         return F.col(src.attr_cols[key])
-    if a.scope in ("span", "resource") and f"{a.scope}.{key}" in src.attr_cols:
+    if (
+        a.scope in ("span", "resource", "instrumentation")
+        and f"{a.scope}.{key}" in src.attr_cols
+    ):
         return F.col(src.attr_cols[f"{a.scope}.{key}"])
     if src.attrs_map_col is not None:
         return F.col(src.attrs_map_col).getItem(key)
