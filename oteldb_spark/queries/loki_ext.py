@@ -130,3 +130,72 @@ def logql_error_labels(spark, sf_dir):
     return out.withColumn(
         "__error__", F.coalesce(F.col("__error__"), F.lit(""))
     )
+
+
+# ingest deduction round-trip (logparser/deduce.go): bodies rebuilt
+# as raw JSON lines with free-text levels (word / lower / single
+# letter) and integer timestamps in rotating resolutions; the
+# enrichment must recover the severity number and the ns timestamp
+# up to the resolution truncation
+@register(
+    "logql_deduce_enrich",
+    with_ctes(
+        LOGS_CTE,
+        """raw AS (
+  SELECT event_id, severity_number, ts_us * 1000 AS ts_ns,
+         CASE event_id % 3
+           WHEN 0 THEN level
+           WHEN 1 THEN lower(level)
+           ELSE lower(substr(level, 1, 1)) END AS lvl_text,
+         CASE event_id % 4
+           WHEN 0 THEN ts_ns
+           WHEN 1 THEN ts_ns // 1000
+           WHEN 2 THEN ts_ns // 1000000
+           ELSE ts_ns // 1000000000 END AS ts_raw,
+         CASE event_id % 4
+           WHEN 0 THEN 1 WHEN 1 THEN 1000
+           WHEN 2 THEN 1000000 ELSE 1000000000 END AS unit
+  FROM logs
+)""",
+        body="""SELECT event_id,
+       CAST(severity_number AS INT) AS deduced_severity,
+       CAST(ts_raw * unit AS BIGINT) AS deduced_ts_ns
+FROM raw""",
+    ),
+)
+def logql_deduce_enrich(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..sources.deduce import enrich_json_lines
+
+    logs = logs_frame(spark, sf_dir)
+    lvl = (
+        F.when(F.col("event_id") % 3 == 0, F.col("level"))
+        .when(F.col("event_id") % 3 == 1, F.lower(F.col("level")))
+        .otherwise(F.lower(F.substring(F.col("level"), 1, 1)))
+    )
+    # ns base from ts_us: DuckDB reads the ns parquet timestamp
+    # truncated to µs, so both sides start from the µs value
+    ns = (F.col("ts_us") * 1000).alias("ns")
+    ts_raw = (
+        F.when(F.col("event_id") % 4 == 0, ns)
+        .when(F.col("event_id") % 4 == 1, F.expr("ts_us * 1000 div 1000"))
+        .when(F.col("event_id") % 4 == 2, F.expr("ts_us * 1000 div 1000000"))
+        .otherwise(F.expr("ts_us * 1000 div 1000000000"))
+    )
+    raw = logs.select(
+        "event_id",
+        F.concat(
+            F.lit('{"level": "'),
+            lvl,
+            F.lit('", "ts": '),
+            ts_raw.cast("string"),
+            F.lit("}"),
+        ).alias("body"),
+    )
+    out = enrich_json_lines(raw)
+    return out.select(
+        "event_id",
+        F.col("deduced_severity"),
+        F.col("deduced_ts_ns").cast("long").alias("deduced_ts_ns"),
+    )

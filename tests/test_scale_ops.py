@@ -84,3 +84,33 @@ def test_prebucketed_matches_naive(spark, op):
     a = {(r.svc, r.step_us): r.value for r in naive.collect()}
     b = {(r.svc, r.step_us): r.value for r in fast.collect()}
     assert a == b
+
+
+def test_deduce_severity_and_nanos(spark):
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.sources.deduce import deduce_nanos, deduce_severity
+
+    df = spark.createDataFrame(
+        [
+            ("WARN",), ("warning",), ("  Critical ",), ("e",), ("I",),
+            ("trace",), ("",), ("nonsense",),
+        ],
+        "lvl string",
+    ).withColumn("sev", deduce_severity("lvl"))
+    got = [r["sev"] for r in df.collect()]
+    assert got == [13, 13, 21, 17, 9, 1, 0, 0]
+
+    ts = spark.createDataFrame(
+        [
+            (1_704_067_200,),             # seconds
+            (1_704_067_200_000,),         # millis
+            (1_704_067_200_000_000,),     # micros
+            (1_704_067_200_000_000_000,), # nanos
+            (12345,),                     # pre-2000 → unknown
+        ],
+        "n long",
+    ).withColumn("ns", deduce_nanos("n"))
+    vals = [r["ns"] for r in ts.collect()]
+    assert vals[:4] == [1_704_067_200_000_000_000] * 4
+    assert vals[4] is None
