@@ -199,3 +199,87 @@ def logql_deduce_enrich(spark, sf_dir):
         F.col("deduced_severity"),
         F.col("deduced_ts_ns").cast("long").alias("deduced_ts_ns"),
     )
+
+
+# collector line-format parsers (logparser/klog.go,
+# zap_development.go): events rebuilt as alternating klog / zap-dev
+# raw lines; the auto-detecting parser must recover timestamp (µs),
+# severity and origin for every line
+@register(
+    "logql_lineformat_parse",
+    with_ctes(
+        LOGS_CTE,
+        """built AS (
+  SELECT event_id, severity_number, ts_us, service,
+         CASE WHEN event_id % 2 = 0
+           THEN CASE severity_number WHEN 17 THEN 'E' WHEN 9 THEN 'I'
+                     ELSE 'D' END
+                || strftime(make_timestamp(ts_us), '%m%d %H:%M:%S.%f')
+                || ' ' || CAST(event_id % 100000 AS VARCHAR)
+                || ' ' || service || '.go:42] event body'
+           ELSE strftime(make_timestamp(ts_us), '%Y-%m-%dT%H:%M:%S.%g')
+                || 'Z' || chr(9)
+                || CASE severity_number WHEN 17 THEN 'ERROR'
+                        WHEN 9 THEN 'INFO' ELSE 'DEBUG' END
+                || chr(9) || service || chr(9) || 'event body'
+         END AS line
+  FROM logs
+)""",
+    body="""SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN ts_us
+            ELSE ts_us // 1000 * 1000 END AS p_ts_us,
+       CAST(severity_number AS INT) AS p_sev,
+       CASE WHEN event_id % 2 = 0 THEN service || '.go:42' ELSE service END
+         AS p_origin
+FROM built""",
+    ),
+)
+def logql_lineformat_parse(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..sources.lineformats import parse_lines
+
+    logs = logs_frame(spark, sf_dir)
+    sev_letter = (
+        F.when(F.col("severity_number") == 17, F.lit("E"))
+        .when(F.col("severity_number") == 9, F.lit("I"))
+        .otherwise(F.lit("D"))
+    )
+    sev_word = (
+        F.when(F.col("severity_number") == 17, F.lit("ERROR"))
+        .when(F.col("severity_number") == 9, F.lit("INFO"))
+        .otherwise(F.lit("DEBUG"))
+    )
+    ts = F.timestamp_micros(F.col("ts_us"))
+    klog_line = F.concat(
+        sev_letter,
+        F.date_format(ts, "MMdd HH:mm:ss."),
+        F.lpad((F.col("ts_us") % 1_000_000).cast("string"), 6, "0"),
+        F.lit(" "),
+        (F.col("event_id") % 100_000).cast("string"),
+        F.lit(" "),
+        F.col("service"),
+        F.lit(".go:42] event body"),
+    )
+    zap_line = F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss."),
+        F.lpad(((F.col("ts_us") % 1_000_000) / 1000).cast("int").cast("string"), 3, "0"),
+        F.lit("Z\t"),
+        sev_word,
+        F.lit("\t"),
+        F.col("service"),
+        F.lit("\tevent body"),
+    )
+    built = logs.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, klog_line)
+        .otherwise(zap_line)
+        .alias("body"),
+    )
+    out = parse_lines(built, year=2024)
+    return out.select(
+        "event_id",
+        F.col("parsed.ts_us").alias("p_ts_us"),
+        F.col("parsed.severity_number").alias("p_sev"),
+        F.col("parsed.origin").alias("p_origin"),
+    )

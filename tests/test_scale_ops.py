@@ -114,3 +114,24 @@ def test_deduce_severity_and_nanos(spark):
     vals = [r["ns"] for r in ts.collect()]
     assert vals[:4] == [1_704_067_200_000_000_000] * 4
     assert vals[4] is None
+
+
+def test_lineformat_parsers(spark):
+    from oteldb_spark.sources.lineformats import parse_lines
+
+    df = spark.createDataFrame(
+        [
+            ("I0513 12:34:56.789012 3492 server.go:123] started ok",),
+            ("2024-05-13T12:34:56.789Z\tWARN\tsched\tslow tick",),
+            ("not a structured line at all",),
+        ],
+        "body string",
+    )
+    rows = parse_lines(df, year=2024).collect()
+    klog, zap, plain = rows
+    assert klog["parsed"]["severity_number"] == 9
+    assert klog["parsed"]["origin"] == "server.go:123"
+    assert klog["parsed"]["body"] == "started ok"
+    assert zap["parsed"]["severity_number"] == 13
+    assert zap["parsed"]["origin"] == "sched"
+    assert plain["parsed"] is None
