@@ -283,3 +283,53 @@ def logql_lineformat_parse(spark, sf_dir):
         F.col("parsed.severity_number").alias("p_sev"),
         F.col("parsed.origin").alias("p_origin"),
     )
+
+
+# docker daemon multiplexed-stream decode (dockerlog/daemonlog.go):
+# fixture streams built from events (stdout for normal events, stderr
+# for errors), decoded by the real executor-side frame walker
+_DOCKER_LIMIT = 400
+
+
+@register(
+    "logql_docker_stream",
+    with_ctes(
+        LOGS_CTE,
+        body=f"""SELECT event_id,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       CASE WHEN event_type = 'error' THEN 'stderr' ELSE 'stdout' END
+         AS stream,
+       'evt ' || CAST(event_id AS VARCHAR) AS body
+FROM logs WHERE event_id < {_DOCKER_LIMIT}""",
+    ),
+)
+def logql_docker_stream(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..sources.dockerlog import docker_stream_rows, encode_docker_stream
+
+    rows = (
+        logs_frame(spark, sf_dir)
+        .filter(F.col("event_id") < _DOCKER_LIMIT)
+        .select("event_id", "ts_us", "event_type")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r.event_id):
+        typ = 2 if r.event_type == "error" else 1
+        by_type.setdefault(r.event_type, []).append(
+            (typ, r.ts_us * 1000, f"evt {r.event_id}")
+        )
+    payloads = [
+        (encode_docker_stream(by_type[t]),) for t in sorted(by_type)
+    ]
+    pdf = spark.createDataFrame(payloads, "payload binary")
+    out = docker_stream_rows(pdf)
+    return out.select(
+        F.regexp_extract("body", r"evt (\d+)", 1).cast("long").alias(
+            "event_id"
+        ),
+        "ts_us",
+        "stream",
+        "body",
+    )

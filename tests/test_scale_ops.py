@@ -135,3 +135,24 @@ def test_lineformat_parsers(spark):
     assert zap["parsed"]["severity_number"] == 13
     assert zap["parsed"]["origin"] == "sched"
     assert plain["parsed"] is None
+
+
+def test_docker_stream_roundtrip_and_systemerr():
+    import pytest as _pytest
+
+    from oteldb_spark.sources.dockerlog import (
+        encode_docker_stream,
+        parse_docker_stream,
+    )
+
+    ts = 1_704_067_200_123_456_789
+    blob = encode_docker_stream(
+        [(1, ts, "hello out"), (2, ts + 1, "oh no")]
+    )
+    rows = list(parse_docker_stream(blob))
+    assert [r["stream"] for r in rows] == ["stdout", "stderr"]
+    assert rows[0]["ts_ns"] == ts and rows[0]["body"] == "hello out"
+    # truncated trailing header ends gracefully (docker-cli behavior)
+    assert len(list(parse_docker_stream(blob + b"\x01\x00\x00"))) == 2
+    with _pytest.raises(ValueError):
+        list(parse_docker_stream(encode_docker_stream([(3, ts, "boom")])))
