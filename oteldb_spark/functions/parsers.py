@@ -21,11 +21,56 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# one valid logfmt token: key=value where the value is either a quoted
+# string (backslash escapes) or a bare run; mirrors go-logfmt's scanner
+# (ref logqlengine/logfmt.go:66 uses github.com/go-logfmt/logfmt)
+_LOGFMT_TOKEN = r'([^\s="]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)'
+# an unterminated quoted value — the case go-logfmt's decoder reports as
+# an error (ref logqlengine/logfmt.go:58-60 → set.SetError)
+_LOGFMT_BAD = r'(?:^|\s)[^\s="]*="(?:[^"\\]|\\.)*$'
+
+
 def logfmt_map(body: Column | str) -> Column:
-    """Parse a logfmt line (``k=v`` space-separated, unquoted values)
-    into a map<string,string>.  Quoted values are handled by the
-    regex-pair variant below when needed."""
-    return F.str_to_map(body, F.lit(" "), F.lit("="))
+    """Parse a logfmt line (``k=v`` space-separated) into a
+    map<string,string>.  Quoted values (``k="a b"``) are unquoted and
+    backslash-unescaped (``\\"`` → ``"``); duplicate keys keep the last
+    occurrence, matching go-logfmt map-fill order
+    (ref logqlengine/logfmt.go:86-100).  All JVM-side, no UDFs."""
+    b = F.col(body) if isinstance(body, str) else body
+    keys = F.regexp_extract_all(b, F.lit(_LOGFMT_TOKEN), F.lit(1))
+    raw = F.regexp_extract_all(b, F.lit(_LOGFMT_TOKEN), F.lit(2))
+    vals = F.transform(
+        raw,
+        lambda v: F.when(
+            v.startswith('"'),
+            F.regexp_replace(
+                F.substring(v, F.lit(2), F.length(v) - F.lit(2)),
+                r"\\(.)",
+                "$1",
+            ),
+        ).otherwise(v),
+    )
+    # last-win fold avoids map_from_arrays' EXCEPTION dedup policy (the
+    # driver runs a plain session, so no conf to lean on); token counts
+    # per line are small so the quadratic fold is fine
+    entries = F.arrays_zip(keys.alias("k"), vals.alias("v"))
+    return F.aggregate(
+        entries,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != e["k"]),
+            F.create_map(e["k"], e["v"]),
+        ),
+    )
+
+
+def logfmt_error(body: Column | str) -> Column:
+    """True when go-logfmt's decoder would report a parse error for the
+    line (unterminated quoted value).  The reference then surfaces
+    ``__error__="logfmt parsing error"`` and extracts no labels
+    (ref logqlengine/logfmt.go:51-61: parsed map is discarded on error)."""
+    b = F.col(body) if isinstance(body, str) else body
+    return b.rlike(_LOGFMT_BAD)
 
 
 def pattern_to_regex(pattern: str) -> tuple[str, list[str]]:

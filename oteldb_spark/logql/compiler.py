@@ -30,6 +30,7 @@ from ..functions.parsers import (
     decolorize,
     ip_in_cidr,
     ip_in_range,
+    logfmt_error,
     logfmt_map,
     parse_bytes,
     parse_duration_seconds,
@@ -247,7 +248,10 @@ def _apply_stage(env: _Env, stage) -> _Env:
                     bad, F.lit("malformed JSON body")
                 )
         elif stage.kind == "logfmt":
-            m = logfmt_map(env.body)
+            # on decode error go-logfmt discards everything it scanned
+            # (ref logqlengine/logfmt.go:51-61), so mask extractions
+            bad = logfmt_error(env.body)
+            m = F.when(~bad, logfmt_map(env.body))
             names = stage.exprs or {}
             if names:
                 for lbl, key in names.items():
@@ -255,6 +259,13 @@ def _apply_stage(env: _Env, stage) -> _Env:
             else:
                 # bare `| logfmt`: dynamic key=val map fallback
                 env.dyn_map = m
+            if env.source.error_labels:
+                env.labels["__error__"] = F.when(
+                    bad, F.lit("logfmt parsing error")
+                )
+                env.labels["__error_details__"] = F.when(
+                    bad, F.lit("logfmt syntax error at pos of unterminated value")
+                )
         elif stage.kind == "regexp":
             import re as _re
 

@@ -286,3 +286,114 @@ def logql_unpack(spark, sf_dir):
         F.get_json_object(packed, "$._entry").alias("line"),
         F.get_json_object(packed, "$.lvl").alias("lvl"),
     )
+
+
+# quoted logfmt values: `msg="evt \"page_view\" ok" user=.. took=..ms`
+# — go-logfmt unquotes and unescapes (logfmt.go via go-logfmt/logfmt);
+# rows where user_id % 23 = 0 lose the closing quote and must parse
+# to NULL (decoder error discards the scanned map, logfmt.go:51-61)
+_QFMT_CTE = r"""qfmt AS (
+  SELECT event_id, ts_us, service, env, level, user_id, value,
+         'msg="evt \"' || event_type || '\" ok' ||
+         CASE WHEN user_id % 23 = 0 THEN '' ELSE '"' END ||
+         ' user=' || user_id || ' took=' || value || 'ms' AS body
+  FROM logs
+)"""
+
+
+def _quoted_frame(spark, sf_dir):
+    logs = logs_frame(spark, sf_dir)
+    body = F.concat(
+        F.lit('msg="evt \\"'),
+        F.col("event_type"),
+        F.lit('\\" ok'),
+        F.when(F.col("user_id") % 23 == 0, F.lit("")).otherwise(F.lit('"')),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" took="),
+        F.col("value").cast("string"),
+        F.lit("ms"),
+    )
+    return logs.select(
+        "event_id", "ts_us", "service", "env", "level", "user_id",
+        "value", body.alias("body"),
+    )
+
+
+# {} | logfmt msg, took — quoted-value extraction with unescaping;
+# malformed lines (unterminated quote) yield NULL labels
+@register(
+    "logql_logfmt_quoted",
+    with_ctes(
+        LOGS_CTE,
+        _QFMT_CTE,
+        body=r"""SELECT event_id,
+       regexp_replace(regexp_extract(body, 'msg="((?:[^"\\]|\\.)*)"', 1),
+                      '\\(.)', '\1', 'g') AS msg,
+       CAST(regexp_extract(body, 'took=([0-9.]+)ms', 1) AS DOUBLE) * 0.001
+         AS took_s
+FROM qfmt
+WHERE user_id % 23 <> 0
+  AND regexp_replace(regexp_extract(body, 'msg="((?:[^"\\]|\\.)*)"', 1),
+                     '\\(.)', '\1', 'g') LIKE '%"purchase"%'""",
+    ),
+)
+def logql_logfmt_quoted(spark, sf_dir):
+    from ..functions.parsers import logfmt_error
+
+    df = _quoted_frame(spark, sf_dir)
+    bad = logfmt_error("body")
+    m = F.when(~bad, logfmt_map("body"))
+    return (
+        df.withColumn("msg", m.getItem("msg"))
+        .withColumn("took_s", parse_duration_seconds(m.getItem("took")))
+        .filter(F.col("msg").contains('"purchase"'))
+        .select("event_id", "msg", "took_s")
+    )
+
+
+def _logfmt_error_oracle() -> str:
+    from ..operators.stepfanout import fanout_join_sql
+    from .registry import END_US, START_US, STEP_US
+
+    fan = fanout_join_sql("doct", START_US, END_US, STEP_US, 6 * 3_600_000_000)
+    return with_ctes(
+        LOGS_CTE,
+        _QFMT_CTE,
+        """doct AS (
+  SELECT ts_us,
+         CASE WHEN user_id % 23 = 0 THEN 'logfmt parsing error' ELSE '' END
+           AS err
+  FROM qfmt WHERE env = 'prod'
+)""",
+        body=f"""SELECT err AS __error__, step_us,
+       CAST(count(*) AS DOUBLE) AS value
+FROM {fan} s
+GROUP BY err, step_us""",
+    )
+
+
+# sum by (__error__) (count_over_time({env="prod"} | logfmt msg [6h]))
+# — decoder failures surface as __error__="logfmt parsing error"
+# through the engine path (logfmt.go:58-60 SetError)
+@register("logql_logfmt_error", _logfmt_error_oracle())
+def logql_logfmt_error(spark, sf_dir):
+    from ..logql import EvalParams, LogSource, compile_logql
+
+    df = _quoted_frame(spark, sf_dir)
+    src = LogSource(
+        df=df,
+        label_cols={"service": "service", "env": "env", "level": "level"},
+        error_labels=True,
+    )
+    from .registry import END_US, START_US, STEP_US
+
+    out = compile_logql(
+        'sum by (__error__) (count_over_time({env="prod"} | logfmt msg [6h]))',
+        src,
+        EvalParams(START_US, END_US, STEP_US),
+        spark,
+    )
+    return out.withColumn(
+        "__error__", F.coalesce(F.col("__error__"), F.lit(""))
+    )

@@ -162,3 +162,50 @@ def test_logql_implicit_and_label_filters(spark):
         '{svc="a"} | json | st >= 400 ms > 5', src, p, spark
     ).collect()
     assert len(out) == 1 and '"ms": 9' in out[0]["body"]
+
+
+def test_logfmt_quoted_values_and_escapes(spark):
+    from oteldb_spark.functions.parsers import logfmt_error, logfmt_map
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('msg="hello world" n=1',),
+            ('msg="esc \\" quote" n=2',),
+            ("dup=a dup=b",),
+            ('bad="unterminated n=3',),
+        ],
+        "body string",
+    )
+    rows = df.select(
+        logfmt_map("body").alias("m"), logfmt_error("body").alias("err")
+    ).collect()
+    assert dict(rows[0].m) == {"msg": "hello world", "n": "1"}
+    assert dict(rows[1].m) == {"msg": 'esc " quote', "n": "2"}
+    assert dict(rows[2].m) == {"dup": "b"}  # last occurrence wins
+    assert [r.err for r in rows] == [False, False, False, True]
+
+
+def test_logfmt_error_label_through_pipeline(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1 * US, 'msg="ok" status=200'),
+            (2, 2 * US, 'msg="broken status=500'),
+        ],
+        "event_id long, ts_us long, body string",
+    )
+    src = LogSource(df=df, label_cols={}, error_labels=True)
+    out = compile_logql(
+        "{} | logfmt msg, status",
+        src,
+        EvalParams(0, 10 * US, US),
+        spark,
+    ).collect()
+    by_body = {r.body: r for r in out}
+    good = by_body['msg="ok" status=200']
+    bad = by_body['msg="broken status=500']
+    # well-formed line parses; malformed line keeps NULL labels and
+    # carries __error__ (logfmt.go:51-61: scanned map discarded)
+    assert good.msg == "ok" and good["__error__"] is None
+    assert bad.msg is None
+    assert bad["__error__"] == "logfmt parsing error"
