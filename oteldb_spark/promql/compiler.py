@@ -600,18 +600,34 @@ HIST_NATIVE_FNS = {
 
 
 def _native_hist_sel(arg, source: MetricSource):
-    """The native-histogram selector inside ``arg``: either the bare
-    selector, or ``rate(sel[r])`` around one (a histogram rate —
-    per-window histogram scaled by 1/range).  None otherwise."""
+    """The native-histogram selector inside ``arg``: the bare selector,
+    ``rate(sel[r])`` around one (a histogram rate — per-window
+    histogram scaled by 1/range), or ``sum [by (...)]`` over either
+    (bucket-wise histogram merge across series, Prometheus native-
+    histogram sum aggregation).  Returns (selector, is_rate,
+    group_labels) where group_labels is None when no aggregation
+    wraps; None when the shape is not a native-histogram expression."""
+    if isinstance(arg, ast.VectorAgg) and arg.op == "sum":
+        inner = _native_hist_sel(arg.expr, source)
+        if inner is None or inner[2] is not None:
+            return None
+        g = arg.grouping
+        if g is None:
+            labels: list[str] = []
+        elif g.without:
+            labels = [c for c in source.label_cols if c not in g.labels]
+        else:
+            labels = [c for c in source.label_cols if c in g.labels]
+        return inner[0], inner[1], labels
     if isinstance(arg, ast.VectorSelector) and arg.name in source.histograms:
-        return arg, False
+        return arg, False, None
     if (
         isinstance(arg, ast.FuncCall)
         and arg.name == "rate"
         and isinstance(arg.args[0], ast.VectorSelector)
         and arg.args[0].name in source.histograms
     ):
-        return arg.args[0], True
+        return arg.args[0], True, None
     return None
 
 
@@ -639,7 +655,7 @@ def _compile_hist_native(
         raise SyntaxError(
             f"PromQL: {name}() needs a native-histogram selector"
         )
-    sel, is_rate = found
+    sel, is_rate, group_labels = found
     if is_rate and sel.range_us is None:
         raise SyntaxError("PromQL: rate() needs a range vector")
     rng = sel.range_us or params.lookback_us
@@ -647,7 +663,10 @@ def _compile_hist_native(
     fanned = fanout(
         pts, params.start_us, params.end_us, params.step_us, rng
     )
-    keys = [*source.label_cols, "step_us"]
+    # sum-aggregated histograms merge observation streams bucket-wise;
+    # grouping by fewer keys IS that merge — no extra pass needed
+    label_keys = source.label_cols if group_labels is None else group_labels
+    keys = [*label_keys, "step_us"]
     if name in ("histogram_count", "histogram_sum", "histogram_avg"):
         col = {
             "histogram_count": "h_count",

