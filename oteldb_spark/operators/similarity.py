@@ -216,3 +216,85 @@ def near_dup_pairs_blocked(
     return exploded.groupBy("ka", "kb").applyInPandas(
         gemm, schema="vec_a long, vec_b long, cosine double"
     )
+
+
+def pq_subvectors(
+    emb: DataFrame, n_sub: int, sub_dim: int, *, vec_col: str = "e"
+) -> DataFrame:
+    """Explode each vector into ``n_sub`` contiguous subvectors:
+    one row per (original row, ``m``) with ``s`` = dims
+    [m*sub_dim, (m+1)*sub_dim)."""
+    cols = list(emb.columns)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias("s"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+    return emb.withColumn("__ms", F.explode(subs)).select(
+        *cols, F.col("__ms.m").alias("m"), F.col("__ms.s").alias("s")
+    )
+
+
+def _l2sq(a, b) -> Column:
+    # fixed operation order (a·a − 2·a·b) + b·b, each dot a sequential
+    # fold — bit-reproducible across engines, then rounded
+    return F.round(
+        dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b), 6
+    )
+
+
+def pq_encode(
+    sub: DataFrame, codebook: DataFrame, *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Product-quantization encoding: per (vector, subspace) the id of
+    the nearest codebook centroid (L2², ties by centroid id).  Returns
+    (id_col, m, code).  ``codebook`` is (m, cid, cs) and is broadcast —
+    K×M rows; the assignment is a map-side scan, no shuffle of the
+    vectors themselves beyond the explode."""
+    from pyspark.sql import Window
+
+    j = sub.join(F.broadcast(codebook), "m")
+    d2 = _l2sq(F.col("s"), F.col("cs"))
+    w = Window.partitionBy(id_col, "m").orderBy(d2.asc(), F.col("cid").asc())
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "m", F.col("cid").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_sub: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation: the query builds a (m, cid) →
+    L2² lookup table against the codebook (K×M entries, broadcast);
+    candidate scores are table-lookup sums over their M code bytes.
+    The per-cell distances go through DECIMAL so the M-way sum is
+    exact in any accumulation order.  Returns top-k (id_col, dist2)
+    ascending."""
+    table = (
+        codebook.join(query_sub.select("m", F.col("s").alias("qs")), "m")
+        .select(
+            "m",
+            F.col("cid").alias("code"),
+            _l2sq(F.col("qs"), F.col("cs"))
+            .cast("decimal(18,6)")
+            .alias("qd2"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd2").cast("double").alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -302,3 +302,58 @@ def ann_ivf_kmeans_top5(spark, sf_dir):
         .limit(5)
         .select("vec_id", "cosine")
     )
+
+
+# IVF-PQ: product quantization over 8 subspaces of 8 dims, 16-entry
+# codebooks seeded from the first 16 vectors (deterministic, like the
+# IVF seeds above).  Vectors compress 512 B → 8 code bytes; the query
+# scores candidates via an asymmetric-distance lookup table (K×M
+# broadcast), so at 100 TB the scan touches only the code column and
+# the shuffle carries one decimal per (vector, subspace).  Exact
+# per-cell rounding + DECIMAL summation keep both engines identical.
+_PQ_M, _PQ_D, _PQ_K = 8, 8, 16
+
+
+def _pq_l2(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+@register(
+    "ann_ivf_pq_top5",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ms AS (SELECT range AS m FROM range(0, {_PQ_M}, 1)),
+sub AS (SELECT vec_id, m, list_slice(e, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS s
+        FROM v CROSS JOIN ms),
+cb AS (SELECT m, vec_id AS cid, s AS cs FROM sub WHERE vec_id < {_PQ_K}),
+asg AS (SELECT vec_id, m, cid AS code FROM (
+          SELECT s.vec_id, s.m, c.cid, row_number() OVER (
+            PARTITION BY s.vec_id, s.m
+            ORDER BY {_pq_l2("s.s", "c.cs")} ASC, c.cid ASC) AS rn
+          FROM sub s JOIN cb c ON s.m = c.m) t
+        WHERE rn = 1),
+qt AS (SELECT c.m, c.cid AS code,
+              CAST({_pq_l2("q.s", "c.cs")} AS DECIMAL(18,6)) AS qd2
+       FROM cb c JOIN sub q ON q.m = c.m AND q.vec_id = 1)
+SELECT a.vec_id, CAST(sum(t.qd2) AS DOUBLE) AS dist2
+FROM asg a JOIN qt t ON a.m = t.m AND a.code = t.code
+WHERE a.vec_id <> 1
+GROUP BY a.vec_id
+ORDER BY dist2 ASC, a.vec_id ASC
+LIMIT 5""",
+)
+def ann_ivf_pq_top5(spark, sf_dir):
+    from ..operators.similarity import pq_adc_topk, pq_encode, pq_subvectors
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sub = pq_subvectors(emb, _PQ_M, _PQ_D)
+    codebook = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("s").alias("cs")
+    )
+    codes = pq_encode(sub, codebook).filter(F.col("vec_id") != 1)
+    query_sub = sub.filter(F.col("vec_id") == 1)
+    return pq_adc_topk(codes, codebook, query_sub, 5)

@@ -156,3 +156,33 @@ def test_docker_stream_roundtrip_and_systemerr():
     assert len(list(parse_docker_stream(blob + b"\x01\x00\x00"))) == 2
     with _pytest.raises(ValueError):
         list(parse_docker_stream(encode_docker_stream([(3, ts, "boom")])))
+
+
+def test_pq_encoding_and_adc(spark):
+    """PQ codes are one centroid id per (vector, subspace); the ADC
+    score of a vector that IS a codebook seed against itself as the
+    query is exactly 0 (every subspace hits its own centroid)."""
+    from oteldb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_subvectors,
+    )
+    from oteldb_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = emb.count()
+    sub = pq_subvectors(emb, 8, 8)
+    codebook = sub.filter(F.col("vec_id") < 16).select(
+        "m", F.col("vec_id").alias("cid"), F.col("s").alias("cs")
+    )
+    codes = pq_encode(sub, codebook)
+    assert codes.count() == n * 8
+    assert codes.agg(F.max("code")).first()[0] < 16
+    # seed vector 3 queries itself: each subspace's nearest centroid is
+    # centroid 3 at distance 0, so its ADC total must be 0.0
+    top = pq_adc_topk(
+        codes, codebook, sub.filter(F.col("vec_id") == 3), 1
+    ).first()
+    assert top.vec_id == 3 and top.dist2 == 0.0
