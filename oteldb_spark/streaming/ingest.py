@@ -75,38 +75,80 @@ def stream_dedup_exact(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_dir: str,
+    key_col: str,
+    reagg,
+    n_buckets: int = 64,
+) -> list[int]:
+    """Partition-pruned MERGE INTO for a plain-parquet table: the
+    table is hash-partitioned on ``pmod(xxhash64(key), n_buckets)``
+    and only the bucket partitions that contain batch keys are read,
+    re-aggregated, and swapped — untouched buckets are never opened.
+
+    ``reagg(df)`` must group by ``key_col`` and return one merged row
+    per key.  Returns the list of rewritten bucket ids.
+
+    At registry scale (billions of series, small per-batch key sets)
+    this turns the whole-table rewrite into O(touched buckets) I/O —
+    the same pruning a Delta/Iceberg MERGE gets from file-level stats.
+    Per-bucket directory swaps are not atomic as a set, which is fine
+    under the single-writer foreachBatch contract."""
+    bucket = F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    b = batch.withColumn("__bucket", bucket)
+    touched = sorted(
+        r["__bucket"] for r in b.select("__bucket").distinct().collect()
+    )
+    merged = b
+    if os.path.isdir(table_dir) and any(
+        e.startswith("__bucket=") for e in os.listdir(table_dir)
+    ):
+        existing = spark.read.parquet(table_dir).filter(
+            F.col("__bucket").isin([int(t) for t in touched])
+        )
+        merged = b.unionByName(existing)
+    out = reagg(merged.drop("__bucket")).withColumn("__bucket", bucket)
+    tmp = table_dir.rstrip("/") + ".tmp"
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    os.makedirs(table_dir, exist_ok=True)
+    for k in touched:
+        src = os.path.join(tmp, f"__bucket={k}")
+        dst = os.path.join(table_dir, f"__bucket={k}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+    return touched
+
+
 def upsert_series_registry(
     spark: SparkSession, batch: DataFrame, registry_dir: str
 ) -> None:
     """Merge a batch of (series_hash, name, labels, ts_ns) into the
     registry: min(first_seen), max(last_seen), any(name/labels).
 
-    Parquet engine path: read-union-reaggregate-swap.  With Delta this
-    is `MERGE INTO registry USING batch ... WHEN MATCHED UPDATE`.
-    """
+    The reference's AggregatingMergeTree folds these continuously at
+    insert; here each batch goes through ``merge_upsert`` so only the
+    hash buckets the batch touches are rewritten."""
     agg = batch.groupBy("series_hash").agg(
         F.min("ts_ns").alias("first_seen_ns"),
         F.max("ts_ns").alias("last_seen_ns"),
         F.first("name").alias("name"),
         F.first("labels").alias("labels"),
     )
-    if os.path.exists(registry_dir):
-        existing = spark.read.parquet(registry_dir)
-        agg = (
-            existing.unionByName(agg)
-            .groupBy("series_hash")
-            .agg(
-                F.min("first_seen_ns").alias("first_seen_ns"),
-                F.max("last_seen_ns").alias("last_seen_ns"),
-                F.first("name").alias("name"),
-                F.first("labels").alias("labels"),
-            )
+
+    def reagg(df: DataFrame) -> DataFrame:
+        return df.groupBy("series_hash").agg(
+            F.min("first_seen_ns").alias("first_seen_ns"),
+            F.max("last_seen_ns").alias("last_seen_ns"),
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
         )
-    tmp = registry_dir.rstrip("/") + ".tmp"
-    agg.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(registry_dir):
-        shutil.rmtree(registry_dir)
-    os.rename(tmp, registry_dir)
+
+    merge_upsert(spark, agg, registry_dir, "series_hash", reagg)
 
 
 def retention_sweep(table_dir: str, keep_days: int, now_date: str) -> list[str]:

@@ -217,3 +217,37 @@ def test_tail_logs_follows_matching_lines(spark, tmp_path):
             {"service": "service"},
             schema,
         )
+
+
+def test_merge_upsert_prunes_untouched_buckets(spark, tmp_path):
+    """A second batch touching one key must rewrite only that key's
+    hash bucket; other bucket directories stay byte-identical."""
+    import os
+
+    from oteldb_spark.streaming.ingest import merge_upsert
+
+    table = str(tmp_path / "t")
+
+    def reagg(df):
+        return df.groupBy("k").agg(F.sum("v").alias("v"))
+
+    base = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(40)], "k string, v long"
+    )
+    merge_upsert(spark, base, table, "k", reagg, n_buckets=8)
+    all_buckets = sorted(
+        e for e in os.listdir(table) if e.startswith("__bucket=")
+    )
+    assert len(all_buckets) > 1
+    snap = {
+        b: sorted(os.listdir(os.path.join(table, b))) for b in all_buckets
+    }
+    one = spark.createDataFrame([("key0", 10)], "k string, v long")
+    touched = merge_upsert(spark, one, table, "k", reagg, n_buckets=8)
+    assert len(touched) == 1
+    hit = f"__bucket={touched[0]}"
+    for b in all_buckets:
+        if b != hit:
+            assert sorted(os.listdir(os.path.join(table, b))) == snap[b]
+    rows = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert rows["key0"] == 11 and rows["key1"] == 1 and len(rows) == 40
