@@ -261,7 +261,12 @@ def _unix_to_time(epoch) -> Column:
         .when(F.length(e) == 10, F.timestamp_seconds(n))
         .when(F.length(e) == 13, F.timestamp_millis(n))
         .when(F.length(e) == 16, F.timestamp_micros(n))
-        .when(F.length(e) == 19, F.timestamp_micros((n / 1000).cast("long")))
+        .when(
+            # ns epochs exceed 2^53, so float division drops microseconds;
+            # divide as decimal (exact) before the long cast
+            F.length(e) == 19,
+            F.timestamp_micros((n.cast("decimal(20,0)") / 1000).cast("long")),
+        )
     )
 
 

@@ -142,7 +142,7 @@ def flatten_otlp_logs(raw: DataFrame) -> DataFrame:
             F.col("resource_attrs").getItem("service.namespace"), F.lit("")
         ).alias("service_namespace"),
         F.to_date(
-            F.timestamp_micros((F.col("r.timeUnixNano").cast("long") / 1000).cast("long"))
+            F.timestamp_micros(F.expr("CAST(r.timeUnixNano AS LONG) div 1000"))
         ).alias("date"),
     )
 
@@ -228,7 +228,9 @@ def flatten_otlp_spans(raw: DataFrame) -> DataFrame:
             F.col("resource_attrs").getItem("service.name"),
             F.lit("unknown_service"),
         ).alias("service_name"),
-        F.to_date(F.timestamp_micros((start / 1000).cast("long"))).alias("date"),
+        F.to_date(
+            F.timestamp_micros(F.expr("CAST(s.startTimeUnixNano AS LONG) div 1000"))
+        ).alias("date"),
     )
 
 

@@ -76,7 +76,7 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     """events stream (ts timestamp-like ns long, user_id, value) →
     closed-session stream."""
     with_ts = events.withColumn(
-        "ts_ms", (F.col("ts") / 1_000_000).cast("long")
+        "ts_ms", F.expr("ts div 1000000")
     ).withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
     watermarked = with_ts.withWatermark("event_time", "1 hour")
     return watermarked.groupBy("user_id").applyInPandasWithState(

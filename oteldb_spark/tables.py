@@ -29,13 +29,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is a nanosecond parquet timestamp; read it as a
-        # LongType ns epoch (the reference keeps ns longs as the source
-        # of truth too, SURVEY §1.4).  Set per-session: the driver may
-        # hand us a session built without this flag.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Internal contract: events.ts is a ns-epoch LongType (the
+        # reference keeps ns longs as the source of truth too, SURVEY
+        # §1.4).  The driver has shipped the column both as
+        # timestamp[ns] (readable as a long via nanosAsLong) and as
+        # timestamp[us]; normalize whatever arrives to ns longs here so
+        # every downstream plan sees one type.  Session tz is UTC, so
+        # a naive parquet timestamp converts exactly like DuckDB's
+        # epoch_ns(ts) on the oracle side.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type.startswith("timestamp"):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+            )
+        elif ts_type != "bigint":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
