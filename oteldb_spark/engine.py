@@ -237,13 +237,33 @@ class PromQLEngine:
     spark: SparkSession | None = None
     lookback_us: int = 5 * 60 * 1_000_000
     max_result_rows: int = DEFAULT_MAX_RESULT_ROWS
+    # optional StepResultCache (plans/result_cache.py) — the querier
+    # consults it per (query, step, alignment) like the reference's
+    # chstorage querier does (querier_metrics_cache.go)
+    result_cache: "object | None" = None
 
     def _spark(self):
         return self.spark or self.source.df.sparkSession
 
-    def query_range(self, q: str, start_us: int, end_us: int, step_us: int) -> dict:
-        params = PromParams(start_us, end_us, step_us, lookback_us=self.lookback_us)
-        df = compile_promql(q, self.source, params, self._spark())
+    def query_range(
+        self,
+        q: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        now_us: int | None = None,
+    ) -> dict:
+        def _compile(s_us: int, e_us: int) -> "DataFrame":
+            params = PromParams(s_us, e_us, step_us, lookback_us=self.lookback_us)
+            return compile_promql(q, self.source, params, self._spark())
+
+        if self.result_cache is not None:
+            key = f"promql|{q}|lb={self.lookback_us}"
+            df = self.result_cache.query_range(
+                self._spark(), key, start_us, end_us, step_us, _compile, now_us
+            )
+        else:
+            df = _compile(start_us, end_us)
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return prom_matrix(df, labels, max_rows=self.max_result_rows)
 

@@ -1,0 +1,144 @@
+"""StepResultCache (plans/result_cache.py) — watermark semantics of
+ref internal/metricscache: full hit, partial hit computing only the
+uncovered remainder, contiguous bridging for disjoint ranges, and the
+SafetyLag write-back exclusion."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from oteldb_spark.plans.result_cache import StepResultCache
+
+STEP = 10_000_000  # 10s in µs
+T0 = 1_700_000_000_000_000
+
+
+def _compute_factory(spark, calls):
+    """Step frame: one series, value = step index; records each call."""
+
+    def compute(s_us, e_us):
+        calls.append((s_us, e_us))
+        n = (e_us - s_us) // STEP + 1
+        pdf = pd.DataFrame(
+            {
+                "series": ["a"] * n,
+                "step_us": [s_us + i * STEP for i in range(n)],
+                "value": [(s_us - T0) // STEP + i * 1.0 for i in range(n)],
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    return compute
+
+
+def _steps(df):
+    return sorted(r.step_us for r in df.collect())
+
+
+def test_miss_then_full_hit(spark, tmp_path):
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"))
+    compute = _compute_factory(spark, calls)
+
+    out = cache.query_range(spark, "q", T0, T0 + 9 * STEP, STEP, compute)
+    assert _steps(out) == [T0 + i * STEP for i in range(10)]
+    assert calls == [(T0, T0 + 9 * STEP)]
+    assert cache.stats.misses == 1
+
+    out2 = cache.query_range(spark, "q", T0, T0 + 9 * STEP, STEP, compute)
+    assert _steps(out2) == _steps(out)
+    assert calls == [(T0, T0 + 9 * STEP)]  # no recompute
+    assert cache.stats.hits == 1
+
+    # interior sub-range is also a pure hit
+    out3 = cache.query_range(spark, "q", T0 + 2 * STEP, T0 + 5 * STEP, STEP, compute)
+    assert _steps(out3) == [T0 + i * STEP for i in range(2, 6)]
+    assert len(calls) == 1
+    assert cache.stats.hits == 2
+
+
+def test_partial_hit_extends_tail_and_head(spark, tmp_path):
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"))
+    compute = _compute_factory(spark, calls)
+
+    cache.query_range(spark, "q", T0 + 4 * STEP, T0 + 7 * STEP, STEP, compute)
+    assert calls == [(T0 + 4 * STEP, T0 + 7 * STEP)]
+
+    # extend both directions: only the two gaps are computed
+    out = cache.query_range(spark, "q", T0, T0 + 9 * STEP, STEP, compute)
+    assert _steps(out) == [T0 + i * STEP for i in range(10)]
+    assert calls[1:] == [(T0, T0 + 3 * STEP), (T0 + 8 * STEP, T0 + 9 * STEP)]
+    assert cache.stats.partial_hits == 1
+
+    # values identical to a straight computation
+    vals = {r.step_us: r.value for r in out.collect()}
+    assert vals[T0 + 9 * STEP] == 9.0 and vals[T0] == 0.0
+
+
+def test_disjoint_range_bridges_watermark(spark, tmp_path):
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"))
+    compute = _compute_factory(spark, calls)
+
+    cache.query_range(spark, "q", T0, T0 + STEP, STEP, compute)
+    # disjoint above: computes from the watermark edge (bridge), but
+    # returns only the requested steps
+    out = cache.query_range(spark, "q", T0 + 5 * STEP, T0 + 6 * STEP, STEP, compute)
+    assert _steps(out) == [T0 + 5 * STEP, T0 + 6 * STEP]
+    assert calls[1] == (T0 + 2 * STEP, T0 + 6 * STEP)
+
+    # the bridge is now covered: querying it is a pure hit
+    cache.query_range(spark, "q", T0 + 2 * STEP, T0 + 4 * STEP, STEP, compute)
+    assert len(calls) == 2
+    assert cache.stats.hits == 1
+
+
+def test_safety_lag_keeps_recent_steps_out(spark, tmp_path):
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"), safety_lag_us=2 * STEP)
+    compute = _compute_factory(spark, calls)
+
+    now = T0 + 9 * STEP  # cutoff = now - 2*STEP = T0+7*STEP
+    out = cache.query_range(spark, "q", T0, T0 + 9 * STEP, STEP, compute, now_us=now)
+    assert _steps(out) == [T0 + i * STEP for i in range(10)]  # returned in full
+
+    # steps 8..9 were not persisted: the re-query recomputes them
+    out2 = cache.query_range(spark, "q", T0, T0 + 9 * STEP, STEP, compute, now_us=now)
+    assert _steps(out2) == _steps(out)
+    assert calls[1] == (T0 + 8 * STEP, T0 + 9 * STEP)
+    assert cache.stats.partial_hits == 1
+
+
+def test_different_key_and_alignment_are_separate_entries(spark, tmp_path):
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"))
+    compute = _compute_factory(spark, calls)
+
+    cache.query_range(spark, "q1", T0, T0 + 3 * STEP, STEP, compute)
+    cache.query_range(spark, "q2", T0, T0 + 3 * STEP, STEP, compute)
+    assert cache.stats.misses == 2
+    # same key, shifted grid → different alignment → separate entry
+    cache.query_range(spark, "q1", T0 + STEP // 2, T0 + 3 * STEP, STEP, compute)
+    assert cache.stats.misses == 3
+
+
+def test_engine_facade_uses_cache(spark, tmp_path):
+    """PromQLEngine.query_range consults the cache when configured."""
+    from oteldb_spark.engine import MetricSource, PromQLEngine
+    from oteldb_spark.signals import counter_points_frame
+    from oteldb_spark.queries.registry import START_US, STEP_US
+
+    src = MetricSource(
+        df=counter_points_frame(spark, "/root/testdata/sf0.001"),
+        metrics={"events_value_total": "counter_mod"},
+        label_cols=["mtype", "instance"],
+    )
+    cache = StepResultCache(str(tmp_path / "rc"))
+    eng = PromQLEngine(
+        source=src, lookback_us=12 * 3_600_000_000, result_cache=cache
+    )
+    end = START_US + 4 * STEP_US
+    r1 = eng.query_range("rate(events_value_total[12h])", START_US, end, STEP_US)
+    r2 = eng.query_range("rate(events_value_total[12h])", START_US, end, STEP_US)
+    assert r1 == r2
+    assert cache.stats.misses == 1 and cache.stats.hits == 1
