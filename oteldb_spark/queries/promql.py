@@ -111,35 +111,3 @@ def promql_sum_avg_over_time(spark, sf_dir):
     out = vector_aggregate(per_series, "sum", by=["mtype"])
     return out.withColumn("value", F.round("value", 6))
 
-
-# Query-result cache (SURVEY §2.4; ref internal/metricscache): the
-# same rate query served through a cold StepResultCache — the first
-# call populates the front half of the window, the second is a
-# partial hit that computes only the back half and unions it with the
-# cached parquet slice.  Values must equal the uncached computation,
-# so this shares promql_rate's oracle.
-@register("promql_rate_cached", _rate_oracle("rate", "counter_mod"))
-def promql_rate_cached(spark, sf_dir):
-    import tempfile
-
-    from ..plans.result_cache import StepResultCache
-
-    pts = counter_points_frame(spark, sf_dir)
-
-    def compute(s_us: int, e_us: int):
-        return rate_family(
-            pts,
-            "rate",
-            series=SERIES,
-            value_col="counter_mod",
-            start_us=s_us,
-            end_us=e_us,
-            step_us=STEP_US,
-            range_us=RANGE_US,
-        )
-
-    cache = StepResultCache(tempfile.mkdtemp(prefix="oteldb_rc_"))
-    mid = START_US + 15 * 86_400_000_000  # on the 6h step grid
-    cache.query_range(spark, "rate", START_US, mid, STEP_US, compute)
-    out = cache.query_range(spark, "rate", START_US, END_US, STEP_US, compute)
-    return out.withColumn("value", F.round("value", _RD))

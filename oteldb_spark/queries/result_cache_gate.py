@@ -1,0 +1,69 @@
+"""Driver gate for the query-result cache (SURVEY §2.4; ref
+internal/metricscache).
+
+``promql_rate_cached`` serves the same rate query as ``promql_rate``
+through a cold StepResultCache: the first call populates the front
+half of the window, the second is a partial hit that computes only
+the back half and unions it with the cached parquet slice.  Values
+must equal the uncached computation, so the oracle is promql_rate's
+oracle, rebuilt here from the same primitives (this module registers
+early so the newest machinery sits in the driver-certified prefix —
+importing queries.promql instead would drag that whole family
+forward).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators.rate import rate_family, rate_family_oracle_sql
+from ..plans.result_cache import StepResultCache
+from ..signals import COUNTERS_CTE, counter_points_frame
+from .registry import END_US, RANGE_US, START_US, STEP_US, register
+
+_SERIES = ["mtype", "instance"]
+_RD = 9
+
+
+def _oracle() -> str:
+    inner = rate_family_oracle_sql(
+        "rate",
+        source="(SELECT mtype, instance, ts_us, counter_mod AS v FROM counters)",
+        series_sql=_SERIES,
+        value_col="v",
+        start_us=START_US,
+        end_us=END_US,
+        step_us=STEP_US,
+        range_us=RANGE_US,
+    )
+    idx = inner.rfind("\nSELECT ")
+    ctes, final_select = inner[:idx].rstrip().rstrip(","), inner[idx + 1 :]
+    return (
+        f"WITH {COUNTERS_CTE},\n{ctes},\nfinal AS (\n{final_select}\n)\n"
+        f"SELECT mtype, instance, step_us, round(value, {_RD}) AS value FROM final"
+    )
+
+
+@register("promql_rate_cached", _oracle())
+def promql_rate_cached(spark, sf_dir):
+    pts = counter_points_frame(spark, sf_dir)
+
+    def compute(s_us: int, e_us: int):
+        return rate_family(
+            pts,
+            "rate",
+            series=_SERIES,
+            value_col="counter_mod",
+            start_us=s_us,
+            end_us=e_us,
+            step_us=STEP_US,
+            range_us=RANGE_US,
+        )
+
+    cache = StepResultCache(tempfile.mkdtemp(prefix="oteldb_rc_"))
+    mid = START_US + 15 * 86_400_000_000  # on the 6h step grid
+    cache.query_range(spark, "rate", START_US, mid, STEP_US, compute)
+    out = cache.query_range(spark, "rate", START_US, END_US, STEP_US, compute)
+    return out.withColumn("value", F.round("value", _RD))
