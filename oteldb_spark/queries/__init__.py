@@ -14,6 +14,7 @@ the ANSI/DuckDB re-statement of the same semantics.
 from . import registry  # noqa: F401
 from . import prw_ingest  # noqa: F401
 from . import result_cache_gate  # noqa: F401
+from . import pipeline2  # noqa: F401
 from . import otlp_hist  # noqa: F401
 from . import traceql_events  # noqa: F401
 from . import traceql_structural2  # noqa: F401
