@@ -28,6 +28,10 @@ DEFAULT = [
     "prw_ingest_points",
     "tql_parsed_ancestor_op",
     "pipeline_curation",
+    "dedup_components",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "promql_rate_cached",
 ]
 
 
