@@ -142,3 +142,35 @@ def test_engine_facade_uses_cache(spark, tmp_path):
     r2 = eng.query_range("rate(events_value_total[12h])", START_US, end, STEP_US)
     assert r1 == r2
     assert cache.stats.misses == 1 and cache.stats.hits == 1
+
+
+def test_random_query_sequences_match_direct(spark, tmp_path):
+    """Any sequence of range queries through the cache returns exactly
+    what a direct computation returns, and no covered step is ever
+    recomputed (seeded random ranges, one loop to bound Spark jobs)."""
+    import random
+
+    rng = random.Random(7)
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"))
+    compute = _compute_factory(spark, calls)
+    lo, hi = 0, 30  # step indices
+    seqs = [
+        (rng.randint(lo, hi), rng.randint(0, 12)) for _ in range(12)
+    ]
+    for s_idx, n_steps in seqs:
+        s = T0 + s_idx * STEP
+        e = min(T0 + (s_idx + n_steps) * STEP, T0 + hi * STEP)
+        got = cache.query_range(spark, "q", s, e, STEP, compute)
+        want = [T0 + i * STEP for i in range(s_idx, (e - T0) // STEP + 1)]
+        rows = {(r.step_us, r.value) for r in got.collect()}
+        assert sorted(t for t, _ in rows) == want
+        # values always match the generator: step index as float
+        assert all(v == (t - T0) // STEP * 1.0 for t, v in rows)
+    # the cache never recomputed a covered step: every computed range
+    # is disjoint from all previously computed ranges
+    seen = set()
+    for s, e in calls:
+        steps = set(range((s - T0) // STEP, (e - T0) // STEP + 1))
+        assert not (steps & seen)
+        seen |= steps
