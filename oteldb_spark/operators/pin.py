@@ -1,13 +1,14 @@
 """Lineage pinning for plans whose expensive stage feeds multiple
 branches (dedup signatures, shingle joins).
 
-``pin(df)`` truncates lineage so the shared stage computes once.
-Local mode uses ``localCheckpoint`` (block-manager copy, cheapest);
-its blocks are lost on executor failure, so cluster deployments set
-``SPARK_GRAFT_PIN=disk`` to pin via ``persist(DISK_ONLY)`` instead —
-recomputable from lineage after a lost executor, spilled off-heap.
-A reliable-checkpoint dir (``SPARK_GRAFT_PIN=<hdfs path>``) survives
-even driver restarts.
+``pin(df)`` marks the shared stage to compute once.  The default is
+``persist(StorageLevel.DISK_ONLY)``: recomputable from lineage after
+a lost executor (what a real cluster wants), and — measured on
+local[32] — *more* stable than ``localCheckpoint``, whose block
+replication/cleanup intermittently stalled repeat runs by 10-20s.
+``SPARK_GRAFT_PIN=local`` opts into ``localCheckpoint`` (true lineage
+truncation); a path value (``SPARK_GRAFT_PIN=<hdfs dir>``) uses a
+reliable checkpoint that survives driver restarts.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from pyspark.sql import DataFrame
 
 
 def pin(df: DataFrame) -> DataFrame:
-    mode = os.environ.get("SPARK_GRAFT_PIN", "local")
+    mode = os.environ.get("SPARK_GRAFT_PIN", "disk")
     if mode == "local":
         return df.localCheckpoint(eager=False)
     if mode == "disk":

@@ -144,6 +144,7 @@ def dedup_components(spark, sf_dir):
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        labels.unpersist()  # free the superseded round (no-op round 1)
         labels = new
         if changed == 0:
             break
