@@ -116,13 +116,34 @@ LOGS_CTE = f"""logs AS (
 COUNTER_RESET_MOD = 5000
 
 
+_COUNTERS_MEMO: dict = {}
+
+
 def counter_points_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → counter series points.
 
     Output: series labels (mtype, instance), ts_us, counter (monotone
     cumulative sum, double), counter_mod (wraps at COUNTER_RESET_MOD →
     has resets, double), gauge (raw value).
+
+    Memoized + pinned per session like ``spans_frame``: the
+    cumulative-sum window is the expensive part of every counter
+    query (and binop plans reference the frame on both sides), while
+    scan-level pruning buys nothing here — a cumsum needs the full
+    history regardless of the query's time range.
     """
+    memo = _COUNTERS_MEMO.get((spark, sf_dir))
+    if memo is not None:
+        return memo
+    out = _counter_points_uncached(spark, sf_dir)
+    from .operators.pin import pin
+
+    out = pin(out)
+    _COUNTERS_MEMO[(spark, sf_dir)] = out
+    return out
+
+
+def _counter_points_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
@@ -211,7 +232,29 @@ SPANS_SQL_DUCK = """spans AS (
 SPANS_CTE = SPANS_SQL_DUCK
 
 
+# Session-scoped memo: the synthesized span table is the testdata
+# adapter's stand-in for a materialized span store (in production the
+# bucketed store of sources/bucketed.py plays this role), so its
+# row_number window should compute once per session, not once per
+# plan branch — structural queries reference the frame on both join
+# sides.  Keyed by the session object itself so a stopped session's
+# entry can never leak into a new one.
+_SPANS_MEMO: dict = {}
+
+
 def spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    memo = _SPANS_MEMO.get((spark, sf_dir))
+    if memo is not None:
+        return memo
+    out = _spans_frame_uncached(spark, sf_dir)
+    from .operators.pin import pin
+
+    out = pin(out)
+    _SPANS_MEMO[(spark, sf_dir)] = out
+    return out
+
+
+def _spans_frame_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     roots = orders.select(
