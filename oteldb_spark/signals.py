@@ -299,13 +299,31 @@ _EVENT_T = "array<struct<name:string,ts_us:bigint,attrs:map<string,string>>>"
 _LINK_T = "array<struct<trace_id:bigint,span_id:bigint,attrs:map<string,string>>>"
 
 
+_SPANS_EVENTS_MEMO: dict = {}
+
+
 def spans_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``spans_frame`` plus span events/links arrays for the TraceQL
     event./link./parent scopes: every child span carries a 'ship'
     event (offset +1ms, attr ``mode``), a 'receipt' event (offset
     from quantity, attrs ``mode``/``disc`` — only this one has
     ``disc``, exercising first-event-that-has-it semantics), and one
-    link to the trace root.  Root spans have empty arrays."""
+    link to the trace root.  Root spans have empty arrays.
+
+    Memoized + pinned per session like ``spans_frame`` (same
+    rationale: this is the materialized-store stand-in)."""
+    memo = _SPANS_EVENTS_MEMO.get((spark, sf_dir))
+    if memo is not None:
+        return memo
+    out = _spans_events_uncached(spark, sf_dir)
+    from .operators.pin import pin
+
+    out = pin(out)
+    _SPANS_EVENTS_MEMO[(spark, sf_dir)] = out
+    return out
+
+
+def _spans_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spans_frame(spark, sf_dir)
     li = load(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
