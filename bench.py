@@ -43,6 +43,11 @@ HEADLINE = [
     "ann_near_dup_pairs",
     "ann_lsh_pairs",
     "text_quality",
+    # round-2 additions: curation tail + result cache
+    "dedup_components",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "promql_rate_cached",
 ]
 
 
