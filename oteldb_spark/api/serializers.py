@@ -68,7 +68,13 @@ def loki_matrix(df: DataFrame, label_cols: list[str],
             "resultType": "matrix",
             "result": [
                 {"metric": dict(k), "values": sorted(vs)}
-                for k, vs in series.items()
+                # deterministic series order regardless of plan/row
+                # order (a cached union arrives differently than a
+                # fresh computation; the wire shape must not care)
+                for k, vs in sorted(
+                    series.items(),
+                    key=lambda kv: [(c, str(v)) for c, v in kv[0]],
+                )
             ],
         },
     }

@@ -38,6 +38,9 @@ class LogQLEngine:
     # safety cap for every collect (querier_logs_query.go:95-151);
     # user-facing `limit` is the Loki request limit for log listings
     max_result_rows: int = DEFAULT_MAX_RESULT_ROWS
+    # optional StepResultCache, consulted for METRIC queries only —
+    # log listings are point lookups the reference never caches either
+    result_cache: "object | None" = None
 
     def _spark(self):
         return self.spark or self.source.df.sparkSession
@@ -49,10 +52,27 @@ class LogQLEngine:
         end_us: int,
         step_us: int,
         limit: int | None = None,
+        now_us: int | None = None,
     ) -> dict:
         params = EvalParams(start_us, end_us, step_us)
         df = compile_logql(q, self.source, params, self._spark())
         if "step_us" in df.columns:  # metric query → matrix
+            if self.result_cache is not None:
+
+                def _compile(s_us: int, e_us: int):
+                    return compile_logql(
+                        q, self.source, EvalParams(s_us, e_us, step_us), self._spark()
+                    )
+
+                df = self.result_cache.query_range(
+                    self._spark(),
+                    f"logql|{q}",
+                    start_us,
+                    end_us,
+                    step_us,
+                    _compile,
+                    now_us,
+                )
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return loki_matrix(df, labels, max_rows=self.max_result_rows)
         labels = [

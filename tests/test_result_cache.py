@@ -174,3 +174,28 @@ def test_random_query_sequences_match_direct(spark, tmp_path):
         steps = set(range((s - T0) // STEP, (e - T0) // STEP + 1))
         assert not (steps & seen)
         seen |= steps
+
+
+def test_logql_engine_facade_uses_cache(spark, tmp_path):
+    """LogQLEngine metric queries consult the cache; log listings
+    bypass it (the reference never caches those either)."""
+    from oteldb_spark.engine import LogQLEngine, LogSource
+    from oteldb_spark.signals import logs_frame
+    from oteldb_spark.queries.registry import START_US, STEP_US
+
+    src = LogSource(
+        df=logs_frame(spark, "/root/testdata/sf0.001"),
+        label_cols={"service": "service", "env": "env", "level": "level"},
+    )
+    cache = StepResultCache(str(tmp_path / "rc"))
+    eng = LogQLEngine(source=src, result_cache=cache)
+    end = START_US + 4 * STEP_US
+    q = 'sum by (service) (count_over_time({env="prod"}[6h]))'
+    r1 = eng.query_range(q, START_US, end, STEP_US)
+    r2 = eng.query_range(q, START_US, end, STEP_US)
+    assert r1 == r2 and r1["data"]["result"]
+    assert cache.stats.misses == 1 and cache.stats.hits == 1
+
+    # log listing: cache untouched
+    eng.query_range('{env="prod"}', START_US, end, STEP_US, limit=5)
+    assert cache.stats.misses == 1 and cache.stats.hits == 1
