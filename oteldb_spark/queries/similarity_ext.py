@@ -68,15 +68,24 @@ WHERE round(list_dot_product(x.e, y.e) /
              sqrt(list_dot_product(y.e, y.e))), 6) >= 0.3""",
 )
 def ann_lsh_pairs(spark, sf_dir):
+    # carry the vectors through the band join and compute cosine
+    # inline: two shuffles total (band-bucket join, pair dedup)
+    # instead of four (join, distinct, two verify joins).  A pair
+    # sharing k bands computes its cosine k times — k ≤ N_BANDS and
+    # the arithmetic is codegen'd column math, cheaper than the extra
+    # joins it replaces at any scale where banding keeps candidates
+    # sparse (which is the regime LSH is for).
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bb = hyperplane_lsh_bands(emb, "e", N_PLANES, N_BANDS, DIM).select(
-        "vec_id", "band", "bucket"
-    )
+    bb = hyperplane_lsh_bands(emb, "e", N_PLANES, N_BANDS, DIM)
     a = bb.alias("a")
     b = bb.alias("b")
-    cand = (
+    cos = F.round(
+        dot(F.col("a.e"), F.col("b.e")) / (norm(F.col("a.e")) * norm(F.col("b.e"))),
+        6,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -84,22 +93,13 @@ def ann_lsh_pairs(spark, sf_dir):
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
         )
-        .distinct()
-    )
-    x = emb.alias("x")
-    y = emb.alias("y")
-    cos = F.round(
-        dot(F.col("x.e"), F.col("y.e")) / (norm(F.col("x.e")) * norm(F.col("y.e"))),
-        6,
-    )
-    return (
-        cand.join(x, F.col("vec_a") == F.col("x.vec_id"))
-        .join(y, F.col("vec_b") == F.col("y.vec_id"))
-        .withColumn("cosine", cos)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cosine").alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
-        .select("vec_a", "vec_b", "cosine")
     )
 
 
