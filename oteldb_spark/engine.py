@@ -82,6 +82,29 @@ class LogQLEngine:
             df = df.limit(limit)
         return loki_streams(df, labels, max_rows=self.max_result_rows)
 
+    def query_instant(self, q: str, ts_us: int, limit: int = 100) -> dict:
+        """GET /loki/api/v1/query — instant evaluation at ``ts_us``
+        (lokihandler.go:332-352: Start=End=ts; metric queries return a
+        vector, log queries the limited stream window)."""
+        from .api.serializers import prom_vector
+
+        params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
+        df = compile_logql(q, self.source, params, self._spark())
+        if "step_us" in df.columns:
+            labels = [c for c in df.columns if c not in ("step_us", "value")]
+            return prom_vector(
+                df, labels, ts_us / 1e6, max_rows=self.max_result_rows
+            )
+        labels = [c for c in df.columns if c not in ("ts_us", "body")]
+        return loki_streams(df.limit(limit), labels, max_rows=self.max_result_rows)
+
+    def drilldown_limits(self, volume_enabled: bool = True) -> dict:
+        """GET /loki/api/v1/drilldown-limits (lokihandler.go:214-228)."""
+        return {
+            "limits": {"volume_enabled": volume_enabled},
+            "version": "v3.6.0",
+        }
+
     def labels(self) -> dict:
         return prom_labels(list(self.source.label_cols))
 

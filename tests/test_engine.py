@@ -271,3 +271,25 @@ def test_loki_series_endpoint(spark):
     rx = eng.series('{service=~"svc-[01]", env="prod"}')
     assert {s["service"] for s in rx} <= {"svc-0", "svc-1"}
     assert len(eng.series(limit=2)) == 2
+
+
+def test_logql_instant_query_and_drilldown(spark):
+    eng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, SF),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    # metric instant → vector at ts (lokihandler.go:332-352)
+    out = eng.query_instant(
+        'sum by (service) (count_over_time({env="prod"}[12h]))', END
+    )
+    assert out["data"]["resultType"] == "vector"
+    assert out["data"]["result"]
+    assert all(v["value"][0] == END / 1e6 for v in out["data"]["result"])
+    # log instant: the [ts, ts] window is empty on the synthetic data
+    logs = eng.query_instant('{env="prod"}', END, limit=5)
+    assert logs["data"]["resultType"] == "streams"
+    # drilldown-limits static shape (lokihandler.go:214-228)
+    dd = eng.drilldown_limits()
+    assert dd["version"] and dd["limits"]["volume_enabled"] is True
