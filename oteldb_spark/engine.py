@@ -284,6 +284,10 @@ class PromQLEngine:
     # consults it per (query, step, alignment) like the reference's
     # chstorage querier does (querier_metrics_cache.go)
     result_cache: "object | None" = None
+    # optional exemplars frame (label cols + ts_us/value/trace_id),
+    # the metrics_exemplars table analog; None → query_exemplars 501s
+    # like the reference (promhandler.go:392-395)
+    exemplars_df: "DataFrame | None" = None
 
     def _spark(self):
         return self.spark or self.source.df.sparkSession
@@ -309,6 +313,93 @@ class PromQLEngine:
             df = _compile(start_us, end_us)
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return prom_matrix(df, labels, max_rows=self.max_result_rows)
+
+    def query_instant(self, q: str, ts_us: int) -> dict:
+        """GET /api/v1/query — instant vector at ``ts_us``
+        (promhandler.go:281-326 GetQuery)."""
+        from .api.serializers import prom_vector
+
+        params = PromParams(ts_us, ts_us, 1, lookback_us=self.lookback_us)
+        df = compile_promql(q, self.source, params, self._spark())
+        labels = [c for c in df.columns if c not in ("step_us", "value")]
+        return prom_vector(df, labels, ts_us / 1e6, max_rows=self.max_result_rows)
+
+    def label_values(self, label: str) -> dict:
+        """GET /api/v1/label/{label}/values (promhandler.go:72-110)."""
+        if label not in self.source.label_cols:
+            return prom_labels([])
+        rows = bounded_collect(
+            self.source.df.select(label).distinct(), self.max_result_rows
+        )
+        return prom_labels([r[0] for r in rows if r[0] is not None])
+
+    def query_exemplars(self, q: str, start_us: int, end_us: int) -> dict:
+        """GET /api/v1/query_exemplars (promhandler.go:392-460).
+
+        ``exemplars_df`` plays the metrics_exemplars table: series
+        label columns + (ts_us, value, trace_id).  The selector's
+        matchers filter it; like the reference, a handler without an
+        exemplars store raises NotImplementedError (501)."""
+        if self.exemplars_df is None:
+            raise NotImplementedError("no exemplars store configured")
+        from pyspark.sql import functions as F
+
+        from .promql import ast
+        from .promql.parser import parse as parse_promql
+
+        def _find_selector(node):
+            """First VectorSelector in the expression tree (the AST is
+            plain dataclasses and lists; walk both)."""
+            if isinstance(node, ast.VectorSelector):
+                return node
+            children = []
+            if hasattr(node, "__dataclass_fields__"):
+                children = list(vars(node).values())
+            elif isinstance(node, (list, tuple)):
+                children = list(node)
+            for v in children:
+                found = _find_selector(v)
+                if found is not None:
+                    return found
+            return None
+
+        sel = _find_selector(parse_promql(q))
+        df = self.exemplars_df.filter(F.col("ts_us").between(start_us, end_us))
+        label_cols = [
+            c for c in df.columns if c not in ("ts_us", "value", "trace_id")
+        ]
+        if sel is not None:
+            for m in sel.matchers:
+                c = F.col(m.name) if m.name in label_cols else F.lit("")
+                if m.op == "=":
+                    df = df.filter(c == m.value)
+                elif m.op == "!=":
+                    df = df.filter(c != m.value)
+                elif m.op == "=~":
+                    df = df.filter(c.rlike(m.value))
+                else:
+                    df = df.filter(~c.rlike(m.value))
+        from collections import defaultdict
+
+        series: dict[tuple, list] = defaultdict(list)
+        for r in bounded_collect(df, self.max_result_rows):
+            key = tuple((c, r[c]) for c in label_cols)
+            series[key].append(
+                {
+                    "labels": {"trace_id": r["trace_id"]},
+                    "value": str(r["value"]),
+                    "timestamp": r["ts_us"] / 1e6,
+                }
+            )
+        return {
+            "status": "success",
+            "data": [
+                {"seriesLabels": dict(k), "exemplars": sorted(vs, key=lambda e: e["timestamp"])}
+                for k, vs in sorted(
+                    series.items(), key=lambda kv: [(c, str(v)) for c, v in kv[0]]
+                )
+            ],
+        }
 
     def labels(self) -> dict:
         return prom_labels(list(self.source.label_cols))

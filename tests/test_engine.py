@@ -293,3 +293,41 @@ def test_logql_instant_query_and_drilldown(spark):
     # drilldown-limits static shape (lokihandler.go:214-228)
     dd = eng.drilldown_limits()
     assert dd["version"] and dd["limits"]["volume_enabled"] is True
+
+
+def test_promql_instant_label_values_exemplars(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = MetricSource(
+        df=counter_points_frame(spark, SF),
+        metrics={"events_gauge": "gauge", "events_value_total": "counter_mod"},
+        label_cols=["mtype", "instance"],
+    )
+    eng = PromQLEngine(src, lookback_us=12 * 3_600_000_000)
+    # instant vector at END (promhandler.go:281-326)
+    out = eng.query_instant("sum by (mtype) (events_gauge)", END)
+    assert out["data"]["resultType"] == "vector" and out["data"]["result"]
+    assert all(v["value"][0] == END / 1e6 for v in out["data"]["result"])
+    # label values (promhandler.go:72-110)
+    vals = eng.label_values("instance")["data"]
+    assert vals == sorted(vals) and all(v.startswith("host-") for v in vals)
+    assert eng.label_values("nope")["data"] == []
+    # exemplars: 501 without a store, filtered shape with one
+    with pytest.raises(NotImplementedError):
+        eng.query_exemplars("events_gauge", START, END)
+    ex = counter_points_frame(spark, SF).select(
+        "mtype",
+        "instance",
+        "ts_us",
+        F.col("gauge").alias("value"),
+        F.format_string("%032x", F.col("event_id")).alias("trace_id"),
+    )
+    eng2 = PromQLEngine(
+        src, lookback_us=12 * 3_600_000_000, exemplars_df=ex
+    )
+    res = eng2.query_exemplars('events_gauge{mtype="error"}', START, END)
+    assert res["data"] and all(
+        s["seriesLabels"]["mtype"] == "error" for s in res["data"]
+    )
+    assert all(e["labels"]["trace_id"] for s in res["data"] for e in s["exemplars"])
