@@ -591,3 +591,59 @@ class TraceQLEngine:
                 {"type": "string", "value": str(r["v"])} for r in rows
             ]
         }
+
+    def search_tags(self) -> dict:
+        """GET /api/search/tags — v1 flat name list
+        (tempohandler.go SearchTags; v2 adds scopes)."""
+        from .traceql.parser import INTRINSICS
+
+        return {
+            "tagNames": sorted(
+                set(self.source.attr_cols) | set(INTRINSICS)
+            )
+        }
+
+    def search_tag_values(self, tag: str, limit: int = 100) -> dict:
+        """GET /api/search/tag/{tag}/values — v1 untyped values."""
+        v2 = self.search_tag_values_v2(tag, limit)
+        return {"tagValues": [tv["value"] for tv in v2["tagValues"]]}
+
+    def trace_by_id(self, trace_id) -> dict:
+        """GET /api/traces/{id} (querier_traces.go:26-120) — all spans
+        of one trace, start-ordered."""
+        from pyspark.sql import functions as F
+
+        rows = bounded_collect(
+            self.source.df.filter(F.col(self.source.trace_col) == trace_id)
+            .orderBy(self.source.start_col),
+            DEFAULT_MAX_RESULT_ROWS,
+        )
+        return {
+            "traceID": str(trace_id),
+            "spans": [r.asDict(recursive=True) for r in rows],
+        }
+
+    def query_range(
+        self,
+        q: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        range_us: int | None = None,
+    ) -> dict:
+        """GET /api/metrics/query_range — the reference parses TraceQL
+        metrics then returns 501 (tempohandler.go:108-120); served
+        here through compile_traceql_metrics on the shared step
+        machinery, Prometheus-like series out."""
+        from .traceql.compiler import compile_traceql_metrics
+
+        df = compile_traceql_metrics(
+            q,
+            self.source,
+            start_us=start_us,
+            end_us=end_us,
+            step_us=step_us,
+            range_us=range_us if range_us is not None else step_us,
+        )
+        labels = [c for c in df.columns if c not in ("step_us", "value")]
+        return prom_matrix(df, labels, max_rows=DEFAULT_MAX_RESULT_ROWS)

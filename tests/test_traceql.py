@@ -103,3 +103,31 @@ def test_compile_intersect_union(spark):
 def test_compile_scalar_count(spark):
     out = compile_traceql("{ } | count() > 2", _src(spark))
     assert {r.trace_id for r in out.collect()} == {1}
+
+
+def test_tempo_v1_tags_tracebyid_and_metrics_range(spark):
+    from oteldb_spark.engine import TraceQLEngine
+    from oteldb_spark.queries.traceql_parsed import _source as _tql_source
+
+    eng = TraceQLEngine(_tql_source(spark, "/root/testdata/sf0.001"))
+    # v1 flat tag surface wraps the v2 scoped one
+    tags = eng.search_tags()["tagNames"]
+    assert "duration" in tags and tags == sorted(tags)
+    vals = eng.search_tag_values("span.service")["tagValues"]
+    assert vals and all(isinstance(v, str) for v in vals)
+    # trace-by-id: every span of the trace, start-ordered
+    tr = eng.trace_by_id(1337)
+    assert tr["traceID"] == "1337"
+    assert tr["spans"] and all(s["trace_id"] == 1337 for s in tr["spans"])
+    starts = [s["start_us"] for s in tr["spans"]]
+    assert starts == sorted(starts)
+    # metrics query_range (ref 501s): rate of error spans per week
+    out = eng.query_range(
+        "{ status = error } | rate()",
+        820_454_400_000_000,
+        820_454_400_000_000 + 28 * 86_400_000_000,
+        7 * 86_400_000_000,
+        28 * 86_400_000_000,
+    )
+    assert out["data"]["resultType"] == "matrix"
+    assert out["data"]["result"]
