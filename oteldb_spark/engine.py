@@ -504,6 +504,42 @@ class ProfileQLEngine:
 
         return profile_html(self.df, sample_type=self.sample_type)
 
+    # --- discovery ops over the raw profile rows (GetApps / Labels /
+    # LabelValues in pyroscopeapi/oas_server_gen.go; Ingest is the
+    # generic batched-inserter path of streaming/ingest.py) ---
+    # profile rows: one row per sample with an ``app`` column plus
+    # label columns listed in ``label_cols``
+    source_df: "object | None" = None
+    label_cols: tuple = ()
+
+    def _need_source(self):
+        if self.source_df is None:
+            raise NotImplementedError("no profile source configured")
+        return self.source_df
+
+    def apps(self) -> list[str]:
+        """GET /api/apps (profilehandler GetApps): distinct app names."""
+        df = self._need_source()
+        rows = bounded_collect(
+            df.select("app").distinct(), DEFAULT_MAX_RESULT_ROWS
+        )
+        return sorted(r["app"] for r in rows)
+
+    def profile_labels(self) -> list[str]:
+        """GET /labels: the label-column names plus __name__."""
+        self._need_source()
+        return sorted({"__name__", *self.label_cols})
+
+    def profile_label_values(self, label: str) -> list[str]:
+        """GET /label-values?label=L: distinct values of one label
+        (app names for __name__, per the pyroscope convention)."""
+        df = self._need_source()
+        col = "app" if label == "__name__" else label
+        if col != "app" and col not in self.label_cols:
+            return []
+        rows = bounded_collect(df.select(col).distinct(), DEFAULT_MAX_RESULT_ROWS)
+        return sorted(str(r[col]) for r in rows if r[col] is not None)
+
 
 @dataclass
 class TraceQLEngine:

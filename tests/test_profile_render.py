@@ -105,3 +105,24 @@ def test_html_embeds_flamebearer(result):
     end = page.index(";\n", start)
     payload = json.loads(page[start:end])
     assert payload["flamebearer"]["numTicks"] == 10
+
+
+def test_profile_discovery_ops(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.engine import ProfileQLEngine
+    from oteldb_spark.signals import spans_frame
+
+    spans = spans_frame(spark, "/root/testdata/sf0.001")
+    src = spans.select(
+        F.col("service").alias("app"), F.col("name").alias("profile_name")
+    )
+    eng = ProfileQLEngine(df=None, source_df=src, label_cols=("profile_name",))
+    apps = eng.apps()
+    assert "frontend" in apps and apps == sorted(apps)
+    assert eng.profile_labels() == ["__name__", "profile_name"]
+    assert eng.profile_label_values("__name__") == apps
+    assert eng.profile_label_values("nope") == []
+    with pytest.raises(NotImplementedError):
+        ProfileQLEngine(df=None).apps()
