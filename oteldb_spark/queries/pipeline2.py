@@ -290,3 +290,72 @@ def pipeline_pack_sequences(spark, sf_dir):
             F.sum("n_tok").alias("pack_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------- repetition
+
+# Gopher-style intra-document repetition: the mass of duplicate
+# 3-grams inside a doc (high → boilerplate/spam; filters of this
+# family gate pretraining corpora).  Row-local arithmetic — no
+# shuffle before the final projection.
+@register(
+    "text_repetition",
+    """SELECT doc_id,
+       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         AS rep_score
+FROM (
+  SELECT doc_id, list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 2),
+    i -> string_split(text, ' ')[i] || ' ' ||
+         string_split(text, ' ')[i+1] || ' ' ||
+         string_split(text, ' ')[i+2]) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)""",
+)
+def text_repetition(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(0, size(split(text,' ')) - 3),"
+        " i -> concat_ws(' ', split(text,' ')[i],"
+        " split(text,' ')[i+1], split(text,' ')[i+2]))"
+    )
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.round(
+                1.0
+                - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+                6,
+            ).alias("rep_score"),
+        )
+    )
+
+
+# ------------------------------------------------------------- sampling
+
+# deterministic stratified sample: per (lang, source) stratum keep
+# the K docs with the smallest content hash — reproducible across
+# runs and re-shards (hash order, not storage order), one window
+# per stratum
+_SAMPLE_K = 3
+
+
+@register(
+    "docs_stratified_sample",
+    f"""SELECT lang, source, doc_id FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_SAMPLE_K}""",
+)
+def docs_stratified_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("lang", "source", "doc_id")
+    )
