@@ -359,3 +359,55 @@ def docs_stratified_sample(spark, sf_dir):
         .filter(F.col("rn") <= _SAMPLE_K)
         .select("lang", "source", "doc_id")
     )
+
+
+# ------------------------------------------------------------- chunking
+
+# overlapping token windows (embedding / retrieval prep): 32-token
+# chunks on a 16-token stride, each with its offset and content
+# hash.  Pure explode — the fan-out factor is doc_len/stride, no
+# shuffle until a consumer aggregates.
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 16
+
+
+@register(
+    "docs_chunk_windows",
+    f"""SELECT doc_id, off, n_tok, md5(chunk) AS chunk_hash FROM (
+  SELECT doc_id, ((i - 1) * {_CHUNK_STRIDE}) AS off,
+         least(len(w) - (i - 1) * {_CHUNK_STRIDE}, {_CHUNK_TOKENS}) AS n_tok,
+         array_to_string(w[(i - 1) * {_CHUNK_STRIDE} + 1 :
+                           (i - 1) * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+           AS chunk
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           unnest(generate_series(
+             1, greatest(1, cast(ceil((len(string_split(text, ' ')) -
+                  {_CHUNK_TOKENS}) / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1)
+           )) AS i
+    FROM documents
+  )
+)""",
+)
+def docs_chunk_windows(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(w) - _CHUNK_TOKENS) / float(_CHUNK_STRIDE)).cast("long")
+        + 1,
+    )
+    exploded = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("i"),
+    )
+    off = (F.col("i") - 1) * _CHUNK_STRIDE
+    return exploded.select(
+        "doc_id",
+        off.alias("off"),
+        F.least(F.size("w") - off, F.lit(_CHUNK_TOKENS)).alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice("w", off + 1, _CHUNK_TOKENS))).alias(
+            "chunk_hash"
+        ),
+    )
