@@ -186,3 +186,50 @@ def test_pq_encoding_and_adc(spark):
         codes, codebook, sub.filter(F.col("vec_id") == 3), 1
     ).first()
     assert top.vec_id == 3 and top.dist2 == 0.0
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """compact_table rewrites a fragmented partition into few sorted
+    files, preserves every row, and is idempotent (sources/maintain.py
+    — the MergeTree background-merge analog)."""
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.sources.maintain import compact_table, _data_files
+    from oteldb_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select("event_id", "ts", "user_id", "value")
+    table = str(tmp_path / "events_t")
+    # fragment: 3 partition dirs, many tiny appends each
+    for i in range(6):
+        (
+            ev.withColumn("date", (F.col("user_id") % 3).cast("string"))
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(table)
+        )
+    before = len(_data_files(table))
+    n_rows = spark.read.parquet(table).count()
+    report = compact_table(spark, table, sort_cols=["ts"], target_file_mb=128)
+    after = len(_data_files(table))
+    assert after < before and after == sum(
+        v["files_after"] for v in report.values()
+    )
+    got = spark.read.parquet(table)
+    assert got.count() == n_rows
+    # rows are ts-sorted within every rewritten file
+    from pyspark.sql.functions import input_file_name, lag
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(input_file_name()).orderBy(F.monotonically_increasing_id())
+    disorder = (
+        got.withColumn("prev", lag("ts").over(w))
+        .filter(F.col("prev") > F.col("ts"))
+        .count()
+    )
+    assert disorder == 0
+    # second pass: nothing to do
+    report2 = compact_table(spark, table, sort_cols=["ts"], target_file_mb=128)
+    assert all(
+        v["files_before"] == v["files_after"] for v in report2.values()
+    )
