@@ -119,7 +119,11 @@ def dedup_components(spark, sf_dir):
     labels = edges.groupBy("v").agg(
         F.least(F.min("w"), F.col("v")).alias("lbl")
     )
-    for _ in range(15):
+    # rounds needed = max cluster diameter; near-dup clusters are
+    # shallow, but an unconverged exit must fail loudly, never return
+    # silently wrong labels (64 ≈ 4× the deepest chain ever observed)
+    changed = -1
+    for _ in range(64):
         nb = (
             edges.join(
                 labels.select(F.col("v").alias("w"), F.col("lbl").alias("wlbl")),
@@ -148,6 +152,8 @@ def dedup_components(spark, sf_dir):
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError("connected components did not converge in 64 rounds")
     return labels.select(
         F.col("v").alias("doc_id"),
         F.col("lbl").alias("canonical_id"),
