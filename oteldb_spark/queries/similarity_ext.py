@@ -357,3 +357,37 @@ def ann_ivf_pq_top5(spark, sf_dir):
     codes = pq_encode(sub, codebook).filter(F.col("vec_id") != 1)
     query_sub = sub.filter(F.col("vec_id") == 1)
     return pq_adc_topk(codes, codebook, query_sub, 5)
+
+
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+# 64-d → 16-d via the deterministic plane matrix, the cheap pre-step
+# before clustering / coarse ANN.  Row-local column arithmetic — no
+# shuffle, and the projection matrix is a plan literal (at 100 TB it
+# would broadcast, never join).
+_RP_DIM = 16
+_RP_PLANES = plane_constants(_RP_DIM, DIM)
+
+
+def _rp_sql(i: int) -> str:
+    arr = "[" + ", ".join(repr(v) for v in _RP_PLANES[i]) + "]"
+    return f"round(list_dot_product(e, {arr}), 6) AS p{i}"
+
+
+@register(
+    "emb_random_projection",
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)\n"
+    "SELECT vec_id, " + ", ".join(_rp_sql(i) for i in range(_RP_DIM)) + " FROM v",
+)
+def emb_random_projection(spark, sf_dir):
+    from ..operators.similarity import _dot_with_literal
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(_dot_with_literal("e", _RP_PLANES[i]), 6).alias(f"p{i}")
+            for i in range(_RP_DIM)
+        ],
+    )
