@@ -295,3 +295,67 @@ def dedup_ngram_jaccard_capped(spark, sf_dir):
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard_lb"))
     )
+
+
+# ------------------------------------------------------------ count-min
+
+# Count-min sketch over user event counts: depth-3 md5-derived
+# hashes into 256-bucket rows, estimate = min of the probed buckets.
+# The sketch build is one groupBy over (depth, bucket) — 768 rows of
+# state regardless of cardinality, the structure a 100 TB frequency
+# service actually ships; estimates are deterministic (md5 hashing),
+# so the DuckDB oracle replays them exactly, overestimates included.
+_CMS_W = 256
+_CMS_D = 3
+_CMS_PROBES = list(range(10))
+
+
+@register(
+    "sketch_count_min",
+    f"""WITH rows_h AS (
+  SELECT d.d AS d,
+         CAST('0x' || substr(md5(d.d || '_' || user_id), 1, 15) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM events, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+),
+sketch AS (
+  SELECT d, bucket, count(*) AS c FROM rows_h GROUP BY d, bucket
+),
+probes AS (
+  SELECT unnest({_CMS_PROBES}) AS user_id
+),
+probe_h AS (
+  SELECT p.user_id, d.d AS d,
+         CAST('0x' || substr(md5(d.d || '_' || p.user_id), 1, 15) AS BIGINT)
+           % {_CMS_W} AS bucket
+  FROM probes p, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d
+)
+SELECT ph.user_id, CAST(min(s.c) AS BIGINT) AS est_count
+FROM probe_h ph JOIN sketch s ON s.d = ph.d AND s.bucket = ph.bucket
+GROUP BY ph.user_id""",
+)
+def sketch_count_min(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+
+    def bucket(d_col, key_col):
+        return F.expr(
+            f"cast(conv(substr(md5(concat({d_col}, '_', {key_col})), 1, 15),"
+            " 16, 10) as bigint)"
+        ) % _CMS_W
+
+    depths = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    rows_h = ev.select("user_id", depths).select(
+        "d", bucket("d", "user_id").alias("bucket")
+    )
+    sketch = rows_h.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.createDataFrame(
+        [(u,) for u in _CMS_PROBES], "user_id long"
+    ).select("user_id", depths).select(
+        "user_id", "d", bucket("d", "user_id").alias("bucket")
+    )
+    # broadcast the tiny probe set against the 768-row sketch
+    return (
+        sketch.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
