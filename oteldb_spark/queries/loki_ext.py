@@ -333,3 +333,76 @@ def logql_docker_stream(spark, sf_dir):
         "stream",
         "body",
     )
+
+
+# ---------------------------------------------------------- token bloom
+
+# tokenbf_v1 skip-index analog (SURVEY §1.2; ref chsql/token.go
+# hasToken prefilters): per stream partition (service) a bloom of the
+# tokens it contains — here the user-id tokens, two md5-derived bit
+# positions in a 1024-bit domain.  A line-filter probe consults the
+# bloom FIRST and scans only partitions whose bloom can contain the
+# token; false positives cost a scan, never correctness.  The bit
+# sets are deterministic, so the oracle replays the prefilter
+# decision exactly.
+_BLOOM_BITS = 1024
+_BLOOM_PROBES = [17, 42, 999]
+
+
+def _bloom_bit_sql(expr: str, salt: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}_' || {expr}), 1, 15) AS BIGINT)"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "logql_token_bloom_prefilter",
+    f"""WITH {LOGS_CTE},
+bloom AS (
+  SELECT service, h.s AS s, {_bloom_bit_sql('user_id', 0).replace("'0_'", "h.s || '_'")} AS bit
+  FROM logs, (SELECT unnest([0, 1]) AS s) h
+  GROUP BY service, h.s, bit
+),
+probes AS (SELECT unnest({_BLOOM_PROBES}) AS probe),
+probe_bits AS (
+  SELECT probe, h.s AS s, {_bloom_bit_sql('probe', 0).replace("'0_'", "h.s || '_'")} AS bit
+  FROM probes, (SELECT unnest([0, 1]) AS s) h
+)
+SELECT pb.probe, b.service
+FROM probe_bits pb JOIN bloom b ON b.s = pb.s AND b.bit = pb.bit
+GROUP BY pb.probe, b.service
+HAVING count(*) = 2""",
+)
+def logql_token_bloom_prefilter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    logs = logs_frame(spark, sf_dir)
+
+    def bit(salt_col, expr_col):
+        return (
+            F.expr(
+                f"cast(conv(substr(md5(concat({salt_col}, '_', {expr_col})),"
+                " 1, 15), 16, 10) as bigint)"
+            )
+            % _BLOOM_BITS
+        )
+
+    salts = F.explode(F.array(F.lit(0), F.lit(1))).alias("s")
+    bloom = (
+        logs.select("service", "user_id", salts)
+        .select("service", "s", bit("s", "user_id").alias("bit"))
+        .distinct()
+    )
+    probes = (
+        spark.createDataFrame([(p,) for p in _BLOOM_PROBES], "probe long")
+        .select("probe", salts)
+        .select("probe", "s", bit("s", "probe").alias("bit"))
+    )
+    return (
+        bloom.join(F.broadcast(probes), ["s", "bit"])
+        .groupBy("probe", "service")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == 2)
+        .select("probe", "service")
+    )
