@@ -359,3 +359,87 @@ def sketch_count_min(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("c").alias("est_count"))
     )
+
+
+# --------------------------------------------------------------- z-order
+
+# Z-order (Morton) clustering key: interleave the bits of two layout
+# dimensions so files sorted by the key keep both columns' min/max
+# stats tight — the multi-column analog of the MergeTree ORDER BY
+# prefix (SURVEY §1.2 suggests Z-ORDER for the Delta layout).  16
+# bits per dimension as a closed-form bit expression, identical in
+# Spark and the SQL oracle; a writer uses it as
+# sortWithinPartitions(zkey).
+_Z_BITS = 16
+
+
+def _interleave_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "layout_zorder_key",
+    f"""SELECT event_id,
+       CAST({_interleave_sql('(user_id & 65535)',
+                             '((epoch_ns(ts) // 60000000000) & 65535)')} AS BIGINT)
+         AS zkey
+FROM events
+ORDER BY zkey, event_id LIMIT 100""",
+)
+def layout_zorder_key(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    # minute buckets of the ns timestamp as the time dimension
+    zkey = F.expr(
+        "CAST("
+        + _interleave_sql("(user_id & 65535)", "((ts div 60000000000) & 65535)")
+        + " AS BIGINT)"
+    )
+    return (
+        ev.select("event_id", zkey.alias("zkey"))
+        .orderBy("zkey", "event_id")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------------- drift
+
+# New-term detection between corpus halves: bigrams present in the
+# second half of doc ids but never seen in the first — the vocabulary
+# drift check a periodic ingest monitors.  Set difference as a
+# broadcast anti-join against the (smaller) reference vocabulary.
+@register(
+    "corpus_new_terms",
+    """WITH bg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+      AS bigram
+  FROM documents
+),
+half AS (SELECT CAST(max(doc_id) / 2 AS BIGINT) AS mid FROM documents),
+old_v AS (SELECT DISTINCT bigram FROM bg, half WHERE doc_id < mid),
+new_v AS (SELECT DISTINCT bigram FROM bg, half WHERE doc_id >= mid)
+SELECT bigram FROM new_v
+WHERE bigram NOT IN (SELECT bigram FROM old_v)""",
+)
+def corpus_new_terms(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bigrams = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text,' ')) >= 2 THEN"
+            " transform(sequence(0, size(split(text,' ')) - 2),"
+            " i -> concat(split(text,' ')[i], ' ', split(text,' ')[i+1]))"
+            " ELSE array() END"
+        )
+    )
+    half = docs.agg((F.max("doc_id") / 2).cast("long").alias("mid"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram")).crossJoin(
+        F.broadcast(half)  # scalar boundary stays in the plan, not the driver
+    )
+    old_v = bg.filter(F.col("doc_id") < F.col("mid")).select("bigram").distinct()
+    new_v = bg.filter(F.col("doc_id") >= F.col("mid")).select("bigram").distinct()
+    return new_v.join(old_v, "bigram", "left_anti")
