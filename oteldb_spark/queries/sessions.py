@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..signals import LOGS_CTE, logs_frame, with_ctes
+from ..tables import load
 from .registry import register
 
 GAP_US = 30 * 60 * 1_000_000
@@ -62,4 +63,39 @@ def events_sessionize(spark, sf_dir):
         F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
             "total_value"
         ),
+    )
+
+
+# as-of join (build-brief named operator): attribute every purchase
+# to the user's most recent signup at or before it.  Spark side is
+# the union-tag + window shape (operators/asof.py — one shuffle,
+# linear); the oracle is DuckDB's native ASOF LEFT JOIN.
+@register(
+    "events_asof_join",
+    """SELECT p.event_id, p.user_id,
+       epoch_ns(p.ts) AS ts_ns, epoch_ns(s.ts) AS signup_ts_ns
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def events_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("ts_ns")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("ts_ns"), F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        ts_col="ts_ns",
+        value_cols=["signup_ts"],
+        suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_ns", F.col("signup_ts").alias("signup_ts_ns")
     )

@@ -170,3 +170,23 @@ def test_binop_arith_and_cmp(spark):
         vector_binop(l, r, "<", on=["svc"], bool_mode=True).collect()[0].value == 0.0
     )
     assert scalar_binop(l, "*", 3.0).collect()[0].value == 30.0
+
+
+def test_asof_join_ties_and_no_match(spark):
+    """asof_join: equal timestamps match, earlier-only semantics,
+    null when nothing precedes (operators/asof.py)."""
+    from oteldb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 5, "c")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 8, "r8"), (2, 25, "r25")], "k long, ts long, v string"
+    )
+    out = {
+        r.tag: r.v
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", value_cols=["v"], suffix=""
+        ).collect()
+    }
+    assert out == {"a": "r10", "b": None, "c": None}
