@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..signals import LOGS_CTE, logs_frame, with_ctes
 from ..tables import load
-from .registry import register
+from .registry import START_US, register
 
 GAP_US = 30 * 60 * 1_000_000
 
@@ -98,4 +98,103 @@ def events_asof_join(spark, sf_dir):
     )
     return out.select(
         "event_id", "user_id", "ts_ns", F.col("signup_ts").alias("signup_ts_ns")
+    )
+
+
+# range join (build-brief named operator): count events inside
+# synthesized maintenance windows with NO equality key.  The
+# scale-correct shape is time-bin bucketing: explode each window
+# into the 6h bins it overlaps, join events on their bin (an
+# equality hash join), then filter exact containment — candidate
+# volume is events-per-bin x windows-per-bin instead of the
+# cartesian events x windows a naive theta join scans.
+_WIN_LEN_US = 4 * 3_600_000_000  # 4h windows on a 26h stride
+_WIN_STRIDE_US = 26 * 3_600_000_000
+_BIN_US = 6 * 3_600_000_000
+
+
+@register(
+    "events_range_join",
+    f"""WITH windows AS (
+  SELECT CAST(w AS BIGINT) AS w_id,
+         {START_US} + w * {_WIN_STRIDE_US} AS w_start,
+         {START_US} + w * {_WIN_STRIDE_US} + {_WIN_LEN_US} AS w_end
+  FROM (SELECT unnest(generate_series(0, 26)) AS w)
+)
+SELECT w_id, CAST(count(*) AS BIGINT) AS n_events
+FROM windows w JOIN events e
+  ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+GROUP BY w_id""",
+)
+def events_range_join(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts div 1000").alias("ts_us")
+    )
+    windows = spark.range(27).select(
+        F.col("id").alias("w_id"),
+        (F.lit(START_US) + F.col("id") * _WIN_STRIDE_US).alias("w_start"),
+        (
+            F.lit(START_US) + F.col("id") * _WIN_STRIDE_US + _WIN_LEN_US
+        ).alias("w_end"),
+    )
+    # explode each window into the bins it overlaps
+    w_bins = windows.select(
+        "w_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                (F.col("w_start") / _BIN_US).cast("long"),
+                ((F.col("w_end") - 1) / _BIN_US).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    e_bins = ev.withColumn("bin", (F.col("ts_us") / _BIN_US).cast("long"))
+    return (
+        e_bins.join(F.broadcast(w_bins), "bin")
+        .filter(
+            (F.col("ts_us") >= F.col("w_start"))
+            & (F.col("ts_us") < F.col("w_end"))
+        )
+        .groupBy("w_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# hypertable rollup cascade (build-brief named operator): the 6h
+# rollup is built FROM the 1h rollup, not from raw events — the
+# continuous-aggregate cascade that makes coarse granularities cost
+# |fine rollup| instead of |raw|.  Sums/counts compose exactly; avg
+# is derived at the end from the composed sums.
+@register(
+    "events_rollup_cascade",
+    """SELECT t6, event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(v_sum) / sum(n), 6) AS avg_value
+FROM (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t1,
+         ((epoch_us(ts) // 3600000000) // 6) * 6 * 3600000000 AS t6,
+         event_type, count(*) AS n, sum(value) AS v_sum
+  FROM events GROUP BY 1, 2, 3
+) GROUP BY t6, event_type""",
+)
+def events_rollup_cascade(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hour = F.expr("(ts div 1000 div 3600000000) * 3600000000")
+    r1h = (
+        ev.select(
+            hour.alias("t1"),
+            "event_type",
+            "value",
+        )
+        .groupBy("t1", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v_sum"))
+    )
+    return (
+        r1h.withColumn("t6", F.expr("(t1 div 3600000000 div 6) * 6 * 3600000000"))
+        .groupBy("t6", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v_sum") / F.sum("n"), 6).alias("avg_value"),
+        )
     )
