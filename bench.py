@@ -47,7 +47,16 @@ HEADLINE = [
     "dedup_components",
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
-    "promql_rate_cached",
+    # cache benched cold (fill+write-back) and warm (pure hit)
+    # separately — the combined gate shape double-computes by design
+    # and read as a phantom regression
+    "promql_rate_cached_cold",
+    "promql_rate_cached_warm",
+    # round-3 additions: wire ingest + arbitrary-scale exp-histograms
+    "otlp_pb_ingest_points",
+    "profile_pprof_ingest",
+    "exp_hist_scale3_p90",
+    "tql_parsed_metrics_topk",
 ]
 
 

@@ -54,25 +54,36 @@ class LogQLEngine:
         limit: int | None = None,
         now_us: int | None = None,
     ) -> dict:
+        # classify metric-vs-log from the parsed AST (a LogQuery root
+        # is a log listing; anything else is a metric expression) so
+        # the cache path compiles exactly once per computed range —
+        # instead of compiling a throwaway full-range plan just to
+        # sniff its columns and then recompiling through the cache
+        from .logql.ast import LogQuery
+        from .logql.parser import parse as parse_logql
+
+        expr = parse_logql(q) if isinstance(q, str) else q
+        is_metric = not isinstance(expr, LogQuery)
         params = EvalParams(start_us, end_us, step_us)
-        df = compile_logql(q, self.source, params, self._spark())
-        if "step_us" in df.columns:  # metric query → matrix
-            if self.result_cache is not None:
+        if is_metric and self.result_cache is not None:
 
-                def _compile(s_us: int, e_us: int):
-                    return compile_logql(
-                        q, self.source, EvalParams(s_us, e_us, step_us), self._spark()
-                    )
-
-                df = self.result_cache.query_range(
-                    self._spark(),
-                    f"logql|{q}",
-                    start_us,
-                    end_us,
-                    step_us,
-                    _compile,
-                    now_us,
+            def _compile(s_us: int, e_us: int):
+                return compile_logql(
+                    expr, self.source, EvalParams(s_us, e_us, step_us), self._spark()
                 )
+
+            df = self.result_cache.query_range(
+                self._spark(),
+                f"logql|{q}",
+                start_us,
+                end_us,
+                step_us,
+                _compile,
+                now_us,
+            )
+        else:
+            df = compile_logql(expr, self.source, params, self._spark())
+        if is_metric:  # metric query → matrix
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return loki_matrix(df, labels, max_rows=self.max_result_rows)
         labels = [

@@ -33,19 +33,31 @@ def asof_join(
     the same instant), mirroring DuckDB's ``ASOF JOIN ... >=``.
     """
     out_vals = [c + suffix for c in value_cols]
+    # All value_cols travel in ONE struct that is non-null for every
+    # right row (even when individual values are NULL): last(...,
+    # ignorenulls) then always picks the single latest right ROW, so
+    # the output never mixes values from different right rows and a
+    # genuine NULL in the latest row survives instead of resurrecting
+    # a stale older value (DuckDB ASOF JOIN semantics, our oracle).
+    vals_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
     l_tag = left.select(
         *on,
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(v)
-          for c, v in zip(value_cols, out_vals)],
+        F.lit(None).cast(vals_type).alias("_vals"),
         F.struct(*left.columns).alias("_row"),
     )
     r_tag = right.select(
         *on,
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(v) for c, v in zip(value_cols, out_vals)],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}"
                                  for f in left.schema.fields) + ">"
@@ -59,9 +71,9 @@ def asof_join(
     filled = l_tag.unionByName(r_tag).select(
         "_side",
         "_row",
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in out_vals],
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals"),
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],
-        *out_vals,
+        *[F.col(f"_vals.{c}").alias(v) for c, v in zip(value_cols, out_vals)],
     )

@@ -29,12 +29,27 @@ def bucket_case_sql(col: str) -> str:
     return "CASE " + " ".join(parts) + f" ELSE {EXPONENTS[-1] + 1} END"
 
 
-# midpoints scaled by 2^8 are exact integers (3 * 2^(e+6), e >= -6)
-def mid_scaled_case_sql() -> str:
+# Prometheus histogramStdDev (promql/quantile.go) places bucket mass
+# at the GEOMETRIC midpoint sqrt(lower·upper) = 2^(e-1/2) and takes
+# deviations around the TRUE mean sum/count.  Scaled moments are exact
+# integers:  Σcnt·val = s1·2^-6/√2 with s1 = Σcnt·2^(e+6);
+#            Σcnt·val² = s2·2^-13  with s2 = Σcnt·2^(2e+12).
+def s1_scaled_case_sql() -> str:
     return (
         "CASE "
         + " ".join(
-            f"WHEN bucket = {e} THEN CAST({3 * 2 ** (e + 6)} AS BIGINT)"
+            f"WHEN bucket = {e} THEN CAST({2 ** (e + 6)} AS BIGINT)"
+            for e in range(EXPONENTS[0], EXPONENTS[-1] + 2)
+        )
+        + " END"
+    )
+
+
+def s2_scaled_case_sql() -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN bucket = {e} THEN CAST({2 ** (2 * e + 12)} AS BIGINT)"
             for e in range(EXPONENTS[0], EXPONENTS[-1] + 2)
         )
         + " END"
@@ -75,19 +90,39 @@ def hist_count_sum_avg(
     )
 
 
-def hist_stdvar(buckets: DataFrame, keys: list[str]) -> DataFrame:
-    """(keys..., h_stdvar, h_stddev) — bucket-midpoint moment
-    estimate with integer-exact sums."""
-    m = buckets.withColumn("mid", F.expr(mid_scaled_case_sql()))
+def hist_stdvar(
+    buckets: DataFrame,
+    keys: list[str],
+    fanned: DataFrame | None = None,
+    sample_col: str = "sample",
+) -> DataFrame:
+    """(keys..., h_stdvar, h_stddev) per UPSTREAM Prometheus
+    (promql/quantile.go histogramStdDev): geometric-midpoint bucket
+    mass, deviations around the true mean sum/count.  ``fanned``
+    supplies the raw samples for the exact stored sum; expanded as
+    Σcnt·val²/n − 2·mean·Σcnt·val/n + mean² over exact integer scaled
+    moments so both engines run one fixed-order float formula."""
+    m = buckets.withColumn("m1", F.expr(s1_scaled_case_sql())).withColumn(
+        "m2", F.expr(s2_scaled_case_sql())
+    )
     s = m.groupBy(*keys).agg(
-        F.sum(F.col("cnt") * F.col("mid")).alias("s1"),
-        F.sum(F.col("cnt") * F.col("mid") * F.col("mid")).alias("s2"),
+        F.sum(F.col("cnt") * F.col("m1")).alias("s1"),
+        F.sum(F.col("cnt") * F.col("m2")).alias("s2"),
         F.sum("cnt").alias("n"),
     )
+    if fanned is None:
+        raise ValueError("hist_stdvar needs the fanned samples for the true sum")
+    tm = fanned.groupBy(*keys).agg(
+        F.round(F.sum(F.col(sample_col).cast("decimal(38,9)")), 6)
+        .cast("double")
+        .alias("__tsum")
+    )
+    s = s.join(tm, keys)
     nd = F.col("n").cast("double")
-    ex2 = F.col("s2").cast("double") / (nd * F.lit(65536.0))
-    ex = F.col("s1").cast("double") / (nd * F.lit(256.0))
-    var = ex2 - ex * ex
+    mean = F.col("__tsum") / nd
+    ex2 = F.col("s2").cast("double") / (nd * F.lit(8192.0))
+    ex = F.col("s1").cast("double") / (nd * F.lit(64.0) * F.sqrt(F.lit(2.0)))
+    var = ex2 - F.lit(2.0) * mean * ex + mean * mean
     return s.select(
         *keys, var.alias("h_stdvar"), F.sqrt(var).alias("h_stddev")
     )

@@ -23,6 +23,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Frontier loops iterate to FIXPOINT (frontier empty), not to a fixed
+# round count: a depth bound would silently drop spans deeper than the
+# bound from >> / << results (real traces routinely exceed 8 levels).
+# Termination is guaranteed for any input because each round's frontier
+# is anti-joined against everything already covered — the covered set
+# grows monotonically within a finite node universe.  HARD_CAP only
+# guards pathological inputs (corrupt parent pointers forming chains
+# longer than any real trace); hitting it raises instead of truncating.
+HARD_CAP = 256
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate the loop state's LINEAGE, not just cache its rows.
+
+    The per-round set is referenced twice downstream (next frontier +
+    covered union), so without truncation the logical plan doubles per
+    round and driver-side ANALYSIS time grows exponentially with depth
+    — persist/cache alone does not help, because cache matching
+    happens after the full plan is analyzed.  ``localCheckpoint(eager)``
+    replaces the plan with the materialized RDD; loop state is tiny
+    (ids only), so the executor-memory cost is negligible."""
+    return df.localCheckpoint(eager=True)
+
+
+class StructuralDepthError(RuntimeError):
+    """Raised when a structural traversal exceeds HARD_CAP rounds
+    rather than silently returning a truncated result."""
+
 
 def child_join(spans: DataFrame, parent_pred, child_pred) -> DataFrame:
     """Spans matching ``child_pred`` whose direct parent matches
@@ -39,21 +67,29 @@ def child_join(spans: DataFrame, parent_pred, child_pred) -> DataFrame:
 
 
 def descendants(
-    spans: DataFrame, ancestor_pred, descendant_pred, max_depth: int = 8
+    spans: DataFrame, ancestor_pred, descendant_pred, max_depth: int | None = None
 ) -> DataFrame:
     """Spans matching ``descendant_pred`` with ANY ancestor matching
     ``ancestor_pred`` (TraceQL ``{anc} >> {desc}``).
 
-    Iterative frontier expansion: frontier holds (trace_id, span_id)
-    of spans whose subtree is covered so far; each round joins the
-    frontier to its children.  Rounds = tree depth, each a hash join
-    on (trace_id, parent_span_id) — the loop is driver-side control
-    flow only; data never leaves the cluster.
+    Iterative frontier expansion to fixpoint: frontier holds the
+    (trace_id, span_id) discovered last round; each round joins the
+    frontier to its children and keeps only never-seen spans.  Rounds
+    = tree depth, each a hash join on (trace_id, parent_span_id) —
+    the loop is driver-side control flow only; data never leaves the
+    cluster.  ``max_depth`` is accepted for backwards compatibility
+    and ignored: traversal always runs until the frontier drains
+    (raising :class:`StructuralDepthError` past ``HARD_CAP``).
     """
     edges = spans.select("trace_id", "span_id", "parent_span_id")
     frontier = spans.filter(ancestor_pred).select("trace_id", "span_id").distinct()
     covered = None
-    for _ in range(max_depth):
+    for rounds in range(HARD_CAP + 1):
+        if rounds == HARD_CAP:
+            raise StructuralDepthError(
+                f"descendants: frontier not drained after {HARD_CAP} rounds "
+                "(cyclic or pathologically deep parent_span_id chain)"
+            )
         children = (
             edges.alias("e")
             .join(
@@ -65,15 +101,14 @@ def descendants(
             .distinct()
         )
         if covered is None:
-            covered = children
+            new = children
         else:
             new = children.join(covered, ["trace_id", "span_id"], "left_anti")
-            if new.isEmpty():
-                break
-            covered = covered.unionByName(new)
-        frontier = children
-        if frontier.isEmpty():
+        new = _materialize(new)
+        if new.isEmpty():
             break
+        covered = new if covered is None else covered.unionByName(new)
+        frontier = new
     if covered is None:
         return spans.filter(descendant_pred).limit(0)
     return spans.filter(descendant_pred).join(
@@ -98,12 +133,14 @@ def parent_join(spans: DataFrame, child_pred, parent_pred) -> DataFrame:
 
 
 def ancestors_of(
-    spans: DataFrame, descendant_pred, ancestor_pred, max_depth: int = 8
+    spans: DataFrame, descendant_pred, ancestor_pred, max_depth: int | None = None
 ) -> DataFrame:
     """Spans matching ``ancestor_pred`` with ANY descendant matching
     ``descendant_pred`` (TraceQL ``{desc} << {anc}``) — the upward
-    mirror of ``descendants``: the frontier climbs parent pointers,
-    each round one hash join on (trace_id, span_id)."""
+    mirror of ``descendants``: the frontier climbs parent pointers to
+    fixpoint, each round one hash join on (trace_id, span_id).
+    ``max_depth`` is accepted for backwards compatibility and ignored
+    (see :func:`descendants`)."""
     edges = spans.select("trace_id", "span_id", "parent_span_id")
     frontier = (
         spans.filter(descendant_pred)
@@ -111,7 +148,12 @@ def ancestors_of(
         .distinct()
     )
     covered = frontier
-    for _ in range(max_depth - 1):
+    for rounds in range(HARD_CAP + 1):
+        if rounds == HARD_CAP:
+            raise StructuralDepthError(
+                f"ancestors_of: frontier not drained after {HARD_CAP} rounds "
+                "(cyclic or pathologically deep parent_span_id chain)"
+            )
         parents = (
             edges.alias("e")
             .join(
@@ -125,7 +167,9 @@ def ancestors_of(
             )
             .distinct()
         )
-        new = parents.join(covered, ["trace_id", "span_id"], "left_anti")
+        new = _materialize(
+            parents.join(covered, ["trace_id", "span_id"], "left_anti")
+        )
         if new.isEmpty():
             break
         covered = covered.unionByName(new)
@@ -135,7 +179,7 @@ def ancestors_of(
     )
 
 
-def nested_sets(spans: DataFrame, max_depth: int = 8) -> DataFrame:
+def nested_sets(spans: DataFrame, max_depth: int | None = None) -> DataFrame:
     """Compute nested-set (left, right) numbers per span.
 
     Strategy: derive each span's root-path by iterative parent joins
@@ -154,7 +198,12 @@ def nested_sets(spans: DataFrame, max_depth: int = 8) -> DataFrame:
         F.array("span_id").alias("path"),
         F.col("parent_span_id").alias("cursor"),
     )
-    for _ in range(max_depth):
+    for rounds in range(HARD_CAP + 1):
+        if rounds == HARD_CAP:
+            raise StructuralDepthError(
+                f"nested_sets: root paths not complete after {HARD_CAP} rounds "
+                "(cyclic or pathologically deep parent_span_id chain)"
+            )
         nxt = (
             cur.alias("c")
             .join(
@@ -180,7 +229,7 @@ def nested_sets(spans: DataFrame, max_depth: int = 8) -> DataFrame:
                 F.col("a_pid").alias("cursor"),
             )
         )
-        cur = nxt
+        cur = _materialize(nxt)
         if cur.filter(F.col("cursor").isNotNull()).isEmpty():
             break
     w = Window.partitionBy("trace_id").orderBy("path")

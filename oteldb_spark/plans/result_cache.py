@@ -154,7 +154,15 @@ class StepResultCache:
             df = compute(s, e)
             parts.append(df.where(df["step_us"].between(start_us, grid_hi)))
             store_e = e if cutoff is None else min(e, cutoff)
-            if store_e < s:
+            # A head gap ([s, e] with e = meta.lo - step) may only be
+            # persisted when stored in FULL: a safety-lag truncation
+            # (store_e < e) would leave steps (store_e, meta.lo) inside
+            # the extended watermark with no data — later queries would
+            # count them as hits and silently return incomplete results.
+            # Tail/miss gaps start contiguous with the watermark, so a
+            # truncated store still merges cleanly.
+            head_gap = meta is not None and e < meta.lo_us
+            if store_e < s or (head_gap and store_e < e):
                 self.stats.skipped_inserts += 1
                 continue
             df.where(df["step_us"].between(s, store_e)).write.mode("append").parquet(

@@ -38,6 +38,15 @@ class MetricSource:
     # streams (decoded to scale-0 exp buckets at query time); the
     # histogram_* functions only accept selectors of these
     histograms: frozenset[str] = frozenset()
+    # metric name → exponential-histogram STATE frame — the
+    # reference's actual storage model (bucket arrays + scale in
+    # metrics_exp_histograms, decoded at query time at ANY scale,
+    # querier_metrics.go:1365-1470).  Frames carry
+    # (exp_state_labels..., ts_us, count, sum, scale, zero_count,
+    # positive_offset, positive_counts); the histogram_* family picks
+    # the latest state per step within the lookback and decodes.
+    exp_states: "dict[str, DataFrame]" = field(default_factory=dict)
+    exp_state_labels: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -619,7 +628,9 @@ def _native_hist_sel(arg, source: MetricSource):
         else:
             labels = [c for c in source.label_cols if c in g.labels]
         return inner[0], inner[1], labels
-    if isinstance(arg, ast.VectorSelector) and arg.name in source.histograms:
+    if isinstance(arg, ast.VectorSelector) and (
+        arg.name in source.histograms or arg.name in source.exp_states
+    ):
         return arg, False, None
     if (
         isinstance(arg, ast.FuncCall)
@@ -656,6 +667,8 @@ def _compile_hist_native(
             f"PromQL: {name}() needs a native-histogram selector"
         )
     sel, is_rate, group_labels = found
+    if not is_rate and sel.name in source.exp_states:
+        return _compile_hist_exp_state(fc, sel, group_labels, source, params)
     if is_rate and sel.range_us is None:
         raise SyntaxError("PromQL: rate() needs a range vector")
     rng = sel.range_us or params.lookback_us
@@ -681,13 +694,134 @@ def _compile_hist_native(
     b = bucket_counts(fanned, keys)
     if name in ("histogram_stddev", "histogram_stdvar"):
         col = "h_stddev" if name == "histogram_stddev" else "h_stdvar"
-        return hist_stdvar(b, keys).select(*keys, F.col(col).alias("value"))
+        return hist_stdvar(b, keys, fanned).select(
+            *keys, F.col(col).alias("value")
+        )
     if name == "histogram_fraction":
         lo, hi = fc.args[0].value, fc.args[1].value
         return hist_fraction(b, keys, lo, hi).select(
             *keys, F.col("h_fraction").alias("value")
         )
     return hist_quantile(b, keys, fc.args[0].value)
+
+
+def _compile_hist_exp_state(
+    fc: ast.FuncCall,
+    sel: ast.VectorSelector,
+    group_labels: "list[str] | None",
+    source: MetricSource,
+    params: PromParams,
+) -> DataFrame:
+    """histogram_* over an exponential-histogram STATE selector: pick
+    the latest stored state per (series, step) inside the lookback
+    (instant-selector staleness semantics) and decode the bucket
+    arrays at THEIR OWN scale (querier_metrics.go:1365-1470 — real
+    SDKs emit scale 3..8).  count/sum/avg read the exact stored
+    fields; quantile/fraction decode value-space bounds
+    (operators/exp_histogram.py); stddev/stdvar follow upstream
+    promql/quantile.go (geometric-midpoint mass around the true
+    mean)."""
+    from ..operators.exp_histogram import (
+        exp_bound,
+        exp_histogram_fraction,
+        exp_histogram_quantile,
+        explode_exp_buckets,
+    )
+    from ..operators.stepfanout import fanout
+
+    if group_labels is not None:
+        raise SyntaxError(
+            "PromQL: sum() over exp-histogram STATE selectors is not "
+            "supported (merge states at ingest instead)"
+        )
+    name = fc.name
+    df = source.exp_states[sel.name]
+    for m in sel.matchers:
+        c = (
+            F.col(m.name)
+            if m.name in source.exp_state_labels
+            else F.lit("")
+        )
+        if m.op == "=":
+            df = df.filter(c == m.value)
+        elif m.op == "!=":
+            df = df.filter(c != m.value)
+        elif m.op == "=~":
+            df = df.filter(c.rlike(m.value))
+        else:
+            df = df.filter(~c.rlike(m.value))
+    ts = F.col("ts_us")
+    if sel.offset_us:
+        ts = ts + F.lit(sel.offset_us)
+    st = df.select(
+        *source.exp_state_labels,
+        ts.alias("ts_us"),
+        "count",
+        "sum",
+        "scale",
+        "zero_count",
+        "positive_offset",
+        "positive_counts",
+    )
+    fanned = fanout(
+        st, params.start_us, params.end_us, params.step_us, params.lookback_us
+    )
+    keys = [*source.exp_state_labels, "step_us"]
+    latest = fanned.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(
+                "count",
+                "sum",
+                "scale",
+                "zero_count",
+                "positive_offset",
+                "positive_counts",
+            ),
+            F.col("ts_us"),
+        ).alias("s")
+    ).select(*keys, "s.*")
+    if name in ("histogram_count", "histogram_sum", "histogram_avg"):
+        value = {
+            "histogram_count": F.col("count").cast("double"),
+            "histogram_sum": F.col("sum"),
+            "histogram_avg": F.col("sum") / F.col("count"),
+        }[name]
+        return latest.select(*keys, value.alias("value"))
+    if name in ("histogram_stddev", "histogram_stdvar"):
+        # upstream loop over buckets: val = sqrt(lower·upper) =
+        # 2^((i+1/2)·2^-s), zero bucket at val=0, mean = sum/count
+        b = explode_exp_buckets(latest, keys)
+        totals = latest.select(
+            *keys,
+            (F.col("sum") / F.col("count")).alias("__mean"),
+            F.col("count").alias("__n"),
+            F.col("zero_count").alias("__zc"),
+        )
+        b = b.join(totals, keys)
+        gm = F.pow(
+            F.lit(2.0),
+            (F.col("idx").cast("double") + F.lit(0.5))
+            * F.pow(F.lit(2.0), -F.col("scale").cast("double")),
+        )
+        dev = gm - F.col("__mean")
+        g = b.groupBy(*keys).agg(
+            (
+                (
+                    F.sum(F.col("cnt") * dev * dev)
+                    + F.first("__zc") * F.first("__mean") * F.first("__mean")
+                )
+                / F.first("__n")
+            ).alias("h_stdvar")
+        )
+        col = "h_stdvar" if name == "histogram_stdvar" else None
+        if col:
+            return g.select(*keys, F.col("h_stdvar").alias("value"))
+        return g.select(*keys, F.sqrt("h_stdvar").alias("value"))
+    b = explode_exp_buckets(latest, keys)
+    if name == "histogram_fraction":
+        lo, hi = fc.args[0].value, fc.args[1].value
+        return exp_histogram_fraction(b, lo, hi, keys)
+    return exp_histogram_quantile(b, fc.args[0].value, keys)
 
 
 def histogram_quantile(buckets: DataFrame, q: float, le_col: str = "le") -> DataFrame:

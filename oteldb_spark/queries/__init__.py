@@ -12,6 +12,18 @@ the ANSI/DuckDB re-statement of the same semantics.
 # gate families are imported first and the round-1-certified LogQL /
 # TPC-H families last.
 from . import registry  # noqa: F401
+# round-3 additions first…
+from . import otlp_pb_ingest  # noqa: F401
+from . import exp_native  # noqa: F401
+from . import pprof_ingest  # noqa: F401
+from . import traceql_metrics2  # noqa: F401
+from . import skew_gate  # noqa: F401
+# …then the never-driver-graded round-1/2 middle rotated forward
+# (TraceQL structural v1, profiles, dedup/ANN)
+from . import traceql  # noqa: F401
+from . import profiles  # noqa: F401
+from . import dedup_lsh  # noqa: F401
+from . import similarity_ext  # noqa: F401
 from . import prw_ingest  # noqa: F401
 from . import result_cache_gate  # noqa: F401
 from . import pipeline2  # noqa: F401
@@ -21,12 +33,8 @@ from . import traceql_structural2  # noqa: F401
 from . import promql_fns2  # noqa: F401
 from . import histograms  # noqa: F401
 from . import loki_ext  # noqa: F401
-from . import similarity_ext  # noqa: F401
 from . import corpus_stats  # noqa: F401
-from . import dedup_lsh  # noqa: F401
 from . import pipeline  # noqa: F401
-from . import profiles  # noqa: F401
-from . import traceql  # noqa: F401
 from . import traceql_ext  # noqa: F401
 from . import traceql_parsed  # noqa: F401
 from . import promql_ext  # noqa: F401

@@ -119,16 +119,22 @@ def exp_histogram_p90(spark, sf_dir):
 # midpoints are dyadic rationals, exact in doubles on both engines, so
 # the estimates hash-match without rounding.
 
-_MID_CASE = "CASE " + " ".join(
-    f"WHEN bucket = {e} THEN {float(2.0 ** (e - 1) + 2.0 ** e) / 2.0!r}"
+# Prometheus histogramStdDev/StdVar (promql/quantile.go) place each
+# bucket's mass at the GEOMETRIC midpoint sqrt(lower·upper) =
+# 2^(e-1/2) for scale-0 bucket (2^(e-1), 2^e], and take deviations
+# around the TRUE mean sum/count (the stored sum, not a bucket
+# estimate).  Scaled moments are exact integers:
+#   s1·2^-6/√2 = Σ cnt·val   with s1 = Σ cnt·2^(e+6)
+#   s2·2^-13   = Σ cnt·val²  with s2 = Σ cnt·2^(2e+12)
+# so the only float ops are a fixed-order final formula — identical
+# on both engines.
+_S1_SCALED_CASE = "CASE " + " ".join(
+    f"WHEN bucket = {e} THEN CAST({2 ** (e + 6)} AS BIGINT)"
     for e in range(-6, 11)
 ) + " END"
 
-# midpoints scaled by 2^8 are exact integers (3 * 2^(e+6), e >= -6):
-# moment sums become BIGINTs — exact in any order on both engines —
-# and the only float ops are a final deterministic divide/subtract
-_MID_SCALED_CASE = "CASE " + " ".join(
-    f"WHEN bucket = {e} THEN CAST({3 * 2 ** (e + 6)} AS BIGINT)"
+_S2_SCALED_CASE = "CASE " + " ".join(
+    f"WHEN bucket = {e} THEN CAST({2 ** (2 * e + 12)} AS BIGINT)"
     for e in range(-6, 11)
 ) + " END"
 
@@ -184,49 +190,69 @@ def hist_native_count_avg(spark, sf_dir):
     "hist_native_stdvar",
     with_ctes(
         *_HIST_CTES,
-        f"m AS (SELECT mtype, step_us, cnt, {_MID_SCALED_CASE} AS mid FROM b)",
+        f"""m AS (SELECT mtype, step_us, cnt,
+  {_S1_SCALED_CASE} AS m1, {_S2_SCALED_CASE} AS m2 FROM b)""",
         """s AS (
   SELECT mtype, step_us,
-         CAST(sum(cnt * mid) AS BIGINT) AS s1,
-         CAST(sum(cnt * mid * mid) AS BIGINT) AS s2,
+         CAST(sum(cnt * m1) AS BIGINT) AS s1,
+         CAST(sum(cnt * m2) AS BIGINT) AS s2,
          CAST(sum(cnt) AS BIGINT) AS n
   FROM m GROUP BY mtype, step_us
 )""",
-        body="""SELECT mtype, step_us,
-       CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0)
-         - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
-           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
+        """tm AS (
+  SELECT mtype, step_us,
+         CAST(round(sum(CAST(sample AS DECIMAL(38,9))), 6) AS DOUBLE) AS tsum
+  FROM fanned GROUP BY mtype, step_us
+)""",
+        body="""SELECT s.mtype, s.step_us,
+       round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 8192.0)
+         - 2.0 * (tsum / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 64.0 * sqrt(2.0)))
+         + (tsum / CAST(n AS DOUBLE)) * (tsum / CAST(n AS DOUBLE)), 6)
          AS h_stdvar,
-       sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0)
-         - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
-           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0)))
+       round(sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 8192.0)
+         - 2.0 * (tsum / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 64.0 * sqrt(2.0)))
+         + (tsum / CAST(n AS DOUBLE)) * (tsum / CAST(n AS DOUBLE))), 6)
          AS h_stddev
-FROM s""",
+FROM s JOIN tm ON s.mtype = tm.mtype AND s.step_us = tm.step_us""",
     ),
 )
 def hist_native_stdvar(spark, sf_dir):
-    """histogram_stdvar / histogram_stddev: bucket-midpoint estimate
-    (mass at the arithmetic midpoint of each scale-0 bucket); one-pass
-    E[m^2] - E[m]^2 with identical operation order on both engines."""
+    """histogram_stdvar / histogram_stddev per UPSTREAM Prometheus
+    (promql/quantile.go histogramStdDev): bucket mass at the GEOMETRIC
+    midpoint sqrt(lower·upper) = 2^(e-1/2), deviations around the
+    TRUE mean sum/count.  Expanded as Σcnt·val²/n − 2·mean·Σcnt·val/n
+    + mean² over exact integer scaled moments, so both engines run the
+    same fixed-order float formula."""
     fanned = _bucket_frames(spark, sf_dir)
     b = fanned.groupBy(
         "mtype", "step_us", F.expr(_bucket_case_sql("sample")).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    m = b.withColumn("mid", F.expr(_MID_SCALED_CASE))
+    m = b.withColumn("m1", F.expr(_S1_SCALED_CASE)).withColumn(
+        "m2", F.expr(_S2_SCALED_CASE)
+    )
     s = m.groupBy("mtype", "step_us").agg(
-        F.sum(F.col("cnt") * F.col("mid")).alias("s1"),
-        F.sum(F.col("cnt") * F.col("mid") * F.col("mid")).alias("s2"),
+        F.sum(F.col("cnt") * F.col("m1")).alias("s1"),
+        F.sum(F.col("cnt") * F.col("m2")).alias("s2"),
         F.sum("cnt").alias("n"),
     )
+    tm = fanned.groupBy("mtype", "step_us").agg(
+        F.round(F.sum(F.col("sample").cast("decimal(38,9)")), 6)
+        .cast("double")
+        .alias("tsum")
+    )
+    s = s.join(tm, ["mtype", "step_us"])
     nd = F.col("n").cast("double")
-    ex2 = F.col("s2").cast("double") / (nd * F.lit(65536.0))
-    ex = F.col("s1").cast("double") / (nd * F.lit(256.0))
-    var = ex2 - ex * ex
+    mean = F.col("tsum") / nd
+    ex2 = F.col("s2").cast("double") / (nd * F.lit(8192.0))
+    ex = F.col("s1").cast("double") / (nd * F.lit(64.0) * F.sqrt(F.lit(2.0)))
+    var = ex2 - F.lit(2.0) * mean * ex + mean * mean
     return s.select(
         "mtype",
         "step_us",
-        var.alias("h_stdvar"),
-        F.sqrt(var).alias("h_stddev"),
+        F.round(var, 6).alias("h_stdvar"),
+        F.round(F.sqrt(var), 6).alias("h_stddev"),
     )
 
 

@@ -245,7 +245,8 @@ FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
 from ..operators.histogram import (  # noqa: E402
     bucket_case_sql as _hb,
     covered_sql as _hcov,
-    mid_scaled_case_sql as _hmid,
+    s1_scaled_case_sql as _hs1,
+    s2_scaled_case_sql as _hs2,
 )
 
 _HB_CTE = f"""hb AS (
@@ -282,20 +283,28 @@ register(
     with_ctes(
         COUNTERS_CTE,
         _HB_CTE,
-        f"hm AS (SELECT mtype, instance, step_us, cnt, {_hmid()} AS mid FROM hb)",
+        f"""hm AS (SELECT mtype, instance, step_us, cnt,
+  {_hs1()} AS m1, {_hs2()} AS m2 FROM hb)""",
         """hs AS (
   SELECT mtype, instance, step_us,
-         CAST(sum(cnt * mid) AS BIGINT) AS s1,
-         CAST(sum(cnt * mid * mid) AS BIGINT) AS s2,
+         CAST(sum(cnt * m1) AS BIGINT) AS s1,
+         CAST(sum(cnt * m2) AS BIGINT) AS s2,
          CAST(sum(cnt) AS BIGINT) AS n
   FROM hm GROUP BY mtype, instance, step_us
 )""",
-        body="""SELECT mtype, instance, step_us,
-       sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 65536.0)
-         - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0))
-           * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 256.0)))
+        f"""ht AS (
+  SELECT mtype, instance, step_us,
+         CAST(round(sum(CAST(sample AS DECIMAL(38,9))), 6) AS DOUBLE) AS tsum
+  FROM {_G_FAN} s GROUP BY mtype, instance, step_us
+)""",
+        body="""SELECT hs.mtype, hs.instance, hs.step_us,
+       sqrt(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 8192.0)
+         - 2.0 * (tsum / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 64.0 * sqrt(2.0)))
+         + (tsum / CAST(n AS DOUBLE)) * (tsum / CAST(n AS DOUBLE)))
          AS value
-FROM hs""",
+FROM hs JOIN ht ON hs.mtype = ht.mtype AND hs.instance = ht.instance
+               AND hs.step_us = ht.step_us""",
     ),
 )(_run("histogram_stddev(events_hist[12h])"))
 

@@ -67,3 +67,50 @@ def promql_rate_cached(spark, sf_dir):
     cache.query_range(spark, "rate", START_US, mid, STEP_US, compute)
     out = cache.query_range(spark, "rate", START_US, END_US, STEP_US, compute)
     return out.withColumn("value", F.round("value", _RD))
+
+
+def _compute_fn(pts):
+    def compute(s_us: int, e_us: int):
+        return rate_family(
+            pts,
+            "rate",
+            series=_SERIES,
+            value_col="counter_mod",
+            start_us=s_us,
+            end_us=e_us,
+            step_us=STEP_US,
+            range_us=RANGE_US,
+        )
+
+    return compute
+
+
+# cold fill: fresh cache each call — measures compute + write-back
+@register("promql_rate_cached_cold", _oracle())
+def promql_rate_cached_cold(spark, sf_dir):
+    pts = counter_points_frame(spark, sf_dir)
+    cache = StepResultCache(tempfile.mkdtemp(prefix="oteldb_rc_"))
+    out = cache.query_range(
+        spark, "rate", START_US, END_US, STEP_US, _compute_fn(pts)
+    )
+    return out.withColumn("value", F.round("value", _RD))
+
+
+# warm hit: cache persists across calls per sf_dir — the first call
+# fills, every later call is a pure watermark hit reading parquet.
+# bench.py's best-of-2 loop therefore times the HIT, which is the
+# number the reference's cache exists to serve (cache.go CacheStats
+# hits); the cold path is benched separately above.
+_WARM_CACHES: dict[str, StepResultCache] = {}
+
+
+@register("promql_rate_cached_warm", _oracle())
+def promql_rate_cached_warm(spark, sf_dir):
+    pts = counter_points_frame(spark, sf_dir)
+    cache = _WARM_CACHES.setdefault(
+        sf_dir, StepResultCache(tempfile.mkdtemp(prefix="oteldb_rcw_"))
+    )
+    out = cache.query_range(
+        spark, "rate", START_US, END_US, STEP_US, _compute_fn(pts)
+    )
+    return out.withColumn("value", F.round("value", _RD))

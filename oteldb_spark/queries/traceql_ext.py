@@ -38,7 +38,6 @@ def traceql_descendant(spark, sf_dir):
         spans,
         (F.col("service") == "frontend") & (F.col("status_code") == 2),
         F.col("duration_us") > 100000,
-        max_depth=4,
     )
     return out.select("trace_id", "span_id", "name", "duration_us").distinct()
 

@@ -43,6 +43,12 @@ def get_spark(
         # trace joins Exchange-free over the bucketed span table
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # timestamp[ns] parquet columns (which the driver has shipped
+        # before) fail schema inference with PARQUET_TYPE_ILLEGAL unless
+        # this flag is set BEFORE the first read; with it, ns columns
+        # arrive as bigint (exactly our internal ns-long contract) and
+        # µs files are unaffected.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

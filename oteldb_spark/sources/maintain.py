@@ -81,8 +81,14 @@ def compact_table(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # atomic swap: writes land in tmp, then one rename replaces the
-        # partition dir (object stores: copy+delete behind the same API)
+        # swap: writes land in tmp, then two renames replace the
+        # partition dir.  NOT atomic — single-writer maintenance with
+        # no concurrent readers is assumed (a reader between the two
+        # renames sees the partition missing; a crash between them
+        # leaves it stranded in the .old dir).  A production deployment
+        # gets atomicity from a table format with a manifest commit
+        # (Delta/Iceberg) rather than directory renames; this filesystem
+        # path is the parquet-only fallback.
         if part:
             old = pdir + f".old-{uuid.uuid4().hex[:8]}"
             os.rename(pdir, old)

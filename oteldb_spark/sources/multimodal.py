@@ -61,15 +61,24 @@ def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
 
 
 def _try_decode_image(data: bytes):
-    """Real decode requires an image library not present in this
-    container — STUB.  Returns None so callers fall back to the
-    deterministic byte-level path; with PIL installed this would
-    return the decoded array."""
+    """Decode to a HxWxC uint8 array when an image library is present
+    AND the payload is a real encoded image; otherwise return None so
+    callers fall back to the deterministic byte-level path.  A present
+    PIL must never make extraction WORSE than no PIL — undecodable
+    payloads (like the synthetic md5-stream fixtures) fall back too."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError:
         return None
-    raise NotImplementedError("image decode wired but untested in this environment")
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(data)) as img:
+            return np.asarray(img.convert("RGB"))
+    except Exception:
+        return None
 
 
 def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
@@ -85,11 +94,13 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
         for pdf in it:
             feats = []
             for blob in pdf["data"]:
-                arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
                 decoded = _try_decode_image(bytes(blob))
-                if decoded is None:  # stub path: byte statistics
-                    chunks = np.array_split(arr, n_features)
-                    feats.append([float(c.mean()) for c in chunks])
+                if decoded is not None:  # pixel statistics
+                    arr = decoded.astype(np.float64).ravel()
+                else:  # fallback: byte statistics
+                    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                chunks = np.array_split(arr, n_features)
+                feats.append([float(c.mean()) for c in chunks])
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "features": feats}
             )

@@ -234,12 +234,24 @@ def flatten_otlp_spans(raw: DataFrame) -> DataFrame:
     )
 
 
+OTLP_EXEMPLAR = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("asDouble", T.DoubleType()),
+        T.StructField("asInt", T.StringType()),
+        T.StructField("traceId", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("filteredAttributes", T.ArrayType(_ATTR)),
+    ]
+)
+
 METRIC_POINT = T.StructType(
     [
         T.StructField("timeUnixNano", T.StringType()),
         T.StructField("asDouble", T.DoubleType()),
         T.StructField("asInt", T.StringType()),
         T.StructField("attributes", T.ArrayType(_ATTR)),
+        T.StructField("exemplars", T.ArrayType(OTLP_EXEMPLAR)),
     ]
 )
 
@@ -276,6 +288,26 @@ SUMMARY_POINT = T.StructType(
     ]
 )
 
+EXP_BUCKETS = T.StructType(
+    [
+        T.StructField("offset", T.LongType()),
+        T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+    ]
+)
+
+EXP_HISTOGRAM_POINT = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("count", T.StringType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("scale", T.LongType()),
+        T.StructField("zeroCount", T.StringType()),
+        T.StructField("positive", EXP_BUCKETS),
+        T.StructField("negative", EXP_BUCKETS),
+        T.StructField("attributes", T.ArrayType(_ATTR)),
+    ]
+)
+
 _METRIC = T.StructType(
     [
         T.StructField("name", T.StringType()),
@@ -306,6 +338,17 @@ _METRIC = T.StructType(
             "summary",
             T.StructType(
                 [T.StructField("dataPoints", T.ArrayType(SUMMARY_POINT))]
+            ),
+        ),
+        T.StructField(
+            "exponentialHistogram",
+            T.StructType(
+                [
+                    T.StructField("aggregationTemporality", T.LongType()),
+                    T.StructField(
+                        "dataPoints", T.ArrayType(EXP_HISTOGRAM_POINT)
+                    ),
+                ]
             ),
         ),
     ]
@@ -420,6 +463,80 @@ def flatten_otlp_metrics(raw: DataFrame) -> DataFrame:
         explode_summary_points(m)
     )
     return out.withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
+
+
+def flatten_otlp_exemplars(raw: DataFrame) -> DataFrame:
+    """OTLP metric exemplars → rows for the exemplars table
+    (chstorage/schema.go:19, inserter_metrics.go exemplar columns):
+    one row per exemplar with the owning series name/labels, the
+    exemplar value/ts and the trace/span promotion."""
+    m = _metric_frame(raw)
+    pts = m.filter(
+        F.col("m.sum").isNotNull() | F.col("m.gauge").isNotNull()
+    ).select(
+        "resource_attrs",
+        F.col("m.name").alias("name"),
+        F.explode(
+            F.coalesce(F.col("m.sum.dataPoints"), F.col("m.gauge.dataPoints"))
+        ).alias("p"),
+    )
+    e = pts.select(
+        "name",
+        _attrs_to_map(F.col("p.attributes")).alias("labels"),
+        "resource_attrs",
+        F.explode(F.coalesce(F.col("p.exemplars"), F.array())).alias("ex"),
+    )
+    return e.select(
+        "name",
+        "labels",
+        "resource_attrs",
+        F.col("ex.timeUnixNano").cast("long").alias("ts_ns"),
+        F.coalesce(
+            F.col("ex.asDouble"), F.col("ex.asInt").cast("double")
+        ).alias("value"),
+        F.coalesce(F.col("ex.traceId"), F.lit("")).alias("trace_id"),
+        F.coalesce(F.col("ex.spanId"), F.lit("")).alias("span_id"),
+        _attrs_to_map(F.col("ex.filteredAttributes")).alias("filtered_attrs"),
+    )
+
+
+def flatten_otlp_exp_histograms(raw: DataFrame) -> DataFrame:
+    """OTLP exponential-histogram datapoints → native-state rows (the
+    reference keeps these as bucket arrays in their own table,
+    ``metrics_exp_histograms``, chstorage/columns_metrics.go:181-230 —
+    decode to value space happens at query time, at ANY scale)."""
+    h = _metric_frame(raw).filter(
+        F.col("m.exponentialHistogram").isNotNull()
+    ).select(
+        "resource_attrs",
+        F.col("m.name").alias("name"),
+        F.col("m.unit").alias("unit"),
+        F.explode("m.exponentialHistogram.dataPoints").alias("p"),
+    )
+    longs = lambda c: F.transform(  # noqa: E731
+        F.coalesce(c, F.array()), lambda x: x.cast("long")
+    )
+    return h.select(
+        "name",
+        "unit",
+        _attrs_to_map(F.col("p.attributes")).alias("labels"),
+        "resource_attrs",
+        F.col("p.timeUnixNano").cast("long").alias("ts_ns"),
+        F.col("p.count").cast("long").alias("count"),
+        F.col("p.sum").alias("sum"),
+        F.col("p.scale").cast("int").alias("scale"),
+        F.coalesce(F.col("p.zeroCount").cast("long"), F.lit(0)).alias(
+            "zero_count"
+        ),
+        F.coalesce(F.col("p.positive.offset"), F.lit(0))
+        .cast("int")
+        .alias("positive_offset"),
+        longs(F.col("p.positive.bucketCounts")).alias("positive_counts"),
+        F.coalesce(F.col("p.negative.offset"), F.lit(0))
+        .cast("int")
+        .alias("negative_offset"),
+        longs(F.col("p.negative.bucketCounts")).alias("negative_counts"),
+    )
 
 
 def explode_histogram_points(m: DataFrame) -> DataFrame:

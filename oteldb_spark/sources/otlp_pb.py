@@ -1,0 +1,720 @@
+"""OTLP protobuf wire ingest — the reference's PRIMARY ingest path.
+
+The reference receives OTLP protobuf over gRPC/HTTP via the embedded
+collector (``internal/otelreceiver/receiver.go:47-90``) and hands the
+decoded pdata to the signal consumers.  Here the transport is a
+DataFrame with a ``payload`` binary column (one row per
+Export*ServiceRequest body) and the wire decode runs executor-side in
+``mapInPandas`` — the same split as ``sources/prw.py``, whose
+hand-rolled protobuf walker this module reuses (the OTLP proto is a
+public format; field numbers below are from opentelemetry-proto).
+
+Decode strategy: wire bytes → the OTLP/JSON encoding (hex ids,
+stringified uint64 nanos — the spec's canonical JSON mapping), then
+through the EXISTING ``from_json`` + flatten path of ``sources/otlp.py``.
+One flattener serves both encodings, so protobuf ingest inherits every
+downstream behavior (histogram/summary explosion, series hashing,
+service materialization) already gated for JSON.
+
+Encoders exist for deterministic fixtures only — not the ingest path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .prw import _enc_uvarint, _f64, _signed64, _uvarint, _wire_fields, _zigzag
+
+# --- wire → OTLP/JSON dicts --------------------------------------------------
+
+
+def _u64(raw: bytes) -> int:
+    return struct.unpack("<Q", raw)[0]
+
+
+def _i64(raw: bytes) -> int:
+    return struct.unpack("<q", raw)[0]
+
+
+def decode_any_value(buf: bytes) -> dict:
+    """AnyValue → its OTLP/JSON object ({"stringValue": ...} etc.)."""
+    for fno, wt, val in _wire_fields(buf):
+        if fno == 1:
+            return {"stringValue": val.decode("utf-8")}
+        if fno == 2:
+            return {"boolValue": bool(val)}
+        if fno == 3:
+            return {"intValue": str(_signed64(val))}
+        if fno == 4:
+            return {"doubleValue": _f64(val)}
+        if fno == 5:  # ArrayValue{values=1}
+            return {
+                "arrayValue": {
+                    "values": [
+                        decode_any_value(v)
+                        for f, _, v in _wire_fields(val)
+                        if f == 1
+                    ]
+                }
+            }
+        if fno == 6:  # KeyValueList{values=1}
+            return {
+                "kvlistValue": {
+                    "values": [
+                        _decode_kv(v) for f, _, v in _wire_fields(val) if f == 1
+                    ]
+                }
+            }
+        if fno == 7:
+            return {"bytesValue": val.hex()}
+    return {}
+
+
+def _decode_kv(buf: bytes) -> dict:
+    key, value = "", {}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 1:
+            key = val.decode("utf-8")
+        elif fno == 2:
+            value = decode_any_value(val)
+    return {"key": key, "value": value}
+
+
+def _decode_attrs(fields, attr_fno: int) -> list[dict]:
+    return [_decode_kv(v) for f, _, v in fields if f == attr_fno]
+
+
+def _decode_scope(buf: bytes) -> dict:
+    out = {"name": "", "version": ""}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 1:
+            out["name"] = val.decode("utf-8")
+        elif fno == 2:
+            out["version"] = val.decode("utf-8")
+    return out
+
+
+def _decode_resource(buf: bytes) -> dict:
+    return {"attributes": _decode_attrs(_wire_fields(buf), 1)}
+
+
+# -- logs (collector_logs.proto / logs.proto field numbers) --
+
+
+def _decode_log_record(buf: bytes) -> dict:
+    rec: dict = {"attributes": []}
+    for fno, wt, val in _wire_fields(buf):
+        if fno == 1:
+            rec["timeUnixNano"] = str(_u64(val))
+        elif fno == 2:
+            rec["severityNumber"] = val
+        elif fno == 3:
+            rec["severityText"] = val.decode("utf-8")
+        elif fno == 5:
+            rec["body"] = decode_any_value(val)
+        elif fno == 6:
+            rec["attributes"].append(_decode_kv(val))
+        elif fno == 9:
+            rec["traceId"] = val.hex()
+        elif fno == 10:
+            rec["spanId"] = val.hex()
+        elif fno == 11:
+            rec["observedTimeUnixNano"] = str(_u64(val))
+    return rec
+
+
+def decode_logs_request(data: bytes) -> dict:
+    """ExportLogsServiceRequest bytes → OTLP/JSON-shaped dict."""
+    resource_logs = []
+    for fno, _, rl in _wire_fields(data):
+        if fno != 1:
+            continue
+        entry: dict = {"resource": {"attributes": []}, "scopeLogs": []}
+        for f2, _, val in _wire_fields(rl):
+            if f2 == 1:
+                entry["resource"] = _decode_resource(val)
+            elif f2 == 2:
+                sl: dict = {"scope": {"name": "", "version": ""}, "logRecords": []}
+                for f3, _, v3 in _wire_fields(val):
+                    if f3 == 1:
+                        sl["scope"] = _decode_scope(v3)
+                    elif f3 == 2:
+                        sl["logRecords"].append(_decode_log_record(v3))
+                entry["scopeLogs"].append(sl)
+        resource_logs.append(entry)
+    return {"resourceLogs": resource_logs}
+
+
+# -- traces (trace.proto) --
+
+
+def _decode_status(buf: bytes) -> dict:
+    out = {"code": 0, "message": ""}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 2:
+            out["message"] = val.decode("utf-8")
+        elif fno == 3:
+            out["code"] = val
+    return out
+
+
+def _decode_span(buf: bytes) -> dict:
+    span: dict = {"attributes": [], "status": {"code": 0, "message": ""}}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 1:
+            span["traceId"] = val.hex()
+        elif fno == 2:
+            span["spanId"] = val.hex()
+        elif fno == 4:
+            span["parentSpanId"] = val.hex()
+        elif fno == 5:
+            span["name"] = val.decode("utf-8")
+        elif fno == 6:
+            span["kind"] = val
+        elif fno == 7:
+            span["startTimeUnixNano"] = str(_u64(val))
+        elif fno == 8:
+            span["endTimeUnixNano"] = str(_u64(val))
+        elif fno == 9:
+            span["attributes"].append(_decode_kv(val))
+        elif fno == 15:
+            span["status"] = _decode_status(val)
+    return span
+
+
+def decode_traces_request(data: bytes) -> dict:
+    """ExportTraceServiceRequest bytes → OTLP/JSON-shaped dict."""
+    resource_spans = []
+    for fno, _, rs in _wire_fields(data):
+        if fno != 1:
+            continue
+        entry: dict = {"resource": {"attributes": []}, "scopeSpans": []}
+        for f2, _, val in _wire_fields(rs):
+            if f2 == 1:
+                entry["resource"] = _decode_resource(val)
+            elif f2 == 2:
+                ss: dict = {"spans": []}
+                for f3, _, v3 in _wire_fields(val):
+                    if f3 == 2:
+                        ss["spans"].append(_decode_span(v3))
+                entry["scopeSpans"].append(ss)
+        resource_spans.append(entry)
+    return {"resourceSpans": resource_spans}
+
+
+# -- metrics (metrics.proto) --
+
+
+def _decode_exemplar(buf: bytes) -> dict:
+    # metrics.proto Exemplar: filtered_attributes=7, time=2 fixed64,
+    # as_double=3, span_id=4, trace_id=5, as_int=6 sfixed64
+    e: dict = {"filteredAttributes": []}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 2:
+            e["timeUnixNano"] = str(_u64(val))
+        elif fno == 3:
+            e["asDouble"] = _f64(val)
+        elif fno == 4:
+            e["spanId"] = val.hex()
+        elif fno == 5:
+            e["traceId"] = val.hex()
+        elif fno == 6:
+            e["asInt"] = str(_i64(val))
+        elif fno == 7:
+            e["filteredAttributes"].append(_decode_kv(val))
+    return e
+
+
+def _decode_number_point(buf: bytes) -> dict:
+    p: dict = {"attributes": [], "exemplars": []}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 3:
+            p["timeUnixNano"] = str(_u64(val))
+        elif fno == 4:
+            p["asDouble"] = _f64(val)
+        elif fno == 5:
+            p["exemplars"].append(_decode_exemplar(val))
+        elif fno == 6:
+            p["asInt"] = str(_i64(val))
+        elif fno == 7:
+            p["attributes"].append(_decode_kv(val))
+    return p
+
+
+def _packed_fixed64(raw, wt) -> list[int]:
+    if wt == 1:
+        return [_u64(raw)]
+    return [struct.unpack_from("<Q", raw, i)[0] for i in range(0, len(raw), 8)]
+
+
+def _packed_f64(raw, wt) -> list[float]:
+    if wt == 1:
+        return [_f64(raw)]
+    return [struct.unpack_from("<d", raw, i)[0] for i in range(0, len(raw), 8)]
+
+
+def _decode_histogram_point(buf: bytes) -> dict:
+    p: dict = {"attributes": [], "bucketCounts": [], "explicitBounds": []}
+    for fno, wt, val in _wire_fields(buf):
+        if fno == 3:
+            p["timeUnixNano"] = str(_u64(val))
+        elif fno == 4:
+            p["count"] = str(_u64(val))
+        elif fno == 5:
+            p["sum"] = _f64(val)
+        elif fno == 6:
+            p["bucketCounts"] += [str(c) for c in _packed_fixed64(val, wt)]
+        elif fno == 7:
+            p["explicitBounds"] += _packed_f64(val, wt)
+        elif fno == 9:
+            p["attributes"].append(_decode_kv(val))
+        elif fno == 11:
+            p["min"] = _f64(val)
+        elif fno == 12:
+            p["max"] = _f64(val)
+    return p
+
+
+def _decode_summary_point(buf: bytes) -> dict:
+    p: dict = {"attributes": [], "quantileValues": []}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 3:
+            p["timeUnixNano"] = str(_u64(val))
+        elif fno == 4:
+            p["count"] = str(_u64(val))
+        elif fno == 5:
+            p["sum"] = _f64(val)
+        elif fno == 6:
+            q = {"quantile": 0.0, "value": 0.0}
+            for f2, _, v2 in _wire_fields(val):
+                if f2 == 1:
+                    q["quantile"] = _f64(v2)
+                elif f2 == 2:
+                    q["value"] = _f64(v2)
+            p["quantileValues"].append(q)
+        elif fno == 7:
+            p["attributes"].append(_decode_kv(val))
+    return p
+
+
+def _decode_exp_buckets(buf: bytes) -> dict:
+    out = {"offset": 0, "bucketCounts": []}
+    for fno, wt, val in _wire_fields(buf):
+        if fno == 1:
+            out["offset"] = _zigzag(val)
+        elif fno == 2:
+            if wt == 0:
+                out["bucketCounts"].append(str(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _uvarint(val, pos)
+                    out["bucketCounts"].append(str(v))
+    return out
+
+
+def _decode_exp_histogram_point(buf: bytes) -> dict:
+    p: dict = {"attributes": []}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 1:
+            p["attributes"].append(_decode_kv(val))
+        elif fno == 3:
+            p["timeUnixNano"] = str(_u64(val))
+        elif fno == 4:
+            p["count"] = str(_u64(val))
+        elif fno == 5:
+            p["sum"] = _f64(val)
+        elif fno == 6:
+            p["scale"] = _zigzag(val)
+        elif fno == 7:
+            p["zeroCount"] = str(_u64(val))
+        elif fno == 8:
+            p["positive"] = _decode_exp_buckets(val)
+        elif fno == 9:
+            p["negative"] = _decode_exp_buckets(val)
+    return p
+
+
+def _decode_metric(buf: bytes) -> dict:
+    m: dict = {"name": "", "unit": ""}
+    for fno, _, val in _wire_fields(buf):
+        if fno == 1:
+            m["name"] = val.decode("utf-8")
+        elif fno == 3:
+            m["unit"] = val.decode("utf-8")
+        elif fno == 5:  # gauge
+            m["gauge"] = {
+                "dataPoints": [
+                    _decode_number_point(v)
+                    for f, _, v in _wire_fields(val)
+                    if f == 1
+                ]
+            }
+        elif fno == 7:  # sum
+            s: dict = {"dataPoints": [], "isMonotonic": False}
+            for f2, _, v2 in _wire_fields(val):
+                if f2 == 1:
+                    s["dataPoints"].append(_decode_number_point(v2))
+                elif f2 == 3:
+                    s["isMonotonic"] = bool(v2)
+            m["sum"] = s
+        elif fno == 9:  # histogram
+            m["histogram"] = {
+                "dataPoints": [
+                    _decode_histogram_point(v)
+                    for f, _, v in _wire_fields(val)
+                    if f == 1
+                ]
+            }
+        elif fno == 10:  # exponential histogram
+            m["exponentialHistogram"] = {
+                "dataPoints": [
+                    _decode_exp_histogram_point(v)
+                    for f, _, v in _wire_fields(val)
+                    if f == 1
+                ]
+            }
+        elif fno == 11:  # summary
+            m["summary"] = {
+                "dataPoints": [
+                    _decode_summary_point(v)
+                    for f, _, v in _wire_fields(val)
+                    if f == 1
+                ]
+            }
+    return m
+
+
+def decode_metrics_request(data: bytes) -> dict:
+    """ExportMetricsServiceRequest bytes → OTLP/JSON-shaped dict."""
+    resource_metrics = []
+    for fno, _, rm in _wire_fields(data):
+        if fno != 1:
+            continue
+        entry: dict = {"resource": {"attributes": []}, "scopeMetrics": []}
+        for f2, _, val in _wire_fields(rm):
+            if f2 == 1:
+                entry["resource"] = _decode_resource(val)
+            elif f2 == 2:
+                sm: dict = {"metrics": []}
+                for f3, _, v3 in _wire_fields(val):
+                    if f3 == 2:
+                        sm["metrics"].append(_decode_metric(v3))
+                entry["scopeMetrics"].append(sm)
+        resource_metrics.append(entry)
+    return {"resourceMetrics": resource_metrics}
+
+
+# --- Spark ingest path -------------------------------------------------------
+
+_DECODERS = {
+    "logs": decode_logs_request,
+    "traces": decode_traces_request,
+    "metrics": decode_metrics_request,
+}
+
+
+def pb_to_json(payloads: DataFrame, kind: str) -> DataFrame:
+    """payload-bytes frame → one OTLP/JSON string per request, decoded
+    on the executors (mapInPandas, Arrow-batched).  Batch and
+    ``readStream`` inputs both work — this is the receiver."""
+    import json
+
+    import pandas as pd
+
+    decode = _DECODERS[kind]
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "json": [
+                        json.dumps(decode(bytes(p))) for p in pdf["payload"]
+                    ]
+                }
+            )
+
+    return payloads.select("payload").mapInPandas(fn, schema="json string")
+
+
+def pb_logs(payloads: DataFrame) -> DataFrame:
+    """OTLP protobuf log payloads → flat log records (same output as
+    the JSON path: one flattener serves both encodings)."""
+    from .otlp import OTLP_LOGS_SCHEMA, flatten_otlp_logs
+
+    raw = pb_to_json(payloads, "logs").select(
+        F.from_json("json", OTLP_LOGS_SCHEMA).alias("r")
+    ).select("r.*")
+    return flatten_otlp_logs(raw)
+
+
+def pb_spans(payloads: DataFrame) -> DataFrame:
+    from .otlp import OTLP_TRACES_SCHEMA, flatten_otlp_spans
+
+    raw = pb_to_json(payloads, "traces").select(
+        F.from_json("json", OTLP_TRACES_SCHEMA).alias("r")
+    ).select("r.*")
+    return flatten_otlp_spans(raw)
+
+
+def pb_metrics(payloads: DataFrame) -> DataFrame:
+    from .otlp import OTLP_METRICS_SCHEMA, flatten_otlp_metrics
+
+    raw = pb_to_json(payloads, "metrics").select(
+        F.from_json("json", OTLP_METRICS_SCHEMA).alias("r")
+    ).select("r.*")
+    return flatten_otlp_metrics(raw)
+
+
+def pb_exemplars(payloads: DataFrame) -> DataFrame:
+    """OTLP protobuf metric payloads → exemplar rows (the exemplars
+    table, chstorage/schema.go:19)."""
+    from .otlp import OTLP_METRICS_SCHEMA, flatten_otlp_exemplars
+
+    raw = pb_to_json(payloads, "metrics").select(
+        F.from_json("json", OTLP_METRICS_SCHEMA).alias("r")
+    ).select("r.*")
+    return flatten_otlp_exemplars(raw)
+
+
+def pb_exp_histograms(payloads: DataFrame) -> DataFrame:
+    """OTLP protobuf metric payloads → exponential-histogram native
+    state rows (bucket arrays at ANY scale, decode at query time)."""
+    from .otlp import OTLP_METRICS_SCHEMA, flatten_otlp_exp_histograms
+
+    raw = pb_to_json(payloads, "metrics").select(
+        F.from_json("json", OTLP_METRICS_SCHEMA).alias("r")
+    ).select("r.*")
+    return flatten_otlp_exp_histograms(raw)
+
+
+# --- encoders (fixtures/tests only) ------------------------------------------
+
+
+def _tag(fno: int, wt: int) -> bytes:
+    return _enc_uvarint(fno << 3 | wt)
+
+
+def _enc_len(fno: int, payload: bytes) -> bytes:
+    return _tag(fno, 2) + _enc_uvarint(len(payload)) + payload
+
+
+def _enc_fixed64(fno: int, v: int) -> bytes:
+    return _tag(fno, 1) + struct.pack("<Q", v)
+
+
+def _enc_double(fno: int, v: float) -> bytes:
+    return _tag(fno, 1) + struct.pack("<d", v)
+
+
+def enc_any_string(s: str) -> bytes:
+    return _enc_len(1, s.encode())
+
+
+def enc_any_int(v: int) -> bytes:
+    return _tag(3, 0) + _enc_uvarint(v & ((1 << 64) - 1))
+
+
+def enc_any_double(v: float) -> bytes:
+    return _enc_double(4, v)
+
+
+def enc_kv(key: str, any_value: bytes) -> bytes:
+    return _enc_len(1, key.encode()) + _enc_len(2, any_value)
+
+
+def enc_resource(attrs: dict[str, str]) -> bytes:
+    # Resource.attributes = repeated KeyValue (field 1): each KV is its
+    # own length-delimited submessage
+    return b"".join(
+        _enc_len(1, enc_kv(k, enc_any_string(v))) for k, v in attrs.items()
+    )
+
+
+def enc_log_record(
+    *,
+    time_ns: int,
+    severity_number: int = 9,
+    severity_text: str = "INFO",
+    body: str = "",
+    attrs: dict[str, str] | None = None,
+    trace_id: bytes = b"",
+    span_id: bytes = b"",
+    observed_ns: int | None = None,
+) -> bytes:
+    out = _enc_fixed64(1, time_ns)
+    out += _tag(2, 0) + _enc_uvarint(severity_number)
+    out += _enc_len(3, severity_text.encode())
+    out += _enc_len(5, enc_any_string(body))
+    for k, v in (attrs or {}).items():
+        out += _enc_len(6, enc_kv(k, enc_any_string(v)))
+    if trace_id:
+        out += _enc_len(9, trace_id)
+    if span_id:
+        out += _enc_len(10, span_id)
+    if observed_ns is not None:
+        out += _enc_fixed64(11, observed_ns)
+    return out
+
+
+def enc_logs_request(
+    resource_attrs: dict[str, str],
+    records: list[bytes],
+    *,
+    scope_name: str = "test",
+    scope_version: str = "1",
+) -> bytes:
+    scope = _enc_len(1, scope_name.encode()) + _enc_len(2, scope_version.encode())
+    sl = _enc_len(1, scope) + b"".join(_enc_len(2, r) for r in records)
+    rl = _enc_len(1, enc_resource(resource_attrs)) + _enc_len(2, sl)
+    return _enc_len(1, rl)
+
+
+def enc_span(
+    *,
+    trace_id: bytes,
+    span_id: bytes,
+    parent_span_id: bytes = b"",
+    name: str,
+    kind: int = 2,
+    start_ns: int,
+    end_ns: int,
+    attrs: dict[str, str] | None = None,
+    status_code: int = 0,
+    status_message: str = "",
+) -> bytes:
+    out = _enc_len(1, trace_id) + _enc_len(2, span_id)
+    if parent_span_id:
+        out += _enc_len(4, parent_span_id)
+    out += _enc_len(5, name.encode())
+    out += _tag(6, 0) + _enc_uvarint(kind)
+    out += _enc_fixed64(7, start_ns) + _enc_fixed64(8, end_ns)
+    for k, v in (attrs or {}).items():
+        out += _enc_len(9, enc_kv(k, enc_any_string(v)))
+    status = _enc_len(2, status_message.encode()) + _tag(3, 0) + _enc_uvarint(
+        status_code
+    )
+    out += _enc_len(15, status)
+    return out
+
+
+def enc_traces_request(resource_attrs: dict[str, str], spans: list[bytes]) -> bytes:
+    ss = b"".join(_enc_len(2, s) for s in spans)
+    rs = _enc_len(1, enc_resource(resource_attrs)) + _enc_len(2, ss)
+    return _enc_len(1, rs)
+
+
+def enc_exemplar(
+    *,
+    time_ns: int,
+    value: float,
+    trace_id: bytes = b"",
+    span_id: bytes = b"",
+    attrs: dict[str, str] | None = None,
+) -> bytes:
+    out = _enc_fixed64(2, time_ns) + _enc_double(3, value)
+    if span_id:
+        out += _enc_len(4, span_id)
+    if trace_id:
+        out += _enc_len(5, trace_id)
+    for k, v in (attrs or {}).items():
+        out += _enc_len(7, enc_kv(k, enc_any_string(v)))
+    return out
+
+
+def enc_number_point(
+    *, time_ns: int, value: float | int, attrs: dict[str, str] | None = None,
+    as_int: bool = False, exemplars: list[bytes] = ()
+) -> bytes:
+    out = _enc_fixed64(3, time_ns)
+    if as_int:
+        out += _tag(6, 1) + struct.pack("<q", int(value))
+    else:
+        out += _enc_double(4, float(value))
+    for e in exemplars:
+        out += _enc_len(5, e)
+    for k, v in (attrs or {}).items():
+        out += _enc_len(7, enc_kv(k, enc_any_string(v)))
+    return out
+
+
+def enc_gauge_metric(name: str, unit: str, points: list[bytes]) -> bytes:
+    g = b"".join(_enc_len(1, p) for p in points)
+    return _enc_len(1, name.encode()) + _enc_len(3, unit.encode()) + _enc_len(5, g)
+
+
+def enc_sum_metric(
+    name: str, unit: str, points: list[bytes], *, monotonic: bool = True
+) -> bytes:
+    s = b"".join(_enc_len(1, p) for p in points)
+    s += _tag(2, 0) + _enc_uvarint(2)  # cumulative
+    s += _tag(3, 0) + _enc_uvarint(1 if monotonic else 0)
+    return _enc_len(1, name.encode()) + _enc_len(3, unit.encode()) + _enc_len(7, s)
+
+
+def enc_histogram_point(
+    *,
+    time_ns: int,
+    bucket_counts: list[int],
+    explicit_bounds: list[float],
+    sum_: float,
+    attrs: dict[str, str] | None = None,
+) -> bytes:
+    out = _enc_fixed64(3, time_ns)
+    out += _enc_fixed64(4, sum(bucket_counts))
+    out += _enc_double(5, sum_)
+    out += _enc_len(6, b"".join(struct.pack("<Q", c) for c in bucket_counts))
+    out += _enc_len(7, b"".join(struct.pack("<d", b) for b in explicit_bounds))
+    for k, v in (attrs or {}).items():
+        out += _enc_len(9, enc_kv(k, enc_any_string(v)))
+    return out
+
+
+def enc_histogram_metric(name: str, unit: str, points: list[bytes]) -> bytes:
+    h = b"".join(_enc_len(1, p) for p in points)
+    h += _tag(2, 0) + _enc_uvarint(2)
+    return _enc_len(1, name.encode()) + _enc_len(3, unit.encode()) + _enc_len(9, h)
+
+
+def enc_exp_histogram_point(
+    *,
+    time_ns: int,
+    count: int,
+    sum_: float,
+    scale: int,
+    zero_count: int,
+    positive_offset: int,
+    positive_counts: list[int],
+    attrs: dict[str, str] | None = None,
+) -> bytes:
+    out = b"".join(
+        _enc_len(1, enc_kv(k, enc_any_string(v))) for k, v in (attrs or {}).items()
+    )
+    out += _enc_fixed64(3, time_ns)
+    out += _enc_fixed64(4, count)
+    out += _enc_double(5, sum_)
+    out += _tag(6, 0) + _enc_uvarint(((scale << 1) ^ (scale >> 63)) & ((1 << 64) - 1))
+    out += _enc_fixed64(7, zero_count)
+    pos = _tag(1, 0) + _enc_uvarint(
+        ((positive_offset << 1) ^ (positive_offset >> 63)) & ((1 << 64) - 1)
+    )
+    pos += _enc_len(2, b"".join(_enc_uvarint(c) for c in positive_counts))
+    out += _enc_len(8, pos)
+    return out
+
+
+def enc_exp_histogram_metric(name: str, unit: str, points: list[bytes]) -> bytes:
+    h = b"".join(_enc_len(1, p) for p in points)
+    h += _tag(2, 0) + _enc_uvarint(2)
+    return _enc_len(1, name.encode()) + _enc_len(3, unit.encode()) + _enc_len(10, h)
+
+
+def enc_metrics_request(
+    resource_attrs: dict[str, str], metrics: list[bytes]
+) -> bytes:
+    sm = b"".join(_enc_len(2, m) for m in metrics)
+    rm = _enc_len(1, enc_resource(resource_attrs)) + _enc_len(2, sm)
+    return _enc_len(1, rm)

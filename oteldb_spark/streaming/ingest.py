@@ -54,6 +54,45 @@ def stream_logs_from_json(
     return writer.start()
 
 
+def stream_logs_from_pb(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """OTLP PROTOBUF request files → the same flattened,
+    date-partitioned log table (the reference's primary wire format,
+    otelreceiver/receiver.go:47-90).  ``binaryFile`` streams each
+    request body; the wire decode runs executor-side
+    (sources/otlp_pb.py) and feeds the SAME flattener as the JSON
+    path — the two encodings converge before the first write."""
+    from ..sources.otlp_pb import pb_logs
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("pathGlobFilter", "*.binpb")
+        .option("maxFilesPerTrigger", 64)
+        .load(input_dir)
+    )
+    flat = pb_logs(raw.select(F.col("content").alias("payload")))
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_dedup_exact(
     stream: DataFrame,
     key_cols: list[str],

@@ -29,12 +29,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # nanosAsLong must be set BEFORE the first read: a timestamp[ns]
+    # parquet column otherwise throws PARQUET_TYPE_ILLEGAL during
+    # schema inference (so a read-then-retry never runs).  The session
+    # factory sets it at build time; set it here too so externally
+    # created sessions behave identically.  Harmless for µs files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # Internal contract: events.ts is a ns-epoch LongType (the
         # reference keeps ns longs as the source of truth too, SURVEY
         # §1.4).  The driver has shipped the column both as
-        # timestamp[ns] (readable as a long via nanosAsLong) and as
+        # timestamp[ns] (arrives as bigint ns under nanosAsLong) and as
         # timestamp[us]; normalize whatever arrives to ns longs here so
         # every downstream plan sees one type.  Session tz is UTC, so
         # a naive parquet timestamp converts exactly like DuckDB's
@@ -46,9 +52,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
             )
-        elif ts_type != "bigint":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return df
 
 

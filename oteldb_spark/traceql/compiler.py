@@ -342,11 +342,33 @@ def compile_traceql_metrics(
 
     if isinstance(query, str):
         query = P.parse(query)
-    if not (query.stages and isinstance(query.stages[-1], P.MetricFn)):
+    fn_at = next(
+        (
+            i
+            for i, s in enumerate(query.stages)
+            if isinstance(s, (P.MetricFn, P.Compare))
+        ),
+        None,
+    )
+    if fn_at is None:
         raise SyntaxError("TraceQL: not a metrics query (no trailing fn)")
-    fn = query.stages[-1]
-    base = P.TraceQuery(query.root, query.stages[:-1])
+    fn = query.stages[fn_at]
+    second = query.stages[fn_at + 1 :]
+    base = P.TraceQuery(query.root, query.stages[:fn_at])
     spans = compile_traceql(base, source)
+
+    if isinstance(fn, P.Compare):
+        if second:
+            raise SyntaxError("TraceQL: compare() takes no second stage")
+        return _compile_compare(
+            fn,
+            spans,
+            source,
+            start_us=start_us,
+            end_us=end_us,
+            step_us=step_us,
+            range_us=range_us,
+        )
 
     def by_name(a) -> str:
         return a.name.replace(".", "_")
@@ -371,19 +393,146 @@ def compile_traceql_metrics(
         secs = (F.col("sample") / F.lit(1e6)).alias("__secs")
         fanned = fanned.withColumn("__secs", secs)
         bucket = F.expr(bucket_case_sql("__secs")).alias("bucket")
-        return fanned.groupBy(
+        out = fanned.groupBy(
             *[by_name(a) for a in fn.by], "step_us", bucket
         ).agg(F.count(F.lit(1)).cast("double").alias("value"))
-    return range_aggregate(
-        samples,
-        fn.name if fn.name != "rate" else "rate",
-        start_us=start_us,
-        end_us=end_us,
-        step_us=step_us,
-        range_us=range_us,
-        by=[by_name(a) for a in fn.by],
-        q=fn.q,
-        spark=spark,
+        labels = [by_name(a) for a in fn.by] + ["bucket"]
+    else:
+        out = range_aggregate(
+            samples,
+            fn.name if fn.name != "rate" else "rate",
+            start_us=start_us,
+            end_us=end_us,
+            step_us=step_us,
+            range_us=range_us,
+            by=[by_name(a) for a in fn.by],
+            q=fn.q,
+            spark=spark,
+        )
+        labels = [by_name(a) for a in fn.by]
+    return _apply_metrics_stages(out, second, labels)
+
+
+def _apply_metrics_stages(out: DataFrame, stages, labels: list[str]) -> DataFrame:
+    """Second-stage metrics ops on a (labels..., step_us, value) frame
+    (traceql/metrics_expr.go:112-145; the reference parses these and
+    501s).  topk/bottomk keep the k series with the highest/lowest
+    value PER STEP — a per-step window rank, ties broken by the label
+    columns for determinism."""
+    from pyspark.sql import Window
+
+    for st in stages:
+        if isinstance(st, P.TopK):
+            order = (
+                F.col("value").desc() if st.op == "topk" else F.col("value").asc()
+            )
+            w = Window.partitionBy("step_us").orderBy(
+                order, *[F.col(l) for l in labels]
+            )
+            out = (
+                out.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= st.limit)
+                .drop("__rk")
+            )
+        elif isinstance(st, P.MetricsFilter):
+            cmp = {
+                ">": F.col("value") > st.value,
+                ">=": F.col("value") >= st.value,
+                "<": F.col("value") < st.value,
+                "<=": F.col("value") <= st.value,
+                "=": F.col("value") == st.value,
+                "!=": F.col("value") != st.value,
+            }[st.op]
+            out = out.filter(cmp)
+        elif isinstance(st, P.MetricsScalarOp):
+            v = F.lit(st.value)
+            expr = {
+                "+": F.col("value") + v,
+                "-": F.col("value") - v,
+                "*": F.col("value") * v,
+                "/": F.col("value") / v,
+            }[st.op]
+            out = out.withColumn("value", expr)
+        else:
+            raise SyntaxError(f"TraceQL: unsupported metrics stage {st!r}")
+    return out
+
+
+def _compile_compare(
+    cmp,
+    spans: DataFrame,
+    source: SpanSource,
+    *,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+) -> DataFrame:
+    """``compare({selection}, topN[, start, end])`` — split the spans
+    into a selection (matching the filter, inside the optional ns
+    window) and a baseline (the rest), then emit per-step count series
+    for every (attribute, value) pair found on them, keeping the topN
+    values per (group, attribute) by total count
+    (metrics_expr.go:66-95; the reference parses + 501s).  Attribute
+    universe = the source's declared ``attr_cols`` (the flattened
+    analog of scanning decoded span attrs)."""
+    from pyspark.sql import Window
+
+    from ..operators.stepfanout import fanout
+
+    pred = (
+        _spanset_pred(source, cmp.filter)
+        if cmp.filter.expr is not None
+        else F.lit(True)
+    )
+    if cmp.start_ns and cmp.end_ns:
+        in_win = F.col(source.start_col).between(
+            cmp.start_ns // 1000, cmp.end_ns // 1000
+        )
+        pred = pred & in_win
+    group = F.when(pred, F.lit("selection")).otherwise(F.lit("baseline"))
+    # one row per (span, declared attribute): key/value pairs explode
+    # from a literal struct array — no shuffle, the fan-out is bounded
+    # by the attr map size
+    seen = set()
+    entries = []
+    for attr_name, col in sorted(source.attr_cols.items()):
+        if col in seen:
+            continue  # aliased spellings (service / service.name)
+        seen.add(col)
+        entries.append(
+            F.struct(
+                F.lit(attr_name).alias("key"),
+                F.col(col).cast("string").alias("val"),
+            )
+        )
+    e = spans.select(
+        group.alias("__group"),
+        F.col(source.start_col).alias("ts_us"),
+        F.explode(F.array(*entries)).alias("kv"),
+    ).select("__group", "ts_us", F.col("kv.key").alias("key"), F.col("kv.val").alias("val"))
+    fanned = fanout(
+        e.withColumn("sample", F.lit(1.0)), start_us, end_us, step_us, range_us
+    )
+    counts = fanned.groupBy("__group", "key", "val", "step_us").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    )
+    totals = counts.groupBy("__group", "key", "val").agg(
+        F.sum("value").alias("__tot")
+    )
+    w = Window.partitionBy("__group", "key").orderBy(
+        F.col("__tot").desc(), F.col("val")
+    )
+    keep = (
+        totals.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cmp.top_n)
+        .select("__group", "key", "val")
+    )
+    return (
+        counts.join(keep, ["__group", "key", "val"], "left_semi")
+        .select(
+            F.col("__group").alias("meta_type"), "key", "val", "step_us", "value"
+        )
     )
 
 

@@ -120,6 +120,43 @@ METRIC_FNS = {
 
 
 @dataclass
+class TopK:
+    # second-stage | topk(n) / bottomk(n): keep only the n series with
+    # the highest/lowest value per step (traceql/op.go:398-419
+    # MetricsStageOp + metrics_expr.go:123-129 TopKOperation —
+    # parse-only in the reference)
+    op: str  # "topk" | "bottomk"
+    limit: int
+
+
+@dataclass
+class MetricsFilter:
+    # second-stage | > 0.5 — drops series points not matching
+    # (metrics_expr.go:131-135)
+    op: str
+    value: float
+
+
+@dataclass
+class MetricsScalarOp:
+    # second-stage | * 2 — constant arithmetic on every point
+    # (metrics_expr.go:137-145)
+    op: str
+    value: float
+
+
+@dataclass
+class Compare:
+    # compare({selection}, topN[, start, end]) — selection-vs-baseline
+    # attribute series (metrics_expr.go:66-95 CompareOperation;
+    # parse-only in the reference)
+    filter: object  # Spanset
+    top_n: int = 10
+    start_ns: int = 0
+    end_ns: int = 0
+
+
+@dataclass
 class TraceQuery:
     root: object
     stages: list[object] = field(default_factory=list)
@@ -275,6 +312,31 @@ class Parser:
 
     def parse_stage(self):
         t = self.next()
+        if t.text in ("topk", "bottomk"):
+            self.expect("(")
+            n = int(float(self.next().text))
+            self.expect(")")
+            return TopK(t.text, n)
+        if t.text == "compare":
+            self.expect("(")
+            filt = self.parse_spanset()
+            top_n, start_ns, end_ns = 10, 0, 0
+            if self.accept(","):
+                top_n = int(float(self.next().text))
+            if self.accept(","):
+                start_ns = int(float(self.next().text))
+                self.expect(",")
+                end_ns = int(float(self.next().text))
+            self.expect(")")
+            return Compare(filt, top_n, start_ns, end_ns)
+        if t.text in (">", ">=", "<", "<=", "=", "!="):
+            v = self.next()
+            value = (
+                duration_to_us(v.text) if v.kind == "duration" else float(v.text)
+            )
+            return MetricsFilter(t.text, value)
+        if t.text in ("+", "-", "*", "/"):
+            return MetricsScalarOp(t.text, float(self.next().text))
         if t.text == "select":
             self.expect("(")
             attrs = []

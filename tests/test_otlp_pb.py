@@ -1,0 +1,151 @@
+"""OTLP protobuf wire decode (sources/otlp_pb.py): pure-python
+round-trips for every AnyValue kind and the three request shapes,
+plus Spark-path flattening and the arbitrary-scale exponential
+histogram operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oteldb_spark.sources import otlp_pb as pb
+
+
+def test_any_value_kinds_roundtrip():
+    cases = [
+        (pb.enc_any_string("x"), {"stringValue": "x"}),
+        (pb.enc_any_int(-5), {"intValue": "-5"}),
+        (pb.enc_any_int(7), {"intValue": "7"}),
+        (pb.enc_any_double(1.5), {"doubleValue": 1.5}),
+        (pb._tag(2, 0) + pb._enc_uvarint(1), {"boolValue": True}),
+        (pb._enc_len(7, b"\x01\xff"), {"bytesValue": "01ff"}),
+    ]
+    for enc, want in cases:
+        assert pb.decode_any_value(enc) == want
+    # nested array + kvlist
+    arr = pb._enc_len(
+        5, pb._enc_len(1, pb.enc_any_string("a")) + pb._enc_len(1, pb.enc_any_int(2))
+    )
+    assert pb.decode_any_value(arr) == {
+        "arrayValue": {"values": [{"stringValue": "a"}, {"intValue": "2"}]}
+    }
+    kvl = pb._enc_len(6, pb._enc_len(1, pb.enc_kv("k", pb.enc_any_string("v"))))
+    assert pb.decode_any_value(kvl) == {
+        "kvlistValue": {"values": [{"key": "k", "value": {"stringValue": "v"}}]}
+    }
+
+
+def test_logs_request_roundtrip():
+    rec = pb.enc_log_record(
+        time_ns=123,
+        severity_number=17,
+        severity_text="ERROR",
+        body="boom",
+        attrs={"a": "1"},
+        trace_id=(255).to_bytes(16, "big"),
+        span_id=(7).to_bytes(8, "big"),
+        observed_ns=124,
+    )
+    req = pb.enc_logs_request({"service.name": "s"}, [rec], scope_name="sc")
+    got = pb.decode_logs_request(req)
+    rl = got["resourceLogs"][0]
+    assert rl["resource"]["attributes"][0]["key"] == "service.name"
+    sl = rl["scopeLogs"][0]
+    assert sl["scope"]["name"] == "sc"
+    r = sl["logRecords"][0]
+    assert r["timeUnixNano"] == "123" and r["observedTimeUnixNano"] == "124"
+    assert r["traceId"].endswith("ff") and len(r["traceId"]) == 32
+    assert r["body"] == {"stringValue": "boom"}
+
+
+def test_traces_and_metrics_roundtrip():
+    span = pb.enc_span(
+        trace_id=(1).to_bytes(16, "big"),
+        span_id=(2).to_bytes(8, "big"),
+        parent_span_id=(3).to_bytes(8, "big"),
+        name="op",
+        kind=3,
+        start_ns=10,
+        end_ns=25,
+        attrs={"k": "v"},
+        status_code=2,
+        status_message="bad",
+    )
+    t = pb.decode_traces_request(pb.enc_traces_request({}, [span]))
+    s = t["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+    assert (s["name"], s["kind"], s["status"]["code"]) == ("op", 3, 2)
+    assert s["startTimeUnixNano"] == "10" and s["endTimeUnixNano"] == "25"
+
+    m = pb.decode_metrics_request(
+        pb.enc_metrics_request(
+            {},
+            [
+                pb.enc_sum_metric(
+                    "c_total",
+                    "1",
+                    [pb.enc_number_point(time_ns=5, value=2.5)],
+                ),
+                pb.enc_gauge_metric(
+                    "g", "", [pb.enc_number_point(time_ns=6, value=4, as_int=True)]
+                ),
+                pb.enc_histogram_metric(
+                    "h",
+                    "s",
+                    [
+                        pb.enc_histogram_point(
+                            time_ns=7,
+                            bucket_counts=[1, 2, 3],
+                            explicit_bounds=[0.5, 1.0],
+                            sum_=9.0,
+                        )
+                    ],
+                ),
+            ],
+        )
+    )
+    metrics = m["resourceMetrics"][0]["scopeMetrics"][0]["metrics"]
+    assert metrics[0]["sum"]["isMonotonic"] is True
+    assert metrics[0]["sum"]["dataPoints"][0]["asDouble"] == 2.5
+    assert metrics[1]["gauge"]["dataPoints"][0]["asInt"] == "4"
+    hp = metrics[2]["histogram"]["dataPoints"][0]
+    assert hp["bucketCounts"] == ["1", "2", "3"]
+    assert hp["explicitBounds"] == [0.5, 1.0] and hp["count"] == "6"
+
+
+def test_exp_histogram_operators(spark):
+    # scale 0, buckets idx 0:(1,2] ×4, idx 1:(2,4] ×4, zero_count 2
+    point = pb.enc_exp_histogram_point(
+        time_ns=1,
+        count=10,
+        sum_=20.0,
+        scale=0,
+        zero_count=2,
+        positive_offset=0,
+        positive_counts=[4, 4],
+        attrs={"g": "a"},
+    )
+    req = pb.enc_metrics_request(
+        {}, [pb.enc_exp_histogram_metric("m", "", [point])]
+    )
+    payloads = spark.createDataFrame([(req,)], "payload binary")
+    state = pb.pb_exp_histograms(payloads)
+    row = state.collect()[0]
+    assert row.scale == 0 and row.zero_count == 2
+    assert row.positive_counts == [4, 4]
+
+    from oteldb_spark.operators.exp_histogram import (
+        explode_exp_buckets,
+        exp_histogram_fraction,
+        exp_histogram_quantile,
+    )
+
+    b = explode_exp_buckets(state.withColumn("g", F.lit("a")), ["g"])
+    rows = {r.idx: r for r in b.collect()}
+    assert rows[0].lower == 1.0 and rows[0].upper == 2.0
+    assert rows[1].lower == 2.0 and rows[1].upper == 4.0
+    # median: rank 5 → 3 into bucket 0 (cum 2+4=6 ≥ 5):
+    # 1 + (2-1)·(5-2)/4 = 1.75
+    med = exp_histogram_quantile(b, 0.5, ["g"]).collect()[0]
+    assert abs(med.value - 1.75) < 1e-12
+    # fraction in [1, 2]: bucket 0 fully, bucket 1 none → 4/10
+    fr = exp_histogram_fraction(b, 1.0, 2.0, ["g"]).collect()[0]
+    assert abs(fr.value - 0.4) < 1e-12

@@ -109,6 +109,39 @@ def test_safety_lag_keeps_recent_steps_out(spark, tmp_path):
     assert cache.stats.partial_hits == 1
 
 
+def test_safety_lag_truncated_head_gap_not_claimed(spark, tmp_path):
+    """A head gap truncated by the safety-lag cutoff must NOT extend
+    the watermark: persisting [s, cutoff] while claiming [s, hi] would
+    leave steps (cutoff, old_lo) covered-but-empty, and later queries
+    would silently return incomplete results."""
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"), safety_lag_us=2 * STEP)
+    compute = _compute_factory(spark, calls)
+
+    # first call persists [7, 8] with meta.lo above the later cutoff
+    cache.query_range(
+        spark, "q", T0 + 7 * STEP, T0 + 8 * STEP, STEP, compute
+    )  # now_us=None: everything persists
+    # head-gap query [0, 8] with now placing the cutoff at step 5:
+    # gap [0, 6] truncates to [0, 5], which is NOT contiguous with 7
+    now = T0 + 7 * STEP
+    out = cache.query_range(
+        spark, "q", T0, T0 + 8 * STEP, STEP, compute, now_us=now
+    )
+    assert _steps(out) == [T0 + i * STEP for i in range(9)]  # full return
+    assert cache.stats.skipped_inserts == 1
+
+    # the head steps were not persisted: re-query recomputes the gap,
+    # and every returned step actually has data (no silent hole)
+    out2 = cache.query_range(
+        spark, "q", T0, T0 + 8 * STEP, STEP, compute, now_us=now
+    )
+    assert _steps(out2) == [T0 + i * STEP for i in range(9)]
+    assert calls[-1] == (T0, T0 + 6 * STEP)  # recomputed, not claimed
+    vals = {r.step_us: r.value for r in out2.collect()}
+    assert all(vals[T0 + i * STEP] == float(i) for i in range(9))
+
+
 def test_different_key_and_alignment_are_separate_entries(spark, tmp_path):
     calls = []
     cache = StepResultCache(str(tmp_path / "rc"))

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from oteldb_spark.operators.structural import descendants, nested_sets
+from oteldb_spark.operators.structural import (
+    ancestors_of,
+    descendants,
+    nested_sets,
+)
 
 
 def _tree(spark):
@@ -56,3 +60,35 @@ def test_nested_sets_descendant_equivalence(spark):
         if t == 1 and l2 < l <= r2 and (t, s) != (1, 2)
     }
     assert ns_desc == got
+
+
+def _deep_chain(spark, depth: int):
+    # trace 1: a single chain 1 -> 2 -> ... -> depth
+    rows = [(1, 1, None)] + [(1, i, i - 1) for i in range(2, depth + 1)]
+    return spark.createDataFrame(
+        rows, "trace_id long, span_id long, parent_span_id long"
+    )
+
+
+def test_descendants_deep_chain_no_truncation(spark):
+    """A 12-level chain must fully resolve: {root} >> {leaf} returns
+    the leaf (the old depth-8 default silently dropped it)."""
+    depth = 12
+    spans = _deep_chain(spark, depth)
+    desc = descendants(spans, F.col("span_id") == 1, F.col("span_id") == depth)
+    assert {r.span_id for r in desc.collect()} == {depth}
+    # and the upward mirror: {leaf} << {root} returns the root
+    anc = ancestors_of(spans, F.col("span_id") == depth, F.col("span_id") == 1)
+    assert {r.span_id for r in anc.collect()} == {1}
+
+
+def test_nested_sets_deep_chain(spark):
+    depth = 12
+    spans = _deep_chain(spark, depth)
+    ns = nested_sets(spans).collect()
+    assert len(ns) == depth
+    by_id = {r.span_id: (r.ns_left, r.ns_right) for r in ns}
+    # root subtree must cover the leaf
+    l1, r1 = by_id[1]
+    ld, _ = by_id[depth]
+    assert l1 < ld <= r1
