@@ -23,6 +23,13 @@ class ResultTooLargeError(RuntimeError):
     (ErrLogsTooManySamples / ErrTooManyRowsOrBytes analog)."""
 
 
+def display_label(col: str) -> str:
+    """Wire name for a label column: columns that would collide with
+    the sample columns (a ``count_values("value", ...)`` label) are
+    stored prefixed and stripped here."""
+    return col[7:] if col.startswith("__lbl__") else col
+
+
 def bounded_collect(df: DataFrame, max_rows: int | None):
     """Collect with limit+1 truncation detection, never unbounded."""
     if max_rows is None:
@@ -60,7 +67,7 @@ def loki_matrix(df: DataFrame, label_cols: list[str],
     [unix_seconds, "value"] sample pairs ordered by step."""
     series: dict[tuple, list] = defaultdict(list)
     for r in bounded_collect(df, max_rows):
-        key = tuple((c, r[c]) for c in label_cols)
+        key = tuple((display_label(c), r[c]) for c in label_cols)
         series[key].append((r["step_us"] / 1e6, str(r["value"])))
     return {
         "status": "success",
@@ -92,7 +99,7 @@ def prom_vector(df: DataFrame, label_cols: list[str], ts_s: float,
             "resultType": "vector",
             "result": [
                 {
-                    "metric": {c: r[c] for c in label_cols},
+                    "metric": {display_label(c): r[c] for c in label_cols},
                     "value": [ts_s, str(r["value"])],
                 }
                 for r in bounded_collect(df, max_rows)

@@ -26,6 +26,7 @@ from .api.serializers import (
     prom_matrix,
     tempo_search,
 )
+from .functions import anchored_rlike
 from .logql import EvalParams, LogSource, compile_logql
 from .promql import MetricSource, PromParams, compile_promql
 from .traceql import SpanSource, compile_traceql
@@ -142,8 +143,8 @@ class LogQLEngine:
                     {
                         "=": c == m.value,
                         "!=": c != m.value,
-                        "=~": c.rlike(m.value),
-                        "!~": ~c.rlike(m.value),
+                        "=~": anchored_rlike(c, m.value),
+                        "!~": ~anchored_rlike(c, m.value),
                     }[m.op]
                 )
         out = df.select(
@@ -387,9 +388,9 @@ class PromQLEngine:
                 elif m.op == "!=":
                     df = df.filter(c != m.value)
                 elif m.op == "=~":
-                    df = df.filter(c.rlike(m.value))
+                    df = df.filter(anchored_rlike(c, m.value))
                 else:
-                    df = df.filter(~c.rlike(m.value))
+                    df = df.filter(~anchored_rlike(c, m.value))
         from collections import defaultdict
 
         series: dict[tuple, list] = defaultdict(list)
@@ -435,8 +436,8 @@ class PromQLEngine:
                     {
                         "=": c == m.value,
                         "!=": c != m.value,
-                        "=~": c.rlike(m.value),
-                        "!~": ~c.rlike(m.value),
+                        "=~": anchored_rlike(c, m.value),
+                        "!~": ~anchored_rlike(c, m.value),
                     }[m.op]
                 )
         df = df.select(*self.source.label_cols).distinct()

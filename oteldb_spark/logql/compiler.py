@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import anchored_rlike
 from ..functions.parsers import (
     decolorize,
     ip_in_cidr,
@@ -113,8 +114,8 @@ def _matcher_pred(env: _Env, m: ast.LabelMatcher) -> Column:
     if m.op == "!=":
         return c != m.value
     if m.op == "=~":
-        return c.rlike(m.value)
-    return ~c.rlike(m.value)
+        return anchored_rlike(c, m.value)
+    return ~anchored_rlike(c, m.value)
 
 
 def _line_filter_pred(env: _Env, f: ast.LineFilter) -> Column:
@@ -155,9 +156,9 @@ def _label_pred(env: _Env, p: ast.LabelPredicate) -> Column:
         if p.op == "!=":
             return c != p.value
         if p.op == "=~":
-            return c.rlike(p.value)
+            return anchored_rlike(c, p.value)
         if p.op == "!~":
-            return ~c.rlike(p.value)
+            return ~anchored_rlike(c, p.value)
         raise SyntaxError(f"LogQL: bad string op {p.op}")
     if p.vtype == "ip":
         if "/" in p.value:
@@ -515,8 +516,15 @@ def compile_logql(
     if isinstance(expr, ast.LabelReplace):
         inner = compile_logql(expr.expr, source, params, spark)
         src = F.col(expr.src) if expr.src in inner.columns else F.lit("")
-        # Go regexp uses $1 referencing; Spark too
-        dst = F.regexp_replace(src, expr.regex, expr.replacement)
+        existing = F.col(expr.dst) if expr.dst in inner.columns else F.lit("")
+        # Loki mirrors PromQL label_replace: the replacement applies
+        # only on a FULL-regex match (Go regexp uses $1 referencing;
+        # Spark too); a non-match keeps dst untouched
+        anchored = f"^(?:{expr.regex})$"
+        dst = F.when(
+            src.rlike(anchored),
+            F.regexp_replace(src, anchored, expr.replacement),
+        ).otherwise(existing)
         return inner.withColumn(expr.dst, dst)
 
     raise SyntaxError(f"LogQL: cannot compile {expr!r}")

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import anchored_rlike
 from ..operators.binop import scalar_binop, vector_binop
 from ..operators.range_agg import range_aggregate
 from ..operators.rate import rate_family
@@ -113,7 +114,51 @@ DATE_FUNCS = {
 
 
 def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame:
-    if sel.name is None or sel.name not in source.metrics:
+    if sel.name is None:
+        # name-less selector ({__name__=~"..."} / {label="..."}):
+        # union the per-metric frames that satisfy the __name__
+        # matchers, tagging each with a __name__ label column so
+        # series from different metrics stay distinct downstream
+        # (Prometheus selects across ALL metrics here)
+        import re as _re
+
+        from dataclasses import replace as _dc_replace
+
+        name_ms = [m for m in sel.matchers if m.name == "__name__"]
+        rest = [m for m in sel.matchers if m.name != "__name__"]
+
+        def _name_ok(name: str) -> bool:
+            for m in name_ms:
+                if m.op == "!=":
+                    if name == m.value:
+                        return False
+                elif m.op in ("=~", "!~"):
+                    hit = _re.fullmatch(m.value, name) is not None
+                    if hit == (m.op == "!~"):
+                        return False
+            return True
+
+        frames = [
+            _selector_points(
+                _dc_replace(sel, name=name, matchers=rest), source
+            ).withColumn("__name__", F.lit(name))
+            for name in sorted(source.metrics)
+            if _name_ok(name)
+        ]
+        if not frames:
+            return source.df.filter(F.lit(False)).select(
+                *source.label_cols,
+                F.lit("").alias("__name__"),
+                F.col(source.ts_col).alias("ts_us"),
+                F.lit(0.0).cast("double").alias("sample"),
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.select(
+            *source.label_cols, "__name__", "ts_us", "sample"
+        )
+    if sel.name not in source.metrics:
         # unknown metric → empty instant/range vector, not an error
         # (Prometheus returns no series for a name with no samples)
         return source.df.filter(F.lit(False)).select(
@@ -131,9 +176,9 @@ def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame
         elif m.op == "!=":
             df = df.filter(c != m.value)
         elif m.op == "=~":
-            df = df.filter(c.rlike(m.value))
+            df = df.filter(anchored_rlike(c, m.value))
         else:
-            df = df.filter(~c.rlike(m.value))
+            df = df.filter(~anchored_rlike(c, m.value))
     vcol = source.metrics[sel.name]
     ts = F.col(source.ts_col)
     if sel.offset_us:
@@ -163,7 +208,7 @@ def _instant_vector(
             end_us=at_us,
             step_us=params.step_us,
             range_us=params.lookback_us,
-            by=source.label_cols,
+            by=[c for c in pts.columns if c not in ("ts_us", "sample")],
         ).drop("step_us")
         from .compiler import PromParams as _PP  # noqa: F401
         from ..operators.stepfanout import step_spine
@@ -179,7 +224,7 @@ def _instant_vector(
         end_us=params.end_us,
         step_us=params.step_us,
         range_us=params.lookback_us,
-        by=source.label_cols,
+        by=[c for c in pts.columns if c not in ("ts_us", "sample")],
     )
 
 
@@ -198,6 +243,22 @@ def compile_promql(
 
 def _labels_of(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in ("step_us", "value")]
+
+
+def _is_scalar_expr(e) -> bool:
+    """Static type of the expression: True when it evaluates to a
+    scalar (Prometheus type checking) — a 0-label VECTOR (e.g.
+    ``sum(x)``) is NOT a scalar, so this walks the AST rather than
+    sniffing columns."""
+    if isinstance(e, ast.Literal):
+        return True
+    if isinstance(e, ast.FuncCall):
+        if e.name in ("time", "scalar", "pi"):
+            return True
+        return False
+    if isinstance(e, ast.BinOp):
+        return _is_scalar_expr(e.lhs) and _is_scalar_expr(e.rhs)
+    return False
 
 
 def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame:
@@ -228,10 +289,33 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
         else:
             by = []
         if expr.op == "count_values":
+            import re as _re
+
             dst = expr.q  # the label name argument
+            if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst or ""):
+                raise ValueError(
+                    f"PromQL: invalid count_values label name {dst!r}"
+                )
+            # a label literally named "value"/"step_us" would collide
+            # with the sample columns; store it prefixed — the wire
+            # serializers strip the prefix for display
+            out_dst = dst if dst not in ("value", "step_us") else f"__lbl__{dst}"
+            v = F.col("value")
+            # Go strconv.FormatFloat(v, 'f', -1, 64): integral doubles
+            # print without a fraction ("40", not "40.0")
+            fmt = (
+                F.when(F.isnan(v), F.lit("NaN"))
+                .when(v == F.lit(float("inf")), F.lit("+Inf"))
+                .when(v == F.lit(float("-inf")), F.lit("-Inf"))
+                .when(
+                    (v == F.floor(v)) & (F.abs(v) < 1e15),
+                    v.cast("long").cast("string"),
+                )
+                .otherwise(v.cast("string"))
+            )
             return (
-                inner.withColumn(dst, F.col("value").cast("string"))
-                .groupBy(*by, dst, "step_us")
+                inner.withColumn(out_dst, fmt)
+                .groupBy(*by, out_dst, "step_us")
                 .agg(F.count(F.lit(1)).cast("double").alias("value"))
             )
         return vector_aggregate(
@@ -253,31 +337,84 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
                 vec, expr.op, (expr.lhs if lty else expr.rhs).value,
                 scalar_on_left=lty, bool_mode=expr.bool_mode,
             )
+        lscalar = _is_scalar_expr(expr.lhs)
+        rscalar = _is_scalar_expr(expr.rhs)
         lhs = _compile(expr.lhs, source, params, spark)
         rhs = _compile(expr.rhs, source, params, spark)
+        if lscalar != rscalar and expr.op not in ("and", "or", "unless"):
+            # vector ⊗ dynamic scalar (time(), parenthesised literal
+            # arithmetic, scalar(...)): vector labels survive
+            from ..operators.binop import scalar_frame_binop
+
+            vec, scal = (rhs, lhs) if lscalar else (lhs, rhs)
+            return scalar_frame_binop(
+                vec, scal, expr.op,
+                scalar_on_left=lscalar, bool_mode=expr.bool_mode,
+            )
+        if lscalar and rscalar and expr.op in (
+            "==", "!=", ">", "<", ">=", "<="
+        ) and not expr.bool_mode:
+            raise ValueError(
+                "PromQL: comparisons between scalars must use bool"
+            )
         llabels, rlabels = _labels_of(lhs), _labels_of(rhs)
         if expr.on is not None:
             # on-labels absent from both sides are "" == "" everywhere
-            # (Prometheus: absent label matches absent label), so they
-            # drop out of the join keys
-            on = [l for l in expr.on if l in llabels and l in rlabels]
+            # (Prometheus: absent label matches absent label); the
+            # join pads missing columns with ""
+            on = list(dict.fromkeys(expr.on))
         elif expr.ignoring is not None:
-            on = [l for l in llabels if l not in expr.ignoring and l in rlabels]
+            on = [
+                l for l in dict.fromkeys(llabels + rlabels)
+                if l not in expr.ignoring
+            ]
         else:
-            on = [l for l in llabels if l in rlabels]
+            # default matching: the FULL label set on both sides (an
+            # lhs-only label matches only an absent=="" rhs label)
+            on = list(dict.fromkeys(llabels + rlabels))
         carry = None
-        if expr.group_left is not None or set(llabels) != set(on):
+        include = None
+        reverse = False
+        if expr.group_left is not None or expr.group_right is not None:
+            if expr.group_right is not None:
+                # many side is the right: swap frames (value operand
+                # order restored inside vector_binop via reverse=True)
+                lhs, rhs = rhs, lhs
+                llabels, rlabels = rlabels, llabels
+                include = expr.group_right
+                reverse = True
+            else:
+                include = expr.group_left
             carry = [l for l in llabels if l not in on]
         return vector_binop(
             lhs, rhs, expr.op, on=on, bool_mode=expr.bool_mode,
-            group_left_labels=carry,
+            group_left_labels=carry, include_right=include, reverse=reverse,
         )
 
     if isinstance(expr, ast.LabelReplace):
+        import re as _re
+
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", expr.dst or ""):
+            raise ValueError(
+                f"PromQL: invalid label_replace destination {expr.dst!r}"
+            )
+        try:
+            _re.compile(expr.regex)
+        except _re.error as ex:
+            raise ValueError(f"PromQL: invalid label_replace regex: {ex}")
         inner = _compile(expr.expr, source, params, spark)
         src = F.col(expr.src) if expr.src in inner.columns else F.lit("")
+        existing = (
+            F.col(expr.dst) if expr.dst in inner.columns else F.lit("")
+        )
+        # replacement applies only on a FULL-regex match
+        # (functions.go funcLabelReplace); an empty expansion removes
+        # the label (here: "" ≡ absent); a non-match keeps dst as-is
+        anchored = f"^(?:{expr.regex})$"
+        replaced = F.regexp_replace(src, anchored, expr.replacement)
         return inner.withColumn(
-            expr.dst, F.regexp_replace(src, expr.regex, expr.replacement)
+            expr.dst,
+            F.when(src.rlike(anchored), replaced).otherwise(existing),
         )
 
     raise SyntaxError(f"PromQL: cannot compile {expr!r}")
@@ -326,7 +463,7 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             raise SyntaxError(f"PromQL: {name}() needs a range vector")
         pts = _selector_points(sel, source)
         kw = dict(
-            series=source.label_cols,
+            series=[c for c in pts.columns if c not in ("ts_us", "sample")],
             value_col="sample",
             start_us=params.start_us,
             end_us=params.end_us,
@@ -366,7 +503,11 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
                 samples, params.start_us, params.end_us, params.step_us, rng
             )
             return (
-                fanned.select(*source.label_cols, "step_us")
+                fanned.select(
+                    *[c for c in samples.columns
+                      if c not in ("ts_us", "sample")],
+                    "step_us",
+                )
                 .distinct()
                 .withColumn("value", F.lit(1.0))
             )
@@ -398,6 +539,9 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         v = F.col("value")
         if name == "clamp":
             lo, hi = fc.args[1].value, fc.args[2].value
+            if lo > hi:
+                # functions.go funcClamp: min > max → empty vector
+                return inner.filter(F.lit(False))
             v = F.greatest(F.least(v, F.lit(hi)), F.lit(lo))
         elif name == "clamp_min":
             v = F.greatest(v, F.lit(fc.args[1].value))
@@ -579,8 +723,14 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         )
 
     if name == "label_join":
-        inner = _compile(fc.args[0], source, params, spark)
+        import re as _re
+
         dst, sep, *srcs = fc.args[1:]
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst or ""):
+            raise ValueError(
+                f"PromQL: invalid label_join destination {dst!r}"
+            )
+        inner = _compile(fc.args[0], source, params, spark)
         cols = [F.col(s) if s in inner.columns else F.lit("") for s in srcs]
         return inner.withColumn(dst, F.concat_ws(sep, *cols))
 
@@ -747,9 +897,9 @@ def _compile_hist_exp_state(
         elif m.op == "!=":
             df = df.filter(c != m.value)
         elif m.op == "=~":
-            df = df.filter(c.rlike(m.value))
+            df = df.filter(anchored_rlike(c, m.value))
         else:
-            df = df.filter(~c.rlike(m.value))
+            df = df.filter(~anchored_rlike(c, m.value))
     ts = F.col("ts_us")
     if sel.offset_us:
         ts = ts + F.lit(sel.offset_us)

@@ -250,9 +250,11 @@ register(
             RANGE_US,
         )
         + " s GROUP BY mtype, instance, step_us)",
-        body="""SELECT CAST(value AS VARCHAR) AS n, step_us,
+        body="""SELECT CASE WHEN value = floor(value) AND abs(value) < 1e15
+            THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+            ELSE CAST(value AS VARCHAR) END AS n, step_us,
        CAST(count(*) AS DOUBLE) AS value
-FROM per_series GROUP BY CAST(value AS VARCHAR), step_us""",
+FROM per_series GROUP BY 1, step_us""",
     ),
 )(
     lambda spark, sf_dir: compile_promql(

@@ -1,0 +1,383 @@
+"""Training-data pipeline operators, round 3: PII redaction,
+cross-document repeated-substring detection (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better" — the
+token-window variant), HyperLogLog distinct sketches, bigram-LM
+cross-entropy quality scoring, deterministic domain-balanced
+sampling, and char-trigram language identification.
+
+Every gate is deterministic end-to-end (md5-derived hashes, integer
+or quantized-integer aggregation) so the DuckDB oracle replays exact
+values, not approximations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.hll import hll_estimate, hll_oracle_sql, hll_registers
+from ..tables import load
+from .registry import register
+
+# --------------------------------------------------------------- PII redact
+
+# Deterministic synthetic PII is injected per doc (the corpus itself is
+# clean), then detected and redacted — the gate validates the scrubber
+# machinery; both engines build identical dirty text.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+_DIRTY_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.7 call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
+@register(
+    "pii_redact",
+    f"""WITH dirty AS (
+  SELECT doc_id, {_DIRTY_SQL} AS t FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+         CAST(length(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ip,
+         CAST(length(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IP_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM dirty
+)
+SELECT doc_id, n_email, n_ip, n_phone, md5(redacted) AS red_hash
+FROM red""",
+)
+def pii_redact(spark, sf_dir):
+    """Regex PII scrub: detect counts + redact in place.  Pure
+    column expressions — whole-stage codegen, no UDFs, trivially
+    scan-parallel at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', cast(doc_id as string),"
+            " '@mail.example.com from 10.0.',"
+            " cast(doc_id % 200 as string), '.7 call 555-01',"
+            " lpad(cast(doc_id % 100 as string), 2, '0'))"
+        ).alias("t"),
+    )
+    t = F.col("t")
+    red = (
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"),
+                _IP_RE, "<IP>",
+            ),
+            _PHONE_RE, "<PHONE>",
+        )
+    )
+    return dirty.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_IP_RE), F.lit(0)))
+        .cast("long").alias("n_ip"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phone"),
+        F.md5(red).alias("red_hash"),
+    )
+
+
+# ------------------------------------------------- repeated token windows
+
+# Lee et al. exact-substring dedup, token-window form: every K-token
+# window is hashed; windows occurring in ≥2 distinct docs mark
+# duplicated spans.  Linear in total tokens (each token enters K
+# windows), one shuffle on window hash — the 100 TB shape (the
+# suffix-array construction in the paper is the single-machine
+# equivalent; window hashing is how it distributes).
+_K = 8
+
+
+@register(
+    "dedup_repeated_windows",
+    f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, md5(array_to_string(tk[i:i+{_K - 1}], ' ')) AS h
+  FROM t, UNNEST(CASE WHEN len(tk) < {_K} THEN CAST([] AS BIGINT[])
+                 ELSE range(1, len(tk) - {_K - 2}) END) AS u(i)
+),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT w.doc_id,
+         count(*) AS n_win,
+         count(*) FILTER (WHERE dup.h IS NOT NULL) AS n_dup
+  FROM w LEFT JOIN dup ON w.h = dup.h
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_win, 0) AS BIGINT) AS n_win,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup
+FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""",
+)
+def dedup_repeated_windows(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) < {_K}"
+                f" THEN array()"
+                f" ELSE transform(sequence(0, size(split(text, ' ')) - {_K}),"
+                f"      i -> array_join(slice(split(text, ' '), i + 1, {_K}), ' '))"
+                f" END"
+            )
+        ).alias("win"),
+    ).select("doc_id", F.md5("win").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        wins.join(dup.withColumn("_d", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.count("_d").alias("n_dup"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_win", F.lit(0)).cast("long").alias("n_win"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+    )
+
+
+# --------------------------------------------------------- HyperLogLog
+
+_HLL_REGS, _HLL_EST = hll_oracle_sql(
+    "events", "user_id", ["event_type"]
+)
+
+
+@register("sketch_hll_registers", _HLL_REGS)
+def sketch_hll_registers(spark, sf_dir):
+    """Distinct users per event type — the register state itself
+    (bucket → max rank), the mergeable 100 TB distinct structure."""
+    ev = load(spark, sf_dir, "events")
+    return hll_registers(ev, "user_id", ["event_type"])
+
+
+@register("sketch_hll_estimate", _HLL_EST)
+def sketch_hll_estimate(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"])
+    return hll_estimate(regs, ["event_type"])
+
+
+# ------------------------------------------------- bigram LM cross-entropy
+
+# Add-one–smoothed bigram LM trained on the corpus itself; each doc is
+# scored with its total cross-entropy in µbits (quantized per-bigram to
+# exact BIGINTs so the distributed sum is order-independent).  The
+# classic LM-based quality filter (CCNet uses a KenLM 5-gram; the
+# Spark shape — broadcast counts, join, integer fold — is the same).
+
+
+@register(
+    "text_bigram_xent",
+    """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+bi AS (
+  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+  FROM t, UNNEST(CASE WHEN len(tk) < 2 THEN CAST([] AS BIGINT[])
+                 ELSE range(1, len(tk)) END) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v FROM (
+        SELECT unnest(tk) AS w FROM t)),
+scored AS (
+  SELECT bi.doc_id,
+         CAST(round(-log2((c2.c + 1.0) / (c1.c + v.v)) * 1000000)
+              AS BIGINT) AS q
+  FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+         JOIN c1 ON bi.w1 = c1.w1
+         CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q) AS BIGINT) AS xent_micro
+FROM scored GROUP BY doc_id""",
+)
+def text_bigram_xent(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(split(text, ' ')) - 2),"
+                "      i -> struct(element_at(split(text, ' '), i + 1) AS w1,"
+                "                  element_at(split(text, ' '), i + 2) AS w2))"
+                " END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+                * 1_000_000
+            ).cast("long").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("xent_micro"),
+    )
+
+
+# --------------------------------------------- domain-balanced sampling
+
+# Deterministic mixture balancing: undersample every source to the
+# smallest source's count, picking docs by md5 rank (a seeded,
+# replayable "random" order) — the data-mixture step of a training
+# pipeline, exact-k per domain where hash-threshold sampling is only
+# expected-k.
+
+
+@register(
+    "docs_balanced_sample",
+    """WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents
+),
+target AS (SELECT min(c) AS k FROM (
+  SELECT count(*) AS c FROM documents GROUP BY source))
+SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk
+FROM ranked r CROSS JOIN target WHERE r.rnk <= target.k""",
+)
+def docs_balanced_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rnk")
+    )
+    target = (
+        docs.groupBy("source").count().agg(F.min("count").alias("k"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rnk") <= F.col("k"))
+        .select("doc_id", "source", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ------------------------------------------------------- language ID
+
+# Char-trigram language identification: per-language profiles (top-N
+# trigrams by frequency from the labeled corpus) scored against each
+# doc's trigrams; prediction = argmax overlap, ties broken lexically.
+# Integer counts end-to-end.  (The shared-wordlist testdata makes the
+# labels uninformative — the gate certifies the MACHINERY: profile
+# build, broadcast join, argmax — which is what transfers to real
+# corpora; COVERAGE.md documents the constraint.)
+_TOP_N = 40
+
+
+@register(
+    "text_langid_trigram",
+    f"""WITH tri AS (
+  SELECT doc_id, lang, substr(text, i, 3) AS g
+  FROM documents, UNNEST(CASE WHEN length(text) < 3 THEN CAST([] AS BIGINT[])
+                         ELSE range(1, length(text) - 1) END) AS u(i)
+),
+prof AS (
+  SELECT lang, g FROM (
+    SELECT lang, g, row_number() OVER (
+      PARTITION BY lang ORDER BY count(*) DESC, g) AS rnk
+    FROM tri GROUP BY lang, g
+  ) WHERE rnk <= {_TOP_N}
+),
+scores AS (
+  SELECT t.doc_id, p.lang AS cand, count(*) AS score
+  FROM tri t JOIN prof p ON t.g = p.g
+  GROUP BY t.doc_id, p.lang
+)
+SELECT doc_id, cand AS pred_lang, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT doc_id, cand, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand) AS rnk
+  FROM scores
+) WHERE rnk = 1""",
+)
+def text_langid_trigram(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) < 3 THEN array()"
+                " ELSE transform(sequence(1, length(text) - 2),"
+                "      i -> substring(text, i, 3)) END"
+            )
+        ).alias("g"),
+    )
+    prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("c").desc(), "g")
+            ),
+        )
+        .filter(F.col("rnk") <= _TOP_N)
+        .select(F.col("lang").alias("cand"), "g")
+    )
+    scores = (
+        tri.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    best = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    )
+    return (
+        scores.withColumn("rnk", best)
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("cand").alias("pred_lang"),
+            F.col("score").cast("long").alias("score"),
+        )
+    )
