@@ -30,6 +30,29 @@ def display_label(col: str) -> str:
     return col[7:] if col.startswith("__lbl__") else col
 
 
+def _row_labels(r, label_cols: list[str]) -> dict:
+    """Wire label set for one row: named label columns plus the
+    ``__extracted`` bare-parser map (a map column on log listings, a
+    canonical JSON string on metric frames), with None/"" values
+    dropped — Loki never emits empty-valued labels."""
+    out = {}
+    for c in label_cols:
+        if c == "__extracted":
+            ex = r[c]
+            if isinstance(ex, str):
+                import json as _json
+
+                ex = _json.loads(ex) if ex else {}
+            for k, v in (ex or {}).items():
+                if v not in (None, ""):
+                    out[k] = v
+        else:
+            v = r[c]
+            if v not in (None, ""):
+                out[display_label(c)] = v
+    return out
+
+
 def bounded_collect(df: DataFrame, max_rows: int | None):
     """Collect with limit+1 truncation detection, never unbounded."""
     if max_rows is None:
@@ -48,7 +71,7 @@ def loki_streams(df: DataFrame, label_cols: list[str], ts_col: str = "ts_us",
     with ns-string timestamps, newest rows as returned."""
     groups: dict[tuple, list] = defaultdict(list)
     for r in bounded_collect(df, max_rows):
-        key = tuple((c, r[c]) for c in label_cols)
+        key = tuple(sorted(_row_labels(r, label_cols).items()))
         groups[key].append([str(int(r[ts_col]) * 1000), r[line_col]])
     return {
         "status": "success",
@@ -67,7 +90,7 @@ def loki_matrix(df: DataFrame, label_cols: list[str],
     [unix_seconds, "value"] sample pairs ordered by step."""
     series: dict[tuple, list] = defaultdict(list)
     for r in bounded_collect(df, max_rows):
-        key = tuple((display_label(c), r[c]) for c in label_cols)
+        key = tuple(sorted(_row_labels(r, label_cols).items()))
         series[key].append((r["step_us"] / 1e6, str(r["value"])))
     return {
         "status": "success",
@@ -99,7 +122,7 @@ def prom_vector(df: DataFrame, label_cols: list[str], ts_s: float,
             "resultType": "vector",
             "result": [
                 {
-                    "metric": {display_label(c): r[c] for c in label_cols},
+                    "metric": _row_labels(r, label_cols),
                     "value": [ts_s, str(r["value"])],
                 }
                 for r in bounded_collect(df, max_rows)

@@ -82,6 +82,39 @@ class _Env:
     dyn_map: Column | None = None
 
 
+def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
+    """Entries of the bare-parser label map, Loki-normalized: keys
+    colliding with already-present labels get the ``_extracted``
+    suffix (logql/log/parser.go jsonParser), excluded keys (the
+    unwrapped label, without()-dropped labels) are removed."""
+    known = sorted(set(env.labels) | set(env.source.label_cols))
+    entries = F.map_entries(env.dyn_map)
+
+    def suffix(e):
+        k, v = e["key"], e["value"]
+        nk = (
+            F.when(k.isin(known), F.concat(k, F.lit("_extracted"))).otherwise(k)
+            if known else k
+        )
+        return F.struct(nk.alias("key"), v.alias("value"))
+
+    entries = F.transform(entries, suffix)
+    if exclude:
+        excl = sorted(exclude)
+        entries = F.filter(entries, lambda e: ~e["key"].isin(excl))
+    return F.array_sort(entries)
+
+
+def _extracted_json(env: _Env, exclude: set[str]) -> Column:
+    """Canonical (sorted-entries) JSON of the extracted-label map — a
+    groupable stand-in for "every label the parser discovered", since
+    Spark cannot group by a map column.  Serializers merge it back
+    into the wire label set."""
+    return F.to_json(
+        F.map_from_entries(_extracted_entries(env, exclude))
+    )
+
+
 def _resolve(env: _Env, name: str) -> Column:
     norm = name.replace(".", "_")
     if name in env.labels:
@@ -149,8 +182,15 @@ def _line_filter_pred(env: _Env, f: ast.LineFilter) -> Column:
 
 
 def _label_pred(env: _Env, p: ast.LabelPredicate) -> Column:
-    c = _resolve(env, p.label)
+    try:
+        c = _resolve(env, p.label)
+    except KeyError:
+        c = F.lit(None).cast("string")  # unknown label ≡ absent
     if p.vtype == "string":
+        # a STRING predicate on an absent label compares against ""
+        # (Loki label matchers; numeric/duration/bytes predicates on
+        # absent labels stay NULL → row drops, also Loki behavior)
+        c = F.coalesce(c, F.lit(""))
         if p.op in ("=", "=="):
             return c == p.value
         if p.op == "!=":
@@ -296,7 +336,13 @@ def _apply_stage(env: _Env, stage) -> _Env:
     if isinstance(stage, ast.LineFormat):
         fields = dict(env.labels)
         fields["__line__"] = env.body
-        fields["__timestamp__"] = F.timestamp_micros(F.col(env.source.ts_col))
+        # Go time.Time.String() shape: trimmed fraction + " +0000 UTC"
+        # (the session timezone is UTC); Loki renders __timestamp__
+        # through exactly that default formatting
+        fields["__timestamp__"] = F.concat(
+            F.timestamp_micros(F.col(env.source.ts_col)).cast("string"),
+            F.lit(" +0000 UTC"),
+        )
         env.body = compile_template(stage.template, fields)
         return env
     if isinstance(stage, ast.LabelFormat):
@@ -370,13 +416,24 @@ def compile_logql(
 
     if isinstance(expr, ast.LogQuery):
         env = _compile_log_query(expr, source)
+        # Loki log listings: start inclusive, end EXCLUSIVE
+        # (loghttp query_range contract)
         env.df = env.df.filter(
             (F.col(source.ts_col) >= params.start_us)
-            & (F.col(source.ts_col) <= params.end_us)
+            & (F.col(source.ts_col) < params.end_us)
         )
         cols = [F.col(source.ts_col).alias("ts_us"), env.body.alias("body")] + [
             v.alias(k) for k, v in env.labels.items()
         ]
+        if env.dyn_map is not None:
+            # bare `| json` / `| logfmt`: every discovered field is a
+            # stream label (Loki materializes them; serializers merge
+            # the map into the wire label set)
+            cols.append(
+                F.map_from_entries(_extracted_entries(env, set())).alias(
+                    "__extracted"
+                )
+            )
         return env.df.select(*cols)
 
     if isinstance(expr, ast.Literal):
@@ -406,11 +463,25 @@ def compile_logql(
         ts = F.col(source.ts_col)
         if expr.offset_us:
             ts = ts + F.lit(expr.offset_us)
+        extra_cols = {}
+        if env.dyn_map is not None and (
+            not expr.grouping or expr.grouping.without
+        ):
+            # bare-parser extracted labels are part of the series
+            # identity (Loki: every discovered label shapes the
+            # series) unless an explicit by() restricts the grouping;
+            # without() drops its labels from the map too
+            excl = set(expr.grouping.labels) if expr.grouping else set()
+            if expr.query.unwrap:
+                excl.add(expr.query.unwrap.label)
+            extra_cols["__extracted"] = _extracted_json(env, excl)
+            by = [*by, "__extracted"]
         proj = env.df.withColumns(
             {
                 # grouping labels no stream carries become "" (Loki
                 # groups such series under the empty label value)
-                **{l: _resolve_or_empty(env, l) for l in by},
+                **{l: _resolve_or_empty(env, l) for l in by if l != "__extracted"},
+                **extra_cols,
                 "__ts": ts,
                 "__sample": sample,
             }
@@ -453,6 +524,16 @@ def compile_logql(
             q=expr.q,
             spark=spark,
         )
+        if op == "absent_over_time":
+            # result labels come from the selector's equality matchers
+            # (Loki mirrors Prometheus createLabelsForAbsentFunction)
+            out = out.withColumns(
+                {
+                    m.name: F.lit(m.value)
+                    for m in expr.query.selector.matchers
+                    if m.op == "=" and m.value != ""
+                }
+            )
         return out
 
     if isinstance(expr, ast.VectorAgg):

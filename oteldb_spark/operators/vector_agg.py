@@ -62,7 +62,10 @@ def vector_aggregate(
         )
     if op in ("topk", "bottomk"):
         assert k is not None
-        tie = keep_labels or []
+        # upstream breaks value ties arbitrarily (bounded heap); we
+        # refine to a deterministic tie-break on the labels in
+        # LEXICOGRAPHIC LABEL-NAME order, matching the referee
+        tie = sorted(keep_labels or [])
         order = (
             [v.desc()] + [F.col(c).asc() for c in tie]
             if op == "topk"

@@ -276,7 +276,7 @@ def logql_vector_max(spark, sf_dir):
         _PER_SERIES,
         body="""SELECT service, level, step_us, value FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY step_us ORDER BY value DESC, service, level) AS rn
+    PARTITION BY step_us ORDER BY value DESC, level, service) AS rn
   FROM per_series) WHERE rn <= 3""",
     ),
 )
@@ -299,7 +299,7 @@ def logql_topk(spark, sf_dir):
         _PER_SERIES,
         body="""SELECT service, level, step_us, value FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY step_us ORDER BY value ASC, service, level) AS rn
+    PARTITION BY step_us ORDER BY value ASC, level, service) AS rn
   FROM per_series) WHERE rn <= 2""",
     ),
 )

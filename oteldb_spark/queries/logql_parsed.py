@@ -90,7 +90,7 @@ register(
         f" GROUP BY service, level, step_us)",
         body="""SELECT service, level, step_us, value FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY step_us ORDER BY value DESC, service, level) AS rn
+    PARTITION BY step_us ORDER BY value DESC, level, service) AS rn
   FROM per_series) WHERE rn <= 3""",
     ),
 )(

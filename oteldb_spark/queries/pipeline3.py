@@ -299,6 +299,152 @@ def docs_balanced_sample(spark, sf_dir):
     )
 
 
+# ------------------------------------------- content-defined chunking
+
+# CDC (rolling-hash boundaries, the storage-dedup / training-shard
+# trick): a Horner-rule polynomial hash over a sliding W-char window,
+# cut where hash % DIV == 0.  Shift-resilient: inserting a byte only
+# moves nearby boundaries, so near-identical docs share most chunk
+# hashes — unlike fixed-size chunking.  Both engines run the identical
+# integer recurrence (base 257 mod 2^31-1), so chunk sets replay
+# exactly.
+_CDC_W = 16
+_CDC_B = 257
+_CDC_M = 2_147_483_647
+_CDC_DIV = 64
+
+
+@register(
+    "chunk_cdc_dedup",
+    f"""WITH ch AS (
+  SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, n,
+         list_filter(
+           list_transform(range(1, greatest(n - {_CDC_W} + 2, 1)),
+             i -> CASE WHEN list_reduce(
+                        list_concat([0::BIGINT],
+                          list_transform(cs[i:i+{_CDC_W - 1}],
+                                         c -> ascii(c)::BIGINT)),
+                        (acc, c) -> (acc * {_CDC_B} + c) % {_CDC_M})
+                        % {_CDC_DIV} = 0
+                  THEN i + {_CDC_W} - 1 ELSE NULL END),
+           x -> x IS NOT NULL) AS cut
+  FROM ch
+),
+spans AS (
+  SELECT doc_id, n,
+         list_concat([0], list_concat(cut, [CAST(n AS BIGINT)])) AS b
+  FROM cuts
+),
+chunks AS (
+  SELECT doc_id,
+         md5(substr(d.text, CAST(b[j] + 1 AS INT),
+                    CAST(b[j+1] - b[j] AS INT))) AS h
+  FROM spans JOIN documents d USING (doc_id),
+       UNNEST(range(1, len(b))) AS u(j)
+  WHERE b[j+1] > b[j]
+),
+dup AS (SELECT h FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE dup.h IS NOT NULL) AS BIGINT) AS n_dup
+FROM chunks c LEFT JOIN dup ON c.h = dup.h
+GROUP BY c.doc_id""",
+)
+def chunk_cdc_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w, b, m, div = _CDC_W, _CDC_B, _CDC_M, _CDC_DIV
+    # boundary positions: window-end indexes where the rolling hash
+    # divides; then cut the text at those offsets and hash each chunk
+    cuts = F.expr(
+        f"filter(transform(sequence(1, greatest(length(text) - {w} + 1, 1)),"
+        f"  i -> CASE WHEN aggregate(slice(split(text, ''), i, {w}),"
+        f"       0L, (acc, c) -> (acc * {b} + ascii(c)) % {m})"
+        f"       % {div} = 0 THEN i + {w} - 1 END),"
+        f"  x -> x IS NOT NULL)"
+    )
+    spans = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.array(F.lit(0).cast("long")),
+            cuts.cast("array<long>"),
+            F.array(F.length("text").cast("long")),
+        ).alias("bnd"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(bnd) - 1),"
+                " j -> CASE WHEN element_at(bnd, j + 1) > element_at(bnd, j)"
+                " THEN substring(text, cast(element_at(bnd, j) + 1 as int),"
+                "      cast(element_at(bnd, j + 1) - element_at(bnd, j) as int))"
+                " END), x -> x IS NOT NULL)"
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        chunks.join(dup.withColumn("_d", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count("_d").cast("long").alias("n_dup"),
+        )
+    )
+
+
+# ------------------------------------------- weighted sampling (A-ES)
+
+# Efraimidis–Spirakis weighted reservoir: key = u^(1/w) with a
+# deterministic md5-derived u, take the global top-K by key.  Longer
+# docs (weight = n_chars) are proportionally more likely — the
+# standard "sample by importance" primitive.  Distributed shape:
+# per-partition top-K then merge (Spark's sort-limit does exactly
+# that); no full sort materialization at 100 TB.
+_AES_K = 64
+
+
+@register(
+    "docs_weighted_sample",
+    f"""WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+            / 4503599627370496.0) / n_chars AS logkey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed ORDER BY logkey DESC, doc_id LIMIT {_AES_K}""",
+)
+def docs_weighted_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # u ∈ (0,1) from a 52-bit md5 prefix; rank by log(u)/w — the
+    # monotone-equivalent form of u^(1/w) that avoids pow precision
+    u = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10)"
+        " as bigint) / 4503599627370496.0"
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("logkey"),
+    )
+    return (
+        keyed.orderBy(F.col("logkey").desc(), "doc_id")
+        .limit(_AES_K)
+        .select("doc_id", "n_chars")
+    )
+
+
 # ------------------------------------------------------- language ID
 
 # Char-trigram language identification: per-language profiles (top-N

@@ -253,7 +253,15 @@ class Referee:
                     continue
                 real = [(lb, v) for lb, v in members if not math.isnan(v)]
                 nans = [(lb, v) for lb, v in members if math.isnan(v)]
-                real.sort(key=lambda p: p[1], reverse=(op == "topk"))
+                # upstream breaks value ties arbitrarily (heap order);
+                # both this referee and the engine refine that to a
+                # deterministic label-lexicographic tie-break
+                real.sort(
+                    key=lambda p: (
+                        -p[1] if op == "topk" else p[1],
+                        tuple(sorted(p[0].items())),
+                    )
+                )
                 picked = (real + nans)[:k]
                 for lb, v in picked:
                     out.append((dict(lb), v))
