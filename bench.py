@@ -57,6 +57,12 @@ HEADLINE = [
     "profile_pprof_ingest",
     "exp_hist_scale3_p90",
     "tql_parsed_metrics_topk",
+    # round-3 additions: pipeline operators (sketches, scrubbing,
+    # exact-substring dedup, weighted sampling)
+    "sketch_hll_estimate",
+    "pii_redact",
+    "dedup_repeated_windows",
+    "docs_weighted_sample",
 ]
 
 

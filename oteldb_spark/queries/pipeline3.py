@@ -220,27 +220,40 @@ FROM scored GROUP BY doc_id""",
 )
 def text_bigram_xent(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
-                " ELSE transform(sequence(0, size(split(text, ' ')) - 2),"
-                "      i -> struct(element_at(split(text, ' '), i + 1) AS w1,"
-                "                  element_at(split(text, ' '), i + 2) AS w2))"
-                " END"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # split ONCE per row into a projected column — referencing
+    # split(text) inside the transform lambda re-tokenizes per
+    # element (no CSE across lambda invocations), turning the explode
+    # quadratic in document length
+    bi = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) < 2 THEN array()"
+                    " ELSE transform(sequence(0, size(tk) - 2),"
+                    "      i -> struct(element_at(tk, i + 1) AS w1,"
+                    "                  element_at(tk, i + 2) AS w2))"
+                    " END"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    from pyspark.sql import Window as W
+
+    # window counts instead of groupBy + self-join: the corpus is
+    # scanned/exploded ONCE, then two shuffles (by bigram, by first
+    # token) attach the counts — no join of the big side with itself
     v = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     scored = (
-        bi.join(c2, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bi.withColumn(
+            "c2", F.count(F.lit(1)).over(W.partitionBy("w1", "w2"))
+        )
+        .withColumn("c1", F.count(F.lit(1)).over(W.partitionBy("w1")))
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
@@ -357,36 +370,52 @@ GROUP BY c.doc_id""",
 def chunk_cdc_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     w, b, m, div = _CDC_W, _CDC_B, _CDC_M, _CDC_DIV
-    # boundary positions: window-end indexes where the rolling hash
-    # divides; then cut the text at those offsets and hash each chunk
-    cuts = F.expr(
-        f"filter(transform(sequence(1, greatest(length(text) - {w} + 1, 1)),"
-        f"  i -> CASE WHEN aggregate(slice(split(text, ''), i, {w}),"
-        f"       0L, (acc, c) -> (acc * {b} + ascii(c)) % {m})"
-        f"       % {div} = 0 THEN i + {w} - 1 END),"
-        f"  x -> x IS NOT NULL)"
+
+    # Rolling hashes over every W-char window via Arrow-batched numpy
+    # (one of the few justified UDF spots: a per-position Horner fold
+    # in Catalyst higher-order functions costs ~1µs/element — numpy
+    # vectorizes the same 16-step recurrence across all positions).
+    # Intermediate magnitude stays < 2^43, exact in int64.
+    def cut_chunks(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_hash = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                codes = np.frombuffer(text.encode("latin-1", "replace"),
+                                      dtype=np.uint8).astype(np.int64)
+                if n >= w:
+                    h = np.zeros(n - w + 1, dtype=np.int64)
+                    for j in range(w):
+                        h = (h * b + codes[j : j + n - w + 1]) % m
+                    # window-end offsets of dividing hashes
+                    cuts = (np.nonzero(h % div == 0)[0] + w).tolist()
+                else:
+                    cuts = []
+                bounds = [0, *cuts, n]
+                for lo, hi in zip(bounds, bounds[1:]):
+                    if hi > lo:
+                        out_doc.append(doc_id)
+                        out_hash.append(
+                            hashlib.md5(
+                                text[lo:hi].encode()
+                            ).hexdigest()
+                        )
+            yield pd.DataFrame({"doc_id": out_doc, "h": out_hash})
+
+    par = spark.sparkContext.defaultParallelism
+    chunks = (
+        docs.select("doc_id", "text")
+        # small local files arrive as one split; spread the batches so
+        # the vectorized workers run wide (at scale the file splits
+        # provide this and the repartition collapses to a no-op cost)
+        .repartition(par)
+        .mapInPandas(cut_chunks, "doc_id long, h string")
     )
-    spans = docs.select(
-        "doc_id",
-        "text",
-        F.concat(
-            F.array(F.lit(0).cast("long")),
-            cuts.cast("array<long>"),
-            F.array(F.length("text").cast("long")),
-        ).alias("bnd"),
-    )
-    chunks = spans.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "filter(transform(sequence(1, size(bnd) - 1),"
-                " j -> CASE WHEN element_at(bnd, j + 1) > element_at(bnd, j)"
-                " THEN substring(text, cast(element_at(bnd, j) + 1 as int),"
-                "      cast(element_at(bnd, j + 1) - element_at(bnd, j) as int))"
-                " END), x -> x IS NOT NULL)"
-            )
-        ).alias("chunk"),
-    ).select("doc_id", F.md5("chunk").alias("h"))
     dup = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -498,6 +527,9 @@ def text_langid_trigram(spark, sf_dir):
             )
         ).alias("g"),
     )
+    from ..operators.pin import pin
+
+    tri = pin(tri)  # consumed by both the profile build and scoring
     prof = (
         tri.groupBy("lang", "g")
         .agg(F.count(F.lit(1)).alias("c"))

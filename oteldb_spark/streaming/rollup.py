@@ -35,3 +35,39 @@ def windowed_rollup(
         )
         .select(*keys, F.col("w.start").alias("window_start"), "n", "total", "vmin", "vmax")
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    *,
+    key: str,
+    by: list[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Streaming distinct-count sketch maintenance: per tumbling
+    window, the HLL register state (by..., window_start, bucket,
+    rank).  ``max(rank)`` is monotone so registers merge exactly in
+    incremental state — the streaming form of the batch
+    ``operators/hll.py`` build; fold with ``hll_estimate`` downstream.
+    """
+    from ..operators.hll import M, _h60
+
+    h = F.expr(_h60(key))
+    w_rem = F.expr(f"{_h60(key)} div {M}")
+    rank = (
+        F.when(w_rem == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.expr(f"bin({_h60(key)} div {M})")))
+        .cast("int")
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("bucket", (h % M).cast("int"))
+        .withColumn("rank", rank)
+        .groupBy(*by, F.window(ts_col, window).alias("w"), "bucket")
+        .agg(F.max("rank").alias("rank"))
+        .select(
+            *by, F.col("w.start").alias("window_start"), "bucket", "rank"
+        )
+    )

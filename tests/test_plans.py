@@ -37,3 +37,41 @@ def test_count_over_time_single_shuffle(spark):
 def test_selector_prunes_columns(spark):
     facts = audit(QUERIES["logql_selector"](spark, SF))
     assert all("value" not in s for s in facts.read_schemas)
+
+
+def test_langid_broadcasts_profiles(spark):
+    # the per-language trigram profiles are tiny (langs × top-N) and
+    # must broadcast — a shuffle join on trigram would move the whole
+    # exploded corpus twice
+    facts = audit(QUERIES["text_langid_trigram"](spark, SF))
+    assert facts.n_broadcasts >= 1
+
+
+def test_balanced_sample_broadcasts_target(spark):
+    # the single-row min-count target joins by broadcast, never a
+    # shuffled cross join
+    facts = audit(QUERIES["docs_balanced_sample"](spark, SF))
+    assert facts.n_broadcasts >= 1
+
+
+def test_weighted_sample_is_partial_topk(spark):
+    # global top-K must compile to TakeOrderedAndProject (per-partition
+    # heads merged on the driver), not a full sort materialization
+    df = QUERIES["docs_weighted_sample"](spark, SF)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in text
+
+
+def test_hll_registers_single_shuffle(spark):
+    # register build = one groupBy(by, bucket) with map-side partials;
+    # no extra exchange beyond the (possibly AQE-doubled) aggregation
+    facts = audit(QUERIES["sketch_hll_registers"](spark, SF))
+    assert facts.n_exchanges <= 2
+
+
+def test_pii_redact_no_shuffle(spark):
+    # pure per-row column work: zero exchanges, scan prunes to the
+    # two columns used
+    facts = audit(QUERIES["pii_redact"](spark, SF))
+    assert facts.n_exchanges == 0
+    assert all("lang" not in s for s in facts.read_schemas)
