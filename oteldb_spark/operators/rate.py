@@ -259,10 +259,18 @@ def predict_linear(
     range_us: int,
     horizon_s: float,
     ts_col: str = "ts_us",
+    offset_us: int = 0,
 ) -> DataFrame:
     """PromQL ``predict_linear(v[r], t)``: least-squares extrapolation
     ``intercept + slope * (t_eval + horizon)`` with t relative to the
-    window start (same sums as deriv)."""
+    window start (same sums as deriv).
+
+    ``offset_us``: the selector's offset.  Upstream anchors the
+    regression at the UNSHIFTED eval timestamp (functions.go
+    funcPredictLinear uses enh.Ts) while these points arrive with
+    offset-shifted timestamps, so the prediction time moves out by
+    the offset — an offset selector extrapolates across the gap it
+    created, exactly as Prometheus does."""
     fanned = fanout(points, start_us, end_us, step_us, range_us, ts_col)
     t = (F.col(ts_col) - (F.col("step_us") - F.lit(range_us))) / 1e6
     y = F.col(value_col)
@@ -278,8 +286,9 @@ def predict_linear(
     )
     intercept = (F.col("sy") - slope * F.col("st")) / F.col("n")
     # prediction time: horizon past the step (= window end), i.e.
-    # t = range_s + horizon in window-relative coordinates
-    t_pred = F.lit(range_us / 1e6 + horizon_s)
+    # t = range_s + horizon in window-relative coordinates (+ the
+    # selector offset, see docstring)
+    t_pred = F.lit(range_us / 1e6 + offset_us / 1e6 + horizon_s)
     return g.filter(F.col("n") >= 2).select(
         *series, "step_us", (intercept + slope * t_pred).alias("value")
     )

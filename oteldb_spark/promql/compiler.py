@@ -72,15 +72,40 @@ RANGE_FUNCS = {
     "absent_over_time": "absent_over_time",
 }
 RATE_FUNCS = {"rate", "increase", "delta", "irate", "idelta"}
+
+_INF = float("inf")
+_NAN = float("nan")
+
+
+def _go_log(logfn):
+    """Go math.Log semantics: log(0) = -Inf, log(<0) = NaN, log(NaN)
+    = NaN — Spark's log family returns NULL outside (0, ∞)."""
+
+    def fn(c):
+        return (
+            F.when(F.isnan(c), F.lit(_NAN))
+            .when(c == 0, F.lit(-_INF))
+            .when(c < 0, F.lit(_NAN))
+            .otherwise(logfn(c))
+        )
+
+    return fn
+
+
+def _go_sqrt(c):
+    """Go math.Sqrt(<0) = NaN (Spark: NULL)."""
+    return F.when(c < 0, F.lit(_NAN)).otherwise(F.sqrt(c))
+
+
 MATH_FUNCS = {
     "abs": F.abs,
     "ceil": F.ceil,
     "floor": F.floor,
     "exp": F.exp,
-    "ln": F.log,
-    "log2": F.log2,
-    "log10": F.log10,
-    "sqrt": F.sqrt,
+    "ln": _go_log(F.log),
+    "log2": _go_log(F.log2),
+    "log10": _go_log(F.log10),
+    "sqrt": _go_sqrt,
     "sgn": F.signum,
     # trigonometric family (Prometheus functions.go; plain libm on
     # both engines)
@@ -482,7 +507,9 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             from ..operators.rate import predict_linear as pl_op
 
             horizon_s = fc.args[1].value
-            return pl_op(pts, horizon_s=horizon_s, **kw)
+            return pl_op(
+                pts, horizon_s=horizon_s, offset_us=sel.offset_us, **kw
+            )
         return rate_family(pts, name, **kw)
 
     if name in RANGE_FUNCS or name == "present_over_time":

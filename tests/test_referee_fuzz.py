@@ -1,0 +1,37 @@
+"""Differential fuzzing gate: seeded-random PromQL expressions must
+evaluate identically on the Spark engine and the pure-Python referee
+(tools/referee_fuzz.py holds the generator; 420 cases across three
+seeds were clean when this gate was added — it pins that property).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.referee_fuzz import run_fuzz  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="testdata not available"
+)
+
+
+def test_fuzz_engine_matches_referee(spark):
+    stats, failures = run_fuzz(spark, SF_DIR, n=50, seed=0)
+    assert not failures, failures[:3]
+    # the cases must overwhelmingly execute, not error out in pairs
+    assert stats["match"] >= 45, stats
+
+
+def test_logql_fuzz_engine_matches_referee(spark):
+    from tools.logql_fuzz import run_logql_fuzz
+
+    stats, failures = run_logql_fuzz(spark, SF_DIR, n=50, seed=0)
+    assert not failures, failures[:3]
+    assert stats["match"] >= 45, stats
