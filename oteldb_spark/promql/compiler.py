@@ -445,24 +445,65 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
     raise SyntaxError(f"PromQL: cannot compile {expr!r}")
 
 
+def _subquery_samples(
+    inner_expr,
+    range_us: int,
+    step_us: int | None,
+    offset_us: int,
+    source: MetricSource,
+    params: PromParams,
+    spark,
+) -> DataFrame:
+    """Subquery sample stream: the inner expression evaluated at
+    ABSOLUTE multiples of the subquery resolution spanning every outer
+    window — promql/engine.go evalSubquery (start aligned UP past the
+    left-open window edge).  The inner grid is its OWN evaluation
+    (instant semantics with lookback at each inner step), not the
+    outer query's step grid and not raw samples.  Sample timestamps
+    shift by the subquery offset so outer (t-range, t] windows select
+    in shifted coordinates, as everywhere else in this compiler."""
+    st = step_us or 60_000_000  # default resolution 1m
+    lo = params.start_us - offset_us - range_us
+    first = (lo // st) * st
+    if first <= lo:
+        first += st
+    hi = params.end_us - offset_us
+    empty = first > hi
+    p2 = PromParams(first, max(first, hi), st, params.lookback_us)
+    inner = _compile(inner_expr, source, p2, spark)
+    if empty:
+        inner = inner.filter(F.lit(False))
+    ts = F.col("step_us")
+    if offset_us:
+        ts = ts + F.lit(offset_us)
+    return inner.select(
+        *_labels_of(inner),
+        ts.alias("ts_us"),
+        F.col("value").alias("sample"),
+    )
+
+
+def _strip_subquery(sel: ast.VectorSelector) -> ast.VectorSelector:
+    from dataclasses import replace as _dc_replace
+
+    return _dc_replace(
+        sel, range_us=None, subquery_step_us=None, offset_us=0, at_us=None
+    )
+
+
 def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, spark):
     name = fc.name
 
     if name == "__subquery__":
-        inner = _compile(fc.args[0], source, params, spark)
-        # inner step results become samples for an outer range window
-        rng = fc.range_us  # type: ignore[attr-defined]
-        ts = F.col("step_us")
-        off = getattr(fc, "offset_us", 0)
-        if off:
-            ts = ts + F.lit(off)  # subquery offset shifts the samples
-        samples = inner.select(
-            *_labels_of(inner),
-            ts.alias("ts_us"),
-            F.col("value").alias("sample"),
+        return _subquery_samples(
+            fc.args[0],
+            fc.range_us,  # type: ignore[attr-defined]
+            getattr(fc, "step_us", None),
+            getattr(fc, "offset_us", 0),
+            source,
+            params,
+            spark,
         )
-        fc.samples = samples  # type: ignore[attr-defined]
-        return samples
 
     if name == "absent":
         inner = _compile(fc.args[0], source, params, spark)
@@ -484,9 +525,25 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
 
     if name in RATE_FUNCS or name in ("resets", "changes", "deriv", "predict_linear"):
         sel = fc.args[0]
-        if not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
+        if isinstance(sel, ast.FuncCall) and sel.name == "__subquery__":
+            # rate over a subquery: samples are the inner expression
+            # evaluated on the subquery grid
+            pts = _subquery_samples(
+                sel.args[0], sel.range_us, getattr(sel, "step_us", None),
+                getattr(sel, "offset_us", 0), source, params, spark,
+            )
+            sel = ast.VectorSelector(
+                None, [], sel.range_us, getattr(sel, "offset_us", 0)
+            )
+        elif not isinstance(sel, ast.VectorSelector) or sel.range_us is None:
             raise SyntaxError(f"PromQL: {name}() needs a range vector")
-        pts = _selector_points(sel, source)
+        elif sel.subquery_step_us is not None:
+            pts = _subquery_samples(
+                _strip_subquery(sel), sel.range_us, sel.subquery_step_us,
+                sel.offset_us, source, params, spark,
+            )
+        else:
+            pts = _selector_points(sel, source)
         kw = dict(
             series=[c for c in pts.columns if c not in ("ts_us", "sample")],
             value_col="sample",
@@ -518,7 +575,16 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         if isinstance(q, ast.Literal):
             q = q.value
         if isinstance(arg, ast.VectorSelector) and arg.range_us is not None:
-            samples = _selector_points(arg, source)
+            if arg.subquery_step_us is not None:
+                # selector subquery x[r:st]: instant evals on the
+                # subquery grid, NOT raw samples
+                samples = _subquery_samples(
+                    _strip_subquery(arg), arg.range_us,
+                    arg.subquery_step_us, arg.offset_us, source, params,
+                    spark,
+                )
+            else:
+                samples = _selector_points(arg, source)
             rng = arg.range_us
         elif isinstance(arg, ast.FuncCall) and arg.name == "__subquery__":
             samples = _compile(arg, source, params, spark)
@@ -580,13 +646,23 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         return _compile(fc.args[0], source, params, spark)
 
     if name == "scalar":
-        # single-series vector → scalar per step; beyond one series →
-        # NaN per Prometheus.  Keep the common case (one series).
+        # single-series vector → scalar per step; zero or multiple
+        # series → NaN per Prometheus.  The spine join keeps EMPTY
+        # steps NaN instead of dropping them — scalar() always has a
+        # value at every step.
+        from ..operators.stepfanout import step_spine
+
+        assert spark is not None
         inner = _compile(fc.args[0], source, params, spark)
-        return inner.groupBy("step_us").agg(
+        per_step = inner.groupBy("step_us").agg(
             F.when(F.count(F.lit(1)) == 1, F.first("value"))
             .otherwise(float("nan"))
-            .alias("value")
+            .alias("_sv")
+        )
+        spine = step_spine(spark, params.start_us, params.end_us, params.step_us)
+        return spine.join(per_step, "step_us", "left").select(
+            "step_us",
+            F.coalesce(F.col("_sv"), F.lit(float("nan"))).alias("value"),
         )
 
     if name in DATE_FUNCS:
@@ -646,8 +722,13 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
                 params.step_us,
                 params.lookback_us,
             )
-            return fanned.groupBy(*source.label_cols, "step_us").agg(
-                (F.max("ts_us") / F.lit(1e6)).alias("value")
+            labels = [c for c in pts.columns if c not in ("ts_us", "sample")]
+            # the wire value is the RAW sample timestamp — the points
+            # frame shifts ts by the selector offset for window math,
+            # so undo it here (funcTimestamp reads the unshifted T)
+            return fanned.groupBy(*labels, "step_us").agg(
+                ((F.max("ts_us") - F.lit(sel.offset_us)) / F.lit(1e6))
+                .alias("value")
             )
         inner = _compile(sel, source, params, spark)
         return inner.withColumn(

@@ -155,8 +155,10 @@ class Referee:
         """Range-vector arg → [(labels, [(ts_us, value), ...])]."""
         if isinstance(node, ast.VectorSelector) and node.range_us is not None:
             if node.subquery_step_us is not None:
+                # @/offset pin the subquery WINDOW; the inner instant
+                # evals run at plain grid times
                 inner = ast.VectorSelector(
-                    node.name, node.matchers, None, 0, None, node.at_us
+                    node.name, node.matchers, None, 0, None, None
                 )
                 return self._subquery_matrix(
                     inner, node.range_us, node.subquery_step_us,
@@ -736,11 +738,10 @@ def _arith(op, l, r) -> float:
     if op == "^":
         try:
             return math.pow(l, r)
-        except (OverflowError, ValueError):
-            # Go math.Pow returns ±Inf/NaN where Python raises
-            if math.isnan(l) or math.isnan(r):
-                return NAN
-            return INF
+        except OverflowError:
+            return INF  # Go math.Pow overflow → +Inf
+        except ValueError:
+            return NAN  # e.g. negative base, fractional exponent
     if op == "atan2":
         return math.atan2(l, r)
     raise ValueError(f"referee: unsupported binop {op}")
@@ -1083,7 +1084,12 @@ def compare_corpus_entry(peng, referee, q: str,
             referee.query_range(q, start_us, end_us, step_us, keep_name=True)
         )
         # the engine's wire output carries __name__ only for name-less
-        # (multi-metric) selectors; strip the referee's when absent
+        # (multi-metric) selectors; strip the referee's when absent.
+        # Two referee series may collapse to one engine series after
+        # the strip (e.g. `selector or rate(...)` where the name is
+        # kept on one side): merge them when their step sets are
+        # disjoint — that IS the engine's representation — and only
+        # flag a conflict when the same step carries different values
         if eng is not None and not any(
             "__name__" in dict(sig) for sig in eng
         ):
@@ -1091,8 +1097,17 @@ def compare_corpus_entry(peng, referee, q: str,
             for sig, pts in ref.items():
                 s2 = tuple((k, v) for k, v in sig if k != "__name__")
                 if s2 in stripped:
-                    raise ValueError("series collide after __name__ strip")
-                stripped[s2] = pts
+                    for t, v in pts.items():
+                        if t in stripped[s2] and not values_equal(
+                            stripped[s2][t], v
+                        ):
+                            raise ValueError(
+                                "conflicting values collide after "
+                                "__name__ strip"
+                            )
+                    stripped[s2].update(pts)
+                else:
+                    stripped[s2] = dict(pts)
             ref = stripped
     except Exception as ex:  # noqa: BLE001
         ref_err = f"{type(ex).__name__}: {ex}"[:200]

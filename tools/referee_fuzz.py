@@ -104,6 +104,13 @@ def gen_vector(rng: random.Random, depth: int) -> str:
         lhs = gen_vector(rng, depth - 1)
         scalar = rng.choice(["2", "0.5", "100", "1.5"])
         op = rng.choice(_ARITH)
+        # `%` after an exponential blow-up amplifies the 1-ulp
+        # difference between Java Math.pow and C libm pow into a
+        # full-magnitude result change (mod of a huge value is
+        # chaotic in the last bit) — a cross-runtime libm artifact,
+        # not a semantics divergence; keep it out of the generator
+        if op == "%" and ("^" in lhs or "exp(" in lhs):
+            op = "-"
         return (
             f"({lhs}) {op} {scalar}"
             if rng.random() < 0.5
@@ -116,7 +123,71 @@ def gen_vector(rng: random.Random, depth: int) -> str:
     return f"({lhs}) {op} {b}{scalar}"
 
 
+def gen_vector_pair(rng: random.Random) -> str:
+    """Vector-vector matching shapes: set ops, one-to-one on()/
+    ignoring(), many-to-one group_left — including combinations whose
+    match groups collide (both sides must then refuse identically)."""
+    roll = rng.random()
+    a = gen_range_call(rng) if rng.random() < 0.5 else gen_selector(rng)
+    b = gen_range_call(rng) if rng.random() < 0.5 else gen_selector(rng)
+    if roll < 0.3:
+        op = rng.choice(["and", "or", "unless"])
+        return f"({a}) {op} ({b})"
+    if roll < 0.55:
+        op = rng.choice(_ARITH[:4])
+        match = rng.choice(
+            ["", " on(mtype, instance)", " ignoring(nonexistent)"]
+        )
+        return f"({a}) {op}{match} ({b})"
+    if roll < 0.75:
+        # many-to-one: per-(mtype,instance) over per-mtype
+        op = rng.choice(["/", "-", "*"])
+        agg = rng.choice(["sum", "max", "avg"])
+        return (
+            f"({a}) {op} on(mtype) group_left "
+            f"({agg} by(mtype) ({b}))"
+        )
+    op = rng.choice(_CMP)
+    b_mode = "bool " if rng.random() < 0.5 else ""
+    return f"({a}) {op} {b_mode}on(mtype, instance) ({b})"
+
+
+def gen_exotic(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.25:
+        inner = gen_vector(rng, 1)
+        st = rng.choice(["10m", "30m", "1h"])
+        r = rng.choice(["2h", "6h"])
+        fn = rng.choice(["avg_over_time", "max_over_time", "min_over_time",
+                         "count_over_time"])
+        return f"{fn}(({inner})[{r}:{st}])"
+    if roll < 0.45:
+        sel = gen_selector(rng).split(" offset")[0]
+        return (
+            f'label_replace({sel}, "region", "r-$1", "instance",'
+            f' "host-(.*)")'
+        )
+    if roll < 0.6:
+        sel = gen_selector(rng).split(" offset")[0]
+        return f'label_join({sel}, "combo", "-", "mtype", "instance")'
+    if roll < 0.75:
+        return f"timestamp({gen_selector(rng)})"
+    if roll < 0.85:
+        fn = rng.choice(["minute", "hour", "day_of_week", "day_of_month",
+                         "month", "year"])
+        return f"{fn}({gen_selector(rng)})"
+    sel = gen_selector(rng)
+    return rng.choice(
+        [f"absent({sel})", f"scalar({sel}) * 2", f"vector(42)"]
+    )
+
+
 def gen_case(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.2:
+        return gen_vector_pair(rng)
+    if roll < 0.35:
+        return gen_exotic(rng)
     q = gen_vector(rng, 2)
     if rng.random() < 0.15:
         q = f"clamp({q}, 0, 1000)"
