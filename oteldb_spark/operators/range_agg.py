@@ -81,6 +81,21 @@ def range_aggregate(
         "stddev_over_time": F.stddev_pop(v),
         "first_over_time": F.min_by(v, F.struct(*order)).cast("double"),
         "last_over_time": F.max_by(v, F.struct(*order)).cast("double"),
+        # Prometheus experimental ts_of_* family (functions.go
+        # funcTsOfMaxOverTime/funcTsOfMinOverTime/funcTsOfLastOverTime):
+        # the timestamp (float seconds) of the max/min/last sample in
+        # the window; ties resolve to the LATEST occurrence (upstream
+        # iterates with >= / <=, so later samples win).  NaN samples
+        # sort differently in Spark (largest) than Go (skipped) — the
+        # synthetic frames carry no NaNs.
+        "ts_of_last_over_time": (F.max(F.col(ts_col)) / F.lit(1e6)).cast("double"),
+        "ts_of_max_over_time": (
+            F.max_by(F.col(ts_col), F.struct(v, F.col(ts_col))) / F.lit(1e6)
+        ).cast("double"),
+        "ts_of_min_over_time": (
+            F.max_by(F.col(ts_col), F.struct((v * F.lit(-1.0)).alias("nv"), F.col(ts_col)))
+            / F.lit(1e6)
+        ).cast("double"),
     }
     if op == "quantile_over_time":
         assert q is not None
@@ -159,4 +174,12 @@ ORACLE_AGG_SQL = {
     "quantile_over_time": "quantile_cont({v}, {q})",
     "first_over_time": "CAST(arg_min({v}, {ord}) AS DOUBLE)",
     "last_over_time": "CAST(arg_max({v}, {ord}) AS DOUBLE)",
+    # {ord} must be the µs timestamp column for the ts_of_* family
+    "ts_of_last_over_time": "CAST(max({ord}) AS DOUBLE) / 1e6",
+    "ts_of_max_over_time": (
+        "CAST(max({{'v': {v}, 'ts': {ord}}}).ts AS DOUBLE) / 1e6"
+    ),
+    "ts_of_min_over_time": (
+        "CAST(max({{'v': -({v}), 'ts': {ord}}}).ts AS DOUBLE) / 1e6"
+    ),
 }

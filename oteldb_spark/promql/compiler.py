@@ -70,6 +70,11 @@ RANGE_FUNCS = {
     "last_over_time": "last_over_time",
     "first_over_time": "first_over_time",
     "absent_over_time": "absent_over_time",
+    # experimental ts_of_* family (functions.go): timestamp of the
+    # max/min/last sample per window, float seconds
+    "ts_of_last_over_time": "ts_of_last_over_time",
+    "ts_of_max_over_time": "ts_of_max_over_time",
+    "ts_of_min_over_time": "ts_of_min_over_time",
 }
 RATE_FUNCS = {"rate", "increase", "delta", "irate", "idelta"}
 
@@ -604,7 +609,7 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
                 .distinct()
                 .withColumn("value", F.lit(1.0))
             )
-        return range_aggregate(
+        out = range_aggregate(
             samples,
             RANGE_FUNCS[name],
             start_us=params.start_us,
@@ -615,6 +620,18 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             q=q,
             spark=spark,
         )
+        if name.startswith("ts_of_"):
+            # the points/subquery frames shift sample ts by the
+            # selector offset for window math; the wire value is the
+            # RAW sample timestamp (engine.go keeps original point T
+            # and shifts only the window) — undo the shift here, like
+            # timestamp()
+            off = getattr(arg, "offset_us", 0) or 0
+            if off:
+                out = out.withColumn(
+                    "value", F.col("value") - F.lit(off / 1e6)
+                )
+        return out
 
     if name in MATH_FUNCS:
         inner = _compile(fc.args[0], source, params, spark)

@@ -42,6 +42,9 @@ FUNCS = {
     "first_over_time",
     "present_over_time",
     "absent_over_time",
+    "ts_of_last_over_time",
+    "ts_of_max_over_time",
+    "ts_of_min_over_time",
     "histogram_count",
     "histogram_sum",
     "histogram_avg",

@@ -1,0 +1,82 @@
+"""PromQL function tail (round 3): the experimental ``ts_of_*``
+family (Prometheus functions.go funcTsOfMaxOverTime /
+funcTsOfMinOverTime / funcTsOfLastOverTime, behind
+--enable-feature=promql-experimental-functions) — the timestamp, in
+float seconds, of the max / min / last sample per trailing window.
+Ties resolve to the LATEST occurrence (upstream iterates with >= /
+<=).  Closes the last gap between this engine's function surface and
+the full Prometheus 3.x list (``info()`` excepted — it needs a
+target_info metadata join the reference has no analog for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.stepfanout import fanout_join_sql
+from ..promql import MetricSource, PromParams, compile_promql
+from ..signals import COUNTERS_CTE, counter_points_frame, with_ctes
+from .registry import END_US, RANGE_US, START_US, STEP_US, register
+
+PARAMS = PromParams(START_US, END_US, STEP_US, lookback_us=RANGE_US)
+METRICS = {
+    "events_value_total": "counter_mod",
+    "events_counter_total": "counter",
+    "events_gauge": "gauge",
+}
+
+_G_FAN = fanout_join_sql(
+    "(SELECT mtype, instance, ts_us, gauge AS sample FROM counters)",
+    START_US,
+    END_US,
+    STEP_US,
+    RANGE_US,
+)
+
+
+def _source(spark, sf_dir) -> MetricSource:
+    return MetricSource(
+        df=counter_points_frame(spark, sf_dir),
+        metrics=METRICS,
+        label_cols=["mtype", "instance"],
+    )
+
+
+def _run(q: str):
+    def fn(spark, sf_dir):
+        return compile_promql(q, _source(spark, sf_dir), PARAMS, spark)
+
+    return fn
+
+
+register(
+    "ppql_parsed_ts_of_max",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       CAST(max({{'v': sample, 'ts': ts_us}}).ts AS DOUBLE) / 1e6 AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("ts_of_max_over_time(events_gauge[12h])"))
+
+
+register(
+    "ppql_parsed_ts_of_min",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       CAST(max({{'v': -(sample), 'ts': ts_us}}).ts AS DOUBLE) / 1e6 AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("ts_of_min_over_time(events_gauge[12h])"))
+
+
+register(
+    "ppql_parsed_ts_of_last",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       CAST(max(ts_us) AS DOUBLE) / 1e6 AS value
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)(_run("ts_of_last_over_time(events_gauge[12h])"))

@@ -632,6 +632,19 @@ class Referee:
                 v = _quantile(0.5, [abs(x - med) for x in vals])
             elif name == "ts_of_last_over_time":
                 v = samples[-1][0] / 1e6
+            elif name == "ts_of_max_over_time":
+                # upstream iterates with >=: later ties win
+                best_t, best_v = samples[0]
+                for t, x in samples[1:]:
+                    if x >= best_v or math.isnan(best_v):
+                        best_t, best_v = t, x
+                v = best_t / 1e6
+            elif name == "ts_of_min_over_time":
+                best_t, best_v = samples[0]
+                for t, x in samples[1:]:
+                    if x <= best_v or math.isnan(best_v):
+                        best_t, best_v = t, x
+                v = best_t / 1e6
             else:
                 raise ValueError(f"referee: unsupported {name}()")
             keep = name in ("last_over_time",)

@@ -214,3 +214,41 @@ def test_hist_sum_rejects_non_sum_ops(spark):
         compile_promql(
             "histogram_count(avg(events_hist))", src, _params(), spark
         )
+
+
+def test_ts_of_family_semantics(spark):
+    """ts_of_{max,min,last}_over_time: timestamp (float seconds) of
+    the extreme/last sample per window; ties resolve to the LATEST
+    occurrence (Prometheus iterates with >= / <=)."""
+    rows = [
+        # (ts_us, value) — max 9.0 appears twice: ts 2000 must win;
+        # min 1.0 appears twice: ts 4000 must win; last sample ts 5000
+        (1_000_000, 9.0),
+        (2_000_000, 9.0),
+        (3_000_000, 1.0),
+        (4_000_000, 1.0),
+        (5_000_000, 4.0),
+    ]
+    pts = spark.createDataFrame(
+        [("a", "h", t, v) for t, v in rows],
+        "mtype string, instance string, ts_us long, gauge double",
+    ).withColumn("counter_mod", F.col("gauge")).withColumn(
+        "counter", F.col("gauge")
+    )
+    src = MetricSource(
+        df=pts,
+        metrics={"events_gauge": "gauge"},
+        label_cols=["mtype", "instance"],
+    )
+    params = PromParams(10_000_000, 10_000_000, 1_000_000,
+                        lookback_us=10_000_000)
+    got = {}
+    for fn in ("ts_of_max_over_time", "ts_of_min_over_time",
+               "ts_of_last_over_time"):
+        out = compile_promql(
+            f"{fn}(events_gauge[10s])", src, params, spark
+        )
+        got[fn] = [r.value for r in out.collect()]
+    assert got["ts_of_max_over_time"] == [2.0]
+    assert got["ts_of_min_over_time"] == [4.0]
+    assert got["ts_of_last_over_time"] == [5.0]

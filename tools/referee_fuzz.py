@@ -30,6 +30,7 @@ _OVER_TIME = [
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "stddev_over_time", "stdvar_over_time",
     "last_over_time", "present_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
 ]
 _RATE = ["rate", "increase", "delta", "irate", "idelta", "resets",
          "changes", "deriv"]
