@@ -1,0 +1,334 @@
+"""Independent TraceQL referee: a pure-Python transcription of the
+reference's spanset-pipeline semantics (``internal/traceql``:
+dynamic-typed field evaluation op.go:96-114, structural relations
+spanset_op.go:40-233 extended to the full parsed 16-op table
+op.go:218-239, scalar-filter/by()/coalesce() stages
+traceqlengine/pipeline.go), evaluated span-by-span over an in-memory
+copy of the SAME spans the Spark engine reads.
+
+This is NOT a restatement of the Spark compiler — it walks parent
+pointers per trace the way the reference engine does, so a divergence
+between the two flags a semantics bug in one of them
+(tools/traceql_fuzz.py drives both on random trees and queries).
+
+Conventions transcribed from the reference:
+- Type-mismatched comparisons yield null → the span is dropped;
+  boolean combinators are three-valued (Kleene, SQL/Go-iterator
+  equivalent).
+- ``=~`` / ``!~`` are UNANCHORED substring regex searches
+  (regexp.MatchString semantics).
+- Sibling ``~`` matches on parent equality including two parentless
+  (root) spans of the same trace, and requires a DIFFERENT span on
+  the other side.
+- Structural output is always the right-hand side's matching spans;
+  ``!op`` = rhs matches minus the positive relation; ``&op`` = both
+  endpoints of the relation.
+- Scalar filters aggregate per spanset (trace, split further by any
+  open ``by()`` groups, merged by ``coalesce()``); aggregates ignore
+  nulls, and a group whose aggregate is null (no non-null inputs)
+  never passes the comparison.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+
+from .traceql import parser as P
+
+_NUM = (int, float)
+
+
+class TraceQLRefereeError(ValueError):
+    pass
+
+
+def _kleene_and(a, b):
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return bool(a) and bool(b)
+
+
+def _kleene_or(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return bool(a) or bool(b)
+
+
+class TraceQLReferee:
+    """Evaluate TraceQL over a list of span dicts.
+
+    Each span dict carries ``trace_id``, ``span_id``,
+    ``parent_span_id`` (None for roots) plus the intrinsic fields
+    ``name`` (str), ``status_code`` (int), ``kind`` (int),
+    ``duration_us`` (number), ``start_us`` (number); ``attr_map``
+    maps attribute names as written in queries (``service``,
+    ``resource.service.name``, …) to span-dict keys.
+    """
+
+    def __init__(self, spans: list[dict], attr_map: dict[str, str]):
+        self.spans = spans
+        self.attr_map = attr_map
+        self.by_key: dict[tuple, dict] = {}
+        self.children: dict[tuple, list[dict]] = defaultdict(list)
+        for s in spans:
+            key = (s["trace_id"], s["span_id"])
+            if key in self.by_key:
+                raise TraceQLRefereeError(f"duplicate span key {key}")
+            self.by_key[key] = s
+        for s in spans:
+            self.children[(s["trace_id"], s["parent_span_id"])].append(s)
+
+    # ---- field evaluation ------------------------------------------------
+
+    def _attr_value(self, span: dict, a: P.Attr):
+        if a.scope == "intrinsic":
+            intr = {
+                "duration": "duration_us",
+                "name": "name",
+                "status": "status_code",
+                "kind": "kind",
+            }
+            if a.name in intr:
+                v = span.get(intr[a.name])
+                return float(v) if isinstance(v, _NUM) else v
+            raise TraceQLRefereeError(f"referee: intrinsic {a.name}")
+        key = self.attr_map.get(a.name)
+        if key is None and a.scope in ("span", "resource", "instrumentation"):
+            key = self.attr_map.get(f"{a.scope}.{a.name}")
+        if key is None:
+            return None
+        v = span.get(key)
+        return float(v) if isinstance(v, _NUM) else v
+
+    def _eval_field(self, e, span: dict):
+        if isinstance(e, P.Lit):
+            if e.kind in ("number", "duration", "status", "kind"):
+                return float(e.value)
+            return e.value
+        if isinstance(e, P.Attr):
+            return self._attr_value(span, e)
+        if isinstance(e, P.FieldOp):
+            if e.op == "!":
+                v = self._eval_field(e.lhs, span)
+                if v is None:
+                    return None
+                if not isinstance(v, bool):
+                    return None  # type mismatch
+                return not v
+            if e.op == "neg":
+                v = self._eval_field(e.lhs, span)
+                return -v if isinstance(v, _NUM) else None
+            if e.op == "&&":
+                return _kleene_and(
+                    self._eval_field(e.lhs, span), self._eval_field(e.rhs, span)
+                )
+            if e.op == "||":
+                return _kleene_or(
+                    self._eval_field(e.lhs, span), self._eval_field(e.rhs, span)
+                )
+            a = self._eval_field(e.lhs, span)
+            b = self._eval_field(e.rhs, span)
+            if e.op in ("=~", "!~"):
+                if not isinstance(a, str) or not isinstance(b, str):
+                    return None
+                hit = re.search(b, a) is not None
+                return hit if e.op == "=~" else not hit
+            if a is None or b is None:
+                return None
+            if e.op in ("=", "!=", ">", ">=", "<", "<="):
+                both_num = isinstance(a, _NUM) and isinstance(b, _NUM)
+                both_str = isinstance(a, str) and isinstance(b, str)
+                if not (both_num or both_str):
+                    return None  # dynamic typing: mismatch → null
+                try:
+                    return {
+                        "=": lambda: a == b,
+                        "!=": lambda: a != b,
+                        ">": lambda: a > b,
+                        ">=": lambda: a >= b,
+                        "<": lambda: a < b,
+                        "<=": lambda: a <= b,
+                    }[e.op]()
+                except TypeError:
+                    return None
+            if e.op in ("+", "-", "*", "/", "%"):
+                if not (isinstance(a, _NUM) and isinstance(b, _NUM)):
+                    return None
+                if e.op == "/":
+                    return a / b if b != 0 else None
+                if e.op == "%":
+                    return math.fmod(a, b) if b != 0 else None
+                return {"+": a + b, "-": a - b, "*": a * b}[e.op]
+            raise TraceQLRefereeError(f"referee: field op {e.op}")
+        raise TraceQLRefereeError(f"referee: bad field expr {e!r}")
+
+    def _match_set(self, spanset: P.Spanset) -> set:
+        if spanset.expr is None:
+            return set(self.by_key)
+        out = set()
+        for key, s in self.by_key.items():
+            if self._eval_field(spanset.expr, s) is True:
+                out.add(key)
+        return out
+
+    # ---- structural relations -------------------------------------------
+
+    def _parent_key(self, key: tuple):
+        s = self.by_key[key]
+        if s["parent_span_id"] is None:
+            return None
+        pk = (s["trace_id"], s["parent_span_id"])
+        return pk if pk in self.by_key else None
+
+    def _ancestor_keys(self, key: tuple) -> set:
+        out = set()
+        cur = self._parent_key(key)
+        while cur is not None and cur not in out:
+            out.add(cur)
+            cur = self._parent_key(cur)
+        return out
+
+    def _child_keys(self, key: tuple) -> list:
+        t, s = key
+        return [(t, c["span_id"]) for c in self.children.get((t, s), [])]
+
+    def _descendant_keys(self, key: tuple) -> set:
+        out: set = set()
+        frontier = self._child_keys(key)
+        while frontier:
+            nxt = []
+            for k in frontier:
+                if k in out:
+                    continue
+                out.add(k)
+                nxt.extend(self._child_keys(k))
+            frontier = nxt
+        return out
+
+    def _siblings_in(self, key: tuple, pool: set) -> bool:
+        s = self.by_key[key]
+        t = s["trace_id"]
+        for other in self.children.get((t, s["parent_span_id"]), []):
+            ok = (t, other["span_id"])
+            if ok != key and ok in pool:
+                return True
+        return False
+
+    def _relation(self, op: str, lset: set, rset: set) -> set:
+        if op == ">":
+            return {r for r in rset if self._parent_key(r) in lset}
+        if op == "<":
+            return {
+                r for r in rset if any(c in lset for c in self._child_keys(r))
+            }
+        if op == ">>":
+            return {r for r in rset if self._ancestor_keys(r) & lset}
+        if op == "<<":
+            return {r for r in rset if self._descendant_keys(r) & lset}
+        if op == "~":
+            return {r for r in rset if self._siblings_in(r, lset)}
+        if op in ("!>", "!>>", "!~"):
+            pos = self._relation(op[1:], lset, rset)
+            return rset - pos
+        if op.startswith("&"):
+            rel = op[1:]
+            fwd = self._relation(rel, lset, rset)
+            mirror_rel = {">": "<", "<": ">", ">>": "<<", "<<": ">>", "~": "~"}[
+                rel
+            ]
+            back = self._relation(mirror_rel, rset, lset)
+            return fwd | back
+        raise TraceQLRefereeError(f"referee: structural op {op}")
+
+    def _structural(self, node) -> set:
+        if isinstance(node, P.Spanset):
+            return self._match_set(node)
+        if isinstance(node, P.Structural):
+            if node.op in ("&&", "||"):
+                lset = self._structural(node.lhs)
+                rset = self._structural(node.rhs)
+                if node.op == "||":
+                    return lset | rset
+                lt = {t for t, _ in lset}
+                rt = {t for t, _ in rset}
+                both = lt & rt
+                return {k for k in (lset | rset) if k[0] in both}
+            if not isinstance(node.lhs, P.Spanset) or not isinstance(
+                node.rhs, P.Spanset
+            ):
+                raise TraceQLRefereeError(
+                    "referee: nested structural chains need parentheses"
+                )
+            lset = self._match_set(node.lhs)
+            rset = self._match_set(node.rhs)
+            return self._relation(node.op, lset, rset)
+        raise TraceQLRefereeError(f"referee: bad node {node!r}")
+
+    # ---- pipeline stages -------------------------------------------------
+
+    def query(self, q) -> set:
+        """Evaluate; returns the set of matching (trace_id, span_id)."""
+        ast = P.parse(q) if isinstance(q, str) else q
+        keys = self._structural(ast.root)
+        # (key, group-value tuple) per span; group cols accumulate via
+        # by() and reset at coalesce()
+        cur: list[tuple] = [(k, ()) for k in sorted(keys)]
+        for stage in ast.stages:
+            if isinstance(stage, P.Group):
+                nxt = []
+                for k, g in cur:
+                    v = self._eval_field(stage.by, self.by_key[k])
+                    if v is None:
+                        continue  # span with no group value → no spanset
+                    nxt.append((k, g + (v,)))
+                cur = nxt
+            elif isinstance(stage, P.Coalesce):
+                cur = [(k, ()) for k, _ in cur]
+            elif isinstance(stage, P.ScalarFilter):
+                groups: dict[tuple, list] = defaultdict(list)
+                for k, g in cur:
+                    groups[(k[0],) + g].append((k, g))
+                keep = set()
+                for gk, members in groups.items():
+                    if stage.agg == "count":
+                        agg = float(len(members))
+                    else:
+                        vals = []
+                        for k, _ in members:
+                            span = self.by_key[k]
+                            if stage.attr is not None:
+                                v = self._attr_value(span, stage.attr)
+                            else:
+                                v = float(span["duration_us"])
+                            if isinstance(v, _NUM):
+                                vals.append(float(v))
+                        if not vals:
+                            continue  # null aggregate never passes
+                        agg = {
+                            "max": max,
+                            "min": min,
+                            "sum": math.fsum,
+                            "avg": lambda x: math.fsum(x) / len(x),
+                        }[stage.agg](vals)
+                    passed = {
+                        "=": agg == stage.value,
+                        "!=": agg != stage.value,
+                        ">": agg > stage.value,
+                        ">=": agg >= stage.value,
+                        "<": agg < stage.value,
+                        "<=": agg <= stage.value,
+                    }[stage.op]
+                    if passed:
+                        keep.add(gk)
+                cur = [(k, g) for k, g in cur if ((k[0],) + g) in keep]
+            elif isinstance(stage, P.Select):
+                pass  # projection only — span identity unchanged
+            else:
+                raise TraceQLRefereeError(f"referee: stage {stage!r}")
+        return {k for k, _ in cur}

@@ -35,3 +35,12 @@ def test_logql_fuzz_engine_matches_referee(spark):
     stats, failures = run_logql_fuzz(spark, SF_DIR, n=50, seed=0)
     assert not failures, failures[:3]
     assert stats["match"] >= 45, stats
+
+
+def test_traceql_fuzz_engine_matches_referee(spark):
+    from tools.traceql_fuzz import run_traceql_fuzz
+
+    stats, failures = run_traceql_fuzz(spark, n=40, seed=0)
+    assert not failures, failures[:3]
+    # random trees + full op table must actually execute
+    assert stats["match"] >= 36, stats

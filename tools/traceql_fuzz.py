@@ -1,0 +1,235 @@
+"""Differential TraceQL fuzzing: seeded-random span TREES and queries
+evaluated by BOTH the Spark compiler (oteldb_spark/traceql) and the
+pure-Python referee (oteldb_spark/traceql_referee.py).
+
+Random trees go deeper (up to ~8 levels) and bushier than the
+testdata's 2-level order/lineitem forest, so the structural operators
+(full 16-op table), by()/coalesce() grouping and scalar filters get
+exercised on shapes the oracle gates cannot reach.
+
+Usage:  python tools/traceql_fuzz.py [n_cases] [seed]
+Imported by tests/test_referee_fuzz.py.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+_SERVICES = ["frontend", "svc-0", "svc-1", "svc-2", "svc-3"]
+_NAMES = [f"op-{i}" for i in range(6)]
+_ATTR_MAP = {
+    "service": "service",
+    "service.name": "service",
+    "retries": "retries",
+}
+
+
+def gen_spans(rng: random.Random, n_traces: int = 24) -> list[dict]:
+    spans = []
+    for t in range(1, n_traces + 1):
+        next_id = 1
+        nodes: list[int] = []
+        for _ in range(1 if rng.random() < 0.85 else 2):
+            spans.append(_mk(rng, t, next_id, None))
+            nodes.append(next_id)
+            next_id += 1
+        # attaching each new span to a uniformly random existing node
+        # yields random recursive trees (expected depth ~log n, tail
+        # much deeper) — plus a biased "chain" mode for depth
+        chain = rng.random() < 0.25
+        for _ in range(rng.randint(4, 14)):
+            parent = nodes[-1] if chain else rng.choice(nodes)
+            spans.append(_mk(rng, t, next_id, parent))
+            nodes.append(next_id)
+            next_id += 1
+    return spans
+
+
+def _mk(rng: random.Random, trace: int, sid: int, parent) -> dict:
+    return {
+        "trace_id": trace,
+        "span_id": sid,
+        "parent_span_id": parent,
+        "service": rng.choice(_SERVICES),
+        "name": rng.choice(_NAMES),
+        "kind": rng.randint(1, 5),
+        "status_code": rng.choice([0, 0, 1, 2]),
+        "start_us": 1_700_000_000_000_000 + rng.randint(0, 10_000_000),
+        "duration_us": rng.randint(500, 200_000),
+        "retries": rng.randint(0, 5),
+    }
+
+
+def gen_pred(rng: random.Random, depth: int = 2) -> str:
+    roll = rng.random()
+    if depth > 0 and roll < 0.25:
+        a, b = gen_pred(rng, depth - 1), gen_pred(rng, depth - 1)
+        op = rng.choice(["&&", "||"])
+        return f"({a}) {op} ({b})"
+    roll = rng.random()
+    if roll < 0.18:
+        op = rng.choice(["=", "!=", "=~", "!~"])
+        if op in ("=~", "!~"):
+            val = rng.choice(["svc-[0-2]", "svc.*", "front", "-1"])
+        else:
+            val = rng.choice(_SERVICES)
+        scope = rng.choice(["", "span.", "resource."])
+        attr = "service.name" if scope == "resource." else "service"
+        return f'{scope}{attr} {op} "{val}"'
+    if roll < 0.34:
+        op = rng.choice(["=", "!=", "=~"])
+        val = (
+            rng.choice(["op-.*", "op-[0-3]"])
+            if op == "=~"
+            else rng.choice(_NAMES)
+        )
+        return f'name {op} "{val}"'
+    if roll < 0.52:
+        op = rng.choice([">", ">=", "<", "<="])
+        if rng.random() < 0.5:
+            return f"duration {op} {rng.choice(['1ms', '20ms', '100ms'])}"
+        return f"duration {op} {rng.randint(1_000, 150_000)}"
+    if roll < 0.64:
+        return f"status {rng.choice(['=', '!='])} {rng.choice(['error', 'ok', 'unset'])}"
+    if roll < 0.76:
+        return f"kind = {rng.choice(['internal', 'server', 'client', 'producer', 'consumer'])}"
+    if roll < 0.92:
+        op = rng.choice(["=", "!=", ">", ">=", "<", "<="])
+        return f"retries {op} {rng.randint(0, 4)}"
+    # arithmetic over numeric fields
+    return f"duration * 2 + retries > {rng.randint(10_000, 250_000)}"
+
+
+_REL_OPS = [">", ">>", "~", "<", "<<", "!>", "!>>", "!~",
+            "&>", "&>>", "&<", "&<<", "&~"]
+
+
+def gen_query(rng: random.Random) -> str:
+    def spanset() -> str:
+        if rng.random() < 0.08:
+            return "{ }"
+        return "{ " + gen_pred(rng) + " }"
+
+    roll = rng.random()
+    if roll < 0.5:
+        q = spanset()
+        if rng.random() < 0.55:
+            q = f"{q} {rng.choice(_REL_OPS)} {spanset()}"
+    else:
+        # relation first (the engine requires the relation's lhs to be
+        # a plain spanset), then &&/|| chain — matches left-assoc parse
+        q = f"{spanset()} {rng.choice(_REL_OPS)} {spanset()}"
+        for _ in range(rng.randint(1, 2)):
+            q = f"{q} {rng.choice(['&&', '||'])} {spanset()}"
+    # pipeline stages
+    if rng.random() < 0.45:
+        stages = []
+        if rng.random() < 0.4:
+            stages.append(f"| by({rng.choice(['service', 'name'])})")
+        agg = rng.choice(
+            ["count()", "avg(duration)", "max(duration)", "min(duration)",
+             "sum(duration)", "max(retries)", "sum(retries)"]
+        )
+        op = rng.choice([">", ">=", "<", "<=", "!="])
+        if "duration" in agg and rng.random() < 0.5:
+            val = rng.choice(["5ms", "50ms", "120ms"])
+        elif "duration" in agg:
+            val = str(rng.randint(5_000, 300_000))
+        else:
+            val = str(rng.randint(1, 12))
+        stages.append(f"| {agg} {op} {val}")
+        if rng.random() < 0.3:
+            stages.append("| coalesce()")
+            stages.append(f"| count() {rng.choice(['>', '<='])} {rng.randint(1, 8)}")
+        q = f"{q} {' '.join(stages)}"
+    return q
+
+
+def run_traceql_fuzz(spark, n: int, seed: int, verbose: bool = False):
+    from oteldb_spark.traceql import SpanSource, compile_traceql
+    from oteldb_spark.traceql_referee import TraceQLReferee
+
+    rng = random.Random(seed)
+    spans = gen_spans(rng)
+    df = spark.createDataFrame(
+        [
+            (
+                s["trace_id"], s["span_id"], s["parent_span_id"],
+                s["service"], s["name"], s["kind"], s["status_code"],
+                s["start_us"], s["duration_us"], s["retries"],
+            )
+            for s in spans
+        ],
+        "trace_id long, span_id long, parent_span_id long, service string,"
+        " name string, kind int, status_code int, start_us long,"
+        " duration_us long, retries long",
+    ).cache()
+    df.count()
+    source = SpanSource(df=df, attr_cols=dict(_ATTR_MAP))
+    referee = TraceQLReferee(spans, dict(_ATTR_MAP))
+
+    stats = {"match": 0, "mismatch": 0, "both_error": 0,
+             "engine_only_error": 0, "referee_only_error": 0}
+    failures = []
+    for _ in range(n):
+        q = gen_query(rng)
+        eng_err = ref_err = None
+        eng_set = ref_set = None
+        try:
+            rows = (
+                compile_traceql(q, source)
+                .select("trace_id", "span_id")
+                .collect()
+            )
+            eng_set = {(r.trace_id, r.span_id) for r in rows}
+        except Exception as e:  # noqa: BLE001
+            eng_err = repr(e)
+        try:
+            ref_set = referee.query(q)
+        except Exception as e:  # noqa: BLE001
+            ref_err = repr(e)
+        if eng_err and ref_err:
+            stats["both_error"] += 1
+            continue
+        if eng_err:
+            stats["engine_only_error"] += 1
+            failures.append((q, "engine_only_error", eng_err))
+        elif ref_err:
+            stats["referee_only_error"] += 1
+            failures.append((q, "referee_only_error", ref_err))
+        elif eng_set == ref_set:
+            stats["match"] += 1
+        else:
+            stats["mismatch"] += 1
+            detail = (
+                f"engine-only={sorted(eng_set - ref_set)[:5]} "
+                f"referee-only={sorted(ref_set - eng_set)[:5]}"
+            )
+            failures.append((q, "mismatch", detail))
+        if failures and verbose and failures[-1][0] == q:
+            cls, detail = failures[-1][1], failures[-1][2]
+            print(f"[{cls}] {q!r}\n    {detail[:300]}")
+    return stats, failures
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    from oteldb_spark.session import get_spark
+
+    spark = get_spark()
+    stats, failures = run_traceql_fuzz(spark, n, seed, verbose=True)
+    import json
+
+    total = sum(stats.values())
+    ok = stats["match"] + stats["both_error"]
+    print(json.dumps({**stats, "total": total,
+                      "agree_rate": round(ok / total, 4)}))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
