@@ -14,6 +14,7 @@ the ANSI/DuckDB re-statement of the same semantics.
 from . import registry  # noqa: F401
 # round-3 additions first…
 from . import promql_fns3  # noqa: F401
+from . import traceql_intrinsics  # noqa: F401
 from . import pipeline3  # noqa: F401
 from . import otlp_pb_ingest  # noqa: F401
 from . import exp_native  # noqa: F401

@@ -64,6 +64,9 @@ def _attr_col(src: SpanSource, a: P.Attr) -> Column:
         }
         if a.name in intr:
             return intr[a.name]
+        if a.name in _TRACE_INTRINSICS:
+            # materialized by _with_trace_columns before compilation
+            return F.col(f"__trace_{a.name}")
         c = _scoped_intrinsic(src, a.name)
         if c is not None:
             return c
@@ -169,6 +172,95 @@ def _collect_attrs(node, out: list) -> None:
         _collect_attrs(node.rhs, out)
 
 
+_TRACE_INTRINSICS = {"rootName", "rootServiceName", "traceDuration", "childCount"}
+
+
+def _query_attrs(query) -> list:
+    attrs: list[P.Attr] = []
+    _collect_attrs(query.root, attrs)
+    for st in query.stages:
+        if isinstance(st, P.ScalarFilter) and st.attr is not None:
+            _collect_attrs(st.attr, attrs)
+        elif isinstance(st, P.Select):
+            for a in st.attrs:
+                _collect_attrs(a, attrs)
+        elif isinstance(st, P.Group):
+            _collect_attrs(st.by, attrs)
+    return attrs
+
+
+def _with_trace_columns(source: SpanSource, query) -> SpanSource:
+    """Materialize trace-context intrinsics (rootName,
+    rootServiceName, traceDuration, childCount — attribute.go:52-65)
+    as per-trace / per-span columns when the query references them.
+    One groupBy(trace) + per-trace join each — co-partitioned by
+    trace, same shuffle key as the structural joins, so AQE can reuse
+    the exchange.  Root = the parentless span with the smallest
+    span_id (deterministic when a trace carries several roots)."""
+    import dataclasses
+
+    names = {
+        a.name
+        for a in _query_attrs(query)
+        if a.scope == "intrinsic" and a.name in _TRACE_INTRINSICS
+    }
+    if not names:
+        return source
+    df = source.df
+    spans = source.df
+    tcol = source.trace_col
+    if {"rootName", "rootServiceName"} & names:
+        root_aggs = []
+        if "rootName" in names:
+            root_aggs.append(
+                F.min_by(F.col(source.name_col), F.col(source.span_col)).alias(
+                    "__trace_rootName"
+                )
+            )
+        if "rootServiceName" in names:
+            svc = source.attr_cols.get("service.name") or source.attr_cols.get(
+                "service"
+            )
+            if svc is None:
+                raise KeyError(
+                    "TraceQL: rootServiceName needs a service.name attr column"
+                )
+            root_aggs.append(
+                F.min_by(F.col(svc), F.col(source.span_col)).alias(
+                    "__trace_rootServiceName"
+                )
+            )
+        roots = (
+            spans.filter(F.col(source.parent_col).isNull())
+            .groupBy(tcol)
+            .agg(*root_aggs)
+        )
+        df = df.join(roots, tcol, "left")
+    if "traceDuration" in names:
+        td = spans.groupBy(tcol).agg(
+            (
+                F.max(F.col(source.start_col) + F.col(source.duration_col))
+                - F.min(F.col(source.start_col))
+            ).alias("__trace_traceDuration")
+        )
+        df = df.join(td, tcol, "left")
+    if "childCount" in names:
+        cc = spans.groupBy(
+            F.col(tcol).alias("__cc_tid"),
+            F.col(source.parent_col).alias("__cc_sid"),
+        ).agg(F.count(F.lit(1)).alias("__trace_childCount"))
+        df = df.join(
+            cc,
+            (F.col(tcol) == F.col("__cc_tid"))
+            & (F.col(source.span_col) == F.col("__cc_sid")),
+            "left",
+        ).drop("__cc_tid", "__cc_sid")
+        df = df.withColumn(
+            "__trace_childCount", F.coalesce("__trace_childCount", F.lit(0))
+        )
+    return dataclasses.replace(source, df=df)
+
+
 def _with_parent_columns(source: SpanSource, query) -> SpanSource:
     """If the query references parent.x, left-join each span to its
     parent once and materialize the needed parent columns.  The join
@@ -259,6 +351,7 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
         query = P.parse(query)
 
     source = _with_parent_columns(source, query)
+    source = _with_trace_columns(source, query)
     out = _compile_structural(query.root, source)
 
     # spanset identity: trace_id, split further by any active by()
@@ -315,7 +408,9 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
     internal = [
         c
         for c in out.columns
-        if c.startswith("__parent_") or c.startswith("__group_")
+        if c.startswith("__parent_")
+        or c.startswith("__group_")
+        or c.startswith("__trace_")
     ]
     if internal:
         out = out.drop(*internal)

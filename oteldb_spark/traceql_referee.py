@@ -84,6 +84,26 @@ class TraceQLReferee:
         for s in spans:
             self.children[(s["trace_id"], s["parent_span_id"])].append(s)
 
+    # ---- trace context ---------------------------------------------------
+
+    def _root_span(self, trace_id):
+        """The parentless span with the smallest span_id (matches the
+        deterministic root pick when a trace carries several roots)."""
+        roots = [
+            s
+            for s in self.children.get((trace_id, None), [])
+        ]
+        if not roots:
+            return None
+        return min(roots, key=lambda s: s["span_id"])
+
+    def _trace_duration(self, trace_id) -> float:
+        spans = [s for s in self.spans if s["trace_id"] == trace_id]
+        return float(
+            max(s["start_us"] + s["duration_us"] for s in spans)
+            - min(s["start_us"] for s in spans)
+        )
+
     # ---- field evaluation ------------------------------------------------
 
     def _attr_value(self, span: dict, a: P.Attr):
@@ -97,6 +117,23 @@ class TraceQLReferee:
             if a.name in intr:
                 v = span.get(intr[a.name])
                 return float(v) if isinstance(v, _NUM) else v
+            if a.name in ("rootName", "rootServiceName"):
+                root = self._root_span(span["trace_id"])
+                if root is None:
+                    return None
+                if a.name == "rootName":
+                    return root["name"]
+                key = self.attr_map.get("service.name") or self.attr_map.get(
+                    "service"
+                )
+                return root.get(key) if key else None
+            if a.name == "traceDuration":
+                return self._trace_duration(span["trace_id"])
+            if a.name == "childCount":
+                return float(
+                    len(self.children.get(
+                        (span["trace_id"], span["span_id"]), ()))
+                )
             raise TraceQLRefereeError(f"referee: intrinsic {a.name}")
         key = self.attr_map.get(a.name)
         if key is None and a.scope in ("span", "resource", "instrumentation"):

@@ -96,9 +96,20 @@ def gen_pred(rng: random.Random, depth: int = 2) -> str:
         return f"status {rng.choice(['=', '!='])} {rng.choice(['error', 'ok', 'unset'])}"
     if roll < 0.76:
         return f"kind = {rng.choice(['internal', 'server', 'client', 'producer', 'consumer'])}"
-    if roll < 0.92:
+    if roll < 0.86:
         op = rng.choice(["=", "!=", ">", ">=", "<", "<="])
         return f"retries {op} {rng.randint(0, 4)}"
+    if roll < 0.96:
+        # trace-context intrinsics (compiled via per-trace enrichment)
+        return rng.choice(
+            [
+                f'rootName {rng.choice(["=", "!=", "=~"])} "'
+                + rng.choice(_NAMES + ["op-.*"]) + '"',
+                f'rootServiceName = "{rng.choice(_SERVICES)}"',
+                f"traceDuration > {rng.randint(50_000, 400_000)}",
+                f"childCount {rng.choice(['=', '>', '>='])} {rng.randint(0, 4)}",
+            ]
+        )
     # arithmetic over numeric fields
     return f"duration * 2 + retries > {rng.randint(10_000, 250_000)}"
 
