@@ -93,6 +93,85 @@ def stream_logs_from_pb(
     return writer.start()
 
 
+def stream_spans_from_pb(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """OTLP protobuf ExportTraceServiceRequest files → flattened,
+    date-partitioned span table (the trace half of the reference's
+    primary wire path, otelreceiver/receiver.go:60-68; consumer →
+    tracestorage rows).  Same executor-side wire decode and flattener
+    as the batch path."""
+    from ..sources.otlp_pb import pb_spans
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("pathGlobFilter", "*.binpb")
+        .option("maxFilesPerTrigger", 64)
+        .load(input_dir)
+    )
+    flat = pb_spans(raw.select(F.col("content").alias("payload")))
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def stream_points_from_pb(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """OTLP protobuf ExportMetricsServiceRequest files → flattened,
+    date-partitioned points table (sum/gauge pass-through plus the
+    histogram/summary explosion, inserter_metrics.go)."""
+    from ..sources.otlp_pb import pb_metrics
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("pathGlobFilter", "*.binpb")
+        .option("maxFilesPerTrigger", 64)
+        .load(input_dir)
+    )
+    flat = pb_metrics(
+        raw.select(F.col("content").alias("payload"))
+    ).withColumn(
+        "date",
+        F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000"))),
+    )
+    writer = (
+        flat.writeStream.format("parquet")
+        .option("path", table_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_dedup_exact(
     stream: DataFrame,
     key_cols: list[str],
