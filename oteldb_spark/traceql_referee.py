@@ -369,3 +369,140 @@ class TraceQLReferee:
             else:
                 raise TraceQLRefereeError(f"referee: stage {stage!r}")
         return {k for k, _ in cur}
+
+    # ---- metrics layer ---------------------------------------------------
+
+    def query_metrics(
+        self, q, *, start_us: int, end_us: int, step_us: int, range_us: int
+    ) -> dict:
+        """TraceQL metrics: ``{filter} | fn() [by (...)] | stages`` →
+        {(label values..., step_us): value}.  Matched spans become
+        samples at their start timestamp; each step t aggregates the
+        trailing window (t - range, t] (empty windows emit nothing);
+        second-stage topk/bottomk keep k series per step with ties
+        broken by the label columns."""
+        ast = P.parse(q) if isinstance(q, str) else q
+        fn_at = next(
+            (
+                i
+                for i, s in enumerate(ast.stages)
+                if isinstance(s, (P.MetricFn, P.Compare))
+            ),
+            None,
+        )
+        if fn_at is None:
+            raise TraceQLRefereeError("referee: not a metrics query")
+        fn = ast.stages[fn_at]
+        if isinstance(fn, P.Compare):
+            raise TraceQLRefereeError("referee: compare() not modeled")
+        second = ast.stages[fn_at + 1 :]
+        base = P.TraceQuery(ast.root, ast.stages[:fn_at])
+        keys = self.query(base)
+
+        samples = []  # (label tuple, ts_us, sample)
+        for k in sorted(keys):
+            span = self.by_key[k]
+            labels = tuple(
+                self._eval_field(a, span) for a in fn.by
+            )
+            if fn.attr is not None:
+                v = self._eval_field(fn.attr, span)
+                if not isinstance(v, _NUM) or isinstance(v, bool):
+                    v = None
+                else:
+                    v = float(v)
+            else:
+                v = 1.0
+            samples.append((labels, float(span["start_us"]), v))
+
+        range_s = range_us / 1e6
+        out: dict = {}
+        t = start_us
+        while t <= end_us:
+            window: dict[tuple, list] = {}
+            for labels, ts, v in samples:
+                if t - range_us < ts <= t:
+                    window.setdefault(labels, []).append(v)
+            for labels, vals in window.items():
+                if fn.name == "rate":
+                    val = len(vals) / range_s
+                elif fn.name == "count_over_time":
+                    val = float(len(vals))
+                else:
+                    nn = [v for v in vals if v is not None]
+                    if not nn:
+                        val = None  # all-null window → null value row
+                    elif fn.name == "sum_over_time":
+                        val = math.fsum(nn)
+                    elif fn.name == "avg_over_time":
+                        val = math.fsum(nn) / len(nn)
+                    elif fn.name == "min_over_time":
+                        val = min(nn)
+                    elif fn.name == "max_over_time":
+                        val = max(nn)
+                    elif fn.name == "quantile_over_time":
+                        val = _percentile_cont(nn, fn.q)
+                    else:
+                        raise TraceQLRefereeError(
+                            f"referee: metrics fn {fn.name}"
+                        )
+                out[labels + (t,)] = val
+            t += step_us
+
+        for st in second:
+            if isinstance(st, P.TopK):
+                by_step: dict[float, list] = {}
+                for key, val in out.items():
+                    by_step.setdefault(key[-1], []).append((key, val))
+                keep = {}
+                for _, rows in by_step.items():
+                    rows.sort(
+                        key=lambda kv: (
+                            -kv[1] if st.op == "topk" else kv[1],
+                            kv[0][:-1],
+                        )
+                    )
+                    for key, val in rows[: st.limit]:
+                        keep[key] = val
+                out = keep
+            elif isinstance(st, P.MetricsFilter):
+                import operator as _op
+
+                cmp = {
+                    ">": _op.gt, ">=": _op.ge, "<": _op.lt,
+                    "<=": _op.le, "=": _op.eq, "!=": _op.ne,
+                }[st.op]
+                out = {
+                    k: v
+                    for k, v in out.items()
+                    if v is not None and cmp(v, st.value)
+                }
+            elif isinstance(st, P.MetricsScalarOp):
+                f = {
+                    "+": lambda v: v + st.value,
+                    "-": lambda v: v - st.value,
+                    "*": lambda v: v * st.value,
+                    "/": lambda v: v / st.value,
+                }[st.op]
+                out = {
+                    k: (f(v) if v is not None else None)
+                    for k, v in out.items()
+                }
+            else:
+                raise TraceQLRefereeError(f"referee: metrics stage {st!r}")
+        return out
+
+
+def _percentile_cont(vals: list, q: float) -> float:
+    """SQL percentile_cont / Spark F.percentile: linear interpolation
+    at index q*(n-1) over the sorted values."""
+    s = sorted(vals)
+    if len(s) == 1:
+        return s[0]
+    idx = q * (len(s) - 1)
+    lo = int(math.floor(idx))
+    hi = int(math.ceil(idx))
+    if lo == hi:
+        return s[lo]
+    frac = idx - lo
+    return s[lo] * (1 - frac) + s[hi] * frac

@@ -44,3 +44,11 @@ def test_traceql_fuzz_engine_matches_referee(spark):
     assert not failures, failures[:3]
     # random trees + full op table must actually execute
     assert stats["match"] >= 36, stats
+
+
+def test_traceql_metrics_fuzz_engine_matches_referee(spark):
+    from tools.traceql_fuzz import run_traceql_metrics_fuzz
+
+    stats, failures = run_traceql_metrics_fuzz(spark, n=30, seed=0)
+    assert not failures, failures[:3]
+    assert stats["match"] >= 27, stats

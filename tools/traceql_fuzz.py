@@ -159,6 +159,128 @@ def gen_query(rng: random.Random) -> str:
     return q
 
 
+# window for metrics queries: spans start in [BASE, BASE+10s]
+_M_START = 1_700_000_000_000_000
+_M_END = _M_START + 10_000_000
+_M_STEP = 2_000_000
+_M_RANGE = 4_000_000
+
+
+def gen_metrics_query(rng: random.Random) -> str:
+    base = "{ " + gen_pred(rng, 1) + " }" if rng.random() < 0.8 else "{ }"
+    fn = rng.choice(
+        ["rate()", "count_over_time()", "avg_over_time(duration)",
+         "max_over_time(duration)", "min_over_time(duration)",
+         "sum_over_time(retries)",
+         f"quantile_over_time(duration, {rng.choice(['0.5', '0.9', '0.99'])})"]
+    )
+    q = f"{base} | {fn}"
+    if rng.random() < 0.6:
+        by = rng.choice(["service", "name", "service, name"])
+        q = f"{q} by({by})"
+    if rng.random() < 0.5:
+        st = rng.random()
+        if st < 0.4:
+            q = f"{q} | {rng.choice(['topk', 'bottomk'])}({rng.randint(1, 3)})"
+        elif st < 0.7:
+            q = f"{q} | {rng.choice(['>', '>=', '<', '<='])} {rng.choice(['0.5', '2', '40000'])}"
+        else:
+            q = f"{q} | {rng.choice(['*', '+', '-'])} {rng.choice(['2', '0.5', '10'])}"
+    return q
+
+
+def _metrics_compare(engine_rows, by_n, ref_out, tol=1e-9):
+    eng = {}
+    for r in engine_rows:
+        vals = tuple(r)[: by_n]
+        step = r["step_us"]
+        eng[vals + (step,)] = r["value"]
+    if set(eng) != set(ref_out):
+        return (
+            f"keys differ: engine-only={sorted(set(eng) - set(ref_out))[:4]} "
+            f"referee-only={sorted(set(ref_out) - set(eng))[:4]}"
+        )
+    for k, ev in eng.items():
+        rv = ref_out[k]
+        if ev is None and rv is None:
+            continue
+        if ev is None or rv is None:
+            return f"null mismatch at {k}: engine={ev} referee={rv}"
+        if abs(ev - rv) > tol * max(1.0, abs(ev), abs(rv)):
+            return f"value mismatch at {k}: engine={ev} referee={rv}"
+    return None
+
+
+def run_traceql_metrics_fuzz(spark, n: int, seed: int, verbose: bool = False):
+    from oteldb_spark.traceql import SpanSource
+    from oteldb_spark.traceql.compiler import compile_traceql_metrics
+    from oteldb_spark.traceql import parser as TP
+    from oteldb_spark.traceql_referee import TraceQLReferee
+
+    rng = random.Random(seed)
+    spans = gen_spans(rng)
+    df = _spans_df(spark, spans)
+    source = SpanSource(df=df, attr_cols=dict(_ATTR_MAP))
+    referee = TraceQLReferee(spans, dict(_ATTR_MAP))
+    kw = dict(start_us=_M_START, end_us=_M_END, step_us=_M_STEP,
+              range_us=_M_RANGE)
+    stats = {"match": 0, "mismatch": 0, "both_error": 0,
+             "engine_only_error": 0, "referee_only_error": 0}
+    failures = []
+    for _ in range(n):
+        q = gen_metrics_query(rng)
+        by_n = 0
+        eng_err = ref_err = detail = None
+        try:
+            ast = TP.parse(q)
+            fn = next(
+                s for s in ast.stages if isinstance(s, TP.MetricFn)
+            )
+            by_n = len(fn.by)
+            rows = compile_traceql_metrics(q, source, spark=spark, **kw).collect()
+        except Exception as e:  # noqa: BLE001
+            eng_err = repr(e)
+        try:
+            ref_out = referee.query_metrics(q, **kw)
+        except Exception as e:  # noqa: BLE001
+            ref_err = repr(e)
+        if eng_err and ref_err:
+            stats["both_error"] += 1
+            continue
+        if eng_err:
+            stats["engine_only_error"] += 1
+            failures.append((q, "engine_only_error", eng_err))
+        elif ref_err:
+            stats["referee_only_error"] += 1
+            failures.append((q, "referee_only_error", ref_err))
+        else:
+            detail = _metrics_compare(rows, by_n, ref_out)
+            if detail is None:
+                stats["match"] += 1
+            else:
+                stats["mismatch"] += 1
+                failures.append((q, "mismatch", detail))
+        if failures and verbose and failures[-1][0] == q:
+            print(f"[{failures[-1][1]}] {q!r}\n    {failures[-1][2][:300]}")
+    return stats, failures
+
+
+def _spans_df(spark, spans):
+    return spark.createDataFrame(
+        [
+            (
+                s["trace_id"], s["span_id"], s["parent_span_id"],
+                s["service"], s["name"], s["kind"], s["status_code"],
+                s["start_us"], s["duration_us"], s["retries"],
+            )
+            for s in spans
+        ],
+        "trace_id long, span_id long, parent_span_id long, service string,"
+        " name string, kind int, status_code int, start_us long,"
+        " duration_us long, retries long",
+    ).cache()
+
+
 def run_traceql_fuzz(spark, n: int, seed: int, verbose: bool = False):
     from oteldb_spark.traceql import SpanSource, compile_traceql
     from oteldb_spark.traceql_referee import TraceQLReferee
@@ -229,10 +351,12 @@ def run_traceql_fuzz(spark, n: int, seed: int, verbose: bool = False):
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    mode = sys.argv[3] if len(sys.argv) > 3 else "spans"
     from oteldb_spark.session import get_spark
 
     spark = get_spark()
-    stats, failures = run_traceql_fuzz(spark, n, seed, verbose=True)
+    runner = run_traceql_metrics_fuzz if mode == "metrics" else run_traceql_fuzz
+    stats, failures = runner(spark, n, seed, verbose=True)
     import json
 
     total = sum(stats.values())
