@@ -14,9 +14,14 @@ no UDFs, fully whole-stage-codegen, and the explode fans out only
 Quantile/fraction follow the Prometheus native-histogram estimators
 (promql/quantile.go): find the straddling bucket by cumulative count,
 interpolate linearly inside it.  The zero bucket (|v| ≤
-zero_threshold) sorts below every positive bucket.  Negative buckets
-are carried in the state model but the estimators here serve the
-positive+zero domain the repo's metric model produces.
+zero_threshold) sorts below every positive bucket.
+
+Two bucket domains: ``explode_exp_buckets``/``exp_histogram_quantile``
+serve the positive+zero domain (the common metrics case);
+``explode_exp_buckets_signed``/``exp_histogram_quantile_signed``
+additionally decode the NEGATIVE bucket array (mirrored bounds
+[-base^(i+1), -base^i)) with the zero bucket as a zero-width row, so
+one ascending value-space sweep covers the full signed domain.
 """
 
 from __future__ import annotations
@@ -56,6 +61,117 @@ def explode_exp_buckets(state: DataFrame, by: list[str]) -> DataFrame:
         exp_bound(F.col("idx"), F.col("scale")).alias("lower"),
         exp_bound(F.col("idx") + 1, F.col("scale")).alias("upper"),
     )
+
+
+def explode_exp_buckets_signed(state: DataFrame, by: list[str]) -> DataFrame:
+    """Native-state rows → one row per occupied bucket of EITHER sign
+    plus the zero bucket, with value-space bounds.
+
+    Negative bucket i covers ``[-base^(i+1), -base^i)`` — the mirror
+    of the positive bucket — and the zero bucket materializes as a
+    zero-width row at 0, so a single ascending sweep over ``lower``
+    visits negatives, zero, then positives (how the upstream
+    native-histogram iterator orders AllBucketIterator).
+
+    Output: by..., idx (sign-qualified: negatives get -(i+1) so the
+    column stays unique per group), cnt, lower, upper.
+    """
+    pos = (
+        state.select(
+            *by,
+            "scale",
+            F.posexplode("positive_counts").alias("pos", "cnt"),
+            F.col("positive_offset").alias("off"),
+        )
+        .filter(F.col("cnt") > 0)
+        .select(
+            *by,
+            (F.col("off") + F.col("pos")).alias("i"),
+            "scale",
+            "cnt",
+        )
+        .select(
+            *by,
+            F.col("i").alias("idx"),
+            "cnt",
+            exp_bound(F.col("i"), F.col("scale")).alias("lower"),
+            exp_bound(F.col("i") + 1, F.col("scale")).alias("upper"),
+        )
+    )
+    neg = (
+        state.select(
+            *by,
+            "scale",
+            F.posexplode("negative_counts").alias("pos", "cnt"),
+            F.col("negative_offset").alias("off"),
+        )
+        .filter(F.col("cnt") > 0)
+        .select(
+            *by,
+            (F.col("off") + F.col("pos")).alias("i"),
+            "scale",
+            "cnt",
+        )
+        .select(
+            *by,
+            (-(F.col("i") + 1)).alias("idx"),
+            "cnt",
+            (-exp_bound(F.col("i") + 1, F.col("scale"))).alias("lower"),
+            (-exp_bound(F.col("i"), F.col("scale"))).alias("upper"),
+        )
+    )
+    zero = (
+        state.filter(F.col("zero_count") > 0)
+        .select(
+            *by,
+            F.lit(0).alias("idx"),
+            F.col("zero_count").alias("cnt"),
+            F.lit(0.0).alias("lower"),
+            F.lit(0.0).alias("upper"),
+        )
+        # several state rows per group would double the zero bucket —
+        # the caller groups by series identity, one state each, but
+        # keep the sum defensive
+        .groupBy(*by, "idx", "lower", "upper")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*by, "idx", "cnt", "lower", "upper")
+    )
+    return pos.unionByName(neg).unionByName(zero)
+
+
+def exp_histogram_quantile_signed(
+    buckets: DataFrame, q: float, by: list[str]
+) -> DataFrame:
+    """Quantile over the SIGNED bucket set (explode_exp_buckets_signed
+    output): one ascending cumulative sweep over value-space bounds;
+    ranks landing in the zero-width zero bucket yield exactly 0.0."""
+    w = Window.partitionBy(*by).orderBy("lower")
+    wt = Window.partitionBy(*by)
+    c = buckets.select(
+        *by,
+        "lower",
+        "upper",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    rank = F.lit(q) * F.col("total")
+    straddle = (
+        c.filter(F.col("cum") >= rank)
+        .groupBy(*by)
+        .agg(
+            F.min_by(
+                F.struct("lower", "upper", "cnt", "cum", "total"),
+                F.col("lower"),
+            ).alias("s")
+        )
+    )
+    s = F.col("s")
+    est = s["lower"] + (s["upper"] - s["lower"]) * (
+        (F.lit(q) * s["total"] - (s["cum"] - s["cnt"])) / s["cnt"]
+    )
+    est = F.greatest(s["lower"], F.least(s["upper"], est))
+    return straddle.select(*by, est.alias("value"))
 
 
 def exp_histogram_quantile(

@@ -302,3 +302,173 @@ def exp_hist_scale3_fraction(spark, sf_dir):
         _buckets(spark, sf_dir), 1.0, 16.0, ["name", "etype"]
     )
     return f.select("name", "etype", F.round("value", 6).alias("value"))
+
+
+# --- SIGNED buckets: negative domain ----------------------------------------
+# Real workloads observe negative values (temperature deltas, balance
+# changes); OTLP carries them in the ``negative`` bucket array
+# (mirrored bounds).  Fixture: events values shifted by -30 at scale 2
+# → a genuine negative/positive mix; decode sweeps negatives → zero →
+# positives in one ascending value-space pass.
+
+_SHIFT = 30.0
+_S2 = 2  # base 2^(1/4)
+
+
+def _encode_signed_states(rows, time_ns) -> list[bytes]:
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            round(r.value - _SHIFT, 2)
+        )
+    metrics = []
+    for etype, vals in sorted(by_type.items()):
+        zero_count = sum(1 for v in vals if v == 0)
+        pos_idx = [math.ceil(4 * math.log2(v)) - 1 for v in vals if v > 0]
+        neg_idx = [math.ceil(4 * math.log2(-v)) - 1 for v in vals if v < 0]
+        plo, phi = min(pos_idx), max(pos_idx)
+        pcounts = [0] * (phi - plo + 1)
+        for i in pos_idx:
+            pcounts[i - plo] += 1
+        nlo, nhi = min(neg_idx), max(neg_idx)
+        ncounts = [0] * (nhi - nlo + 1)
+        for i in neg_idx:
+            ncounts[i - nlo] += 1
+        metrics.append(
+            pb.enc_exp_histogram_metric(
+                "app_delta_exp",
+                "1",
+                [
+                    pb.enc_exp_histogram_point(
+                        time_ns=time_ns,
+                        count=len(vals),
+                        sum_=round(sum(vals), 2),
+                        scale=_S2,
+                        zero_count=zero_count,
+                        positive_offset=plo,
+                        positive_counts=pcounts,
+                        negative_offset=nlo,
+                        negative_counts=ncounts,
+                        attrs={"etype": etype},
+                    )
+                ],
+            )
+        )
+    return metrics
+
+
+_SIGNED_MEMO: dict = {}
+
+
+def _signed_buckets(spark, sf_dir):
+    """Signed bucket frame, pinned per session: the explode references
+    the state THREE times (pos/neg/zero branches), which would re-run
+    the wire decode per branch without the pin; the frame is tiny."""
+    from ..operators.exp_histogram import explode_exp_buckets_signed
+
+    memo = _SIGNED_MEMO.get((spark, sf_dir))
+    if memo is not None:
+        return memo
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _LIMIT)
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    payloads = [
+        pb.enc_metrics_request(
+            {"service.name": "svc-exp"}, _encode_signed_states(rows, _T0_NS)
+        )
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    state = pb.pb_exp_histograms(df).withColumn(
+        "etype", F.col("labels")["etype"]
+    )
+    from ..operators.pin import pin
+
+    out = pin(explode_exp_buckets_signed(pin(state), ["name", "etype"]))
+    _SIGNED_MEMO[(spark, sf_dir)] = out
+    return out
+
+
+_SIGNED_CTES = f"""WITH e AS (
+  SELECT event_type AS etype, round(value - {_SHIFT}, 2) AS v
+  FROM events WHERE event_id < {_LIMIT}
+), pos AS (
+  SELECT etype, CAST(ceil(4 * log2(v)) AS BIGINT) - 1 AS i,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM e WHERE v > 0 GROUP BY 1, 2
+), neg AS (
+  SELECT etype, CAST(ceil(4 * log2(-v)) AS BIGINT) - 1 AS i,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM e WHERE v < 0 GROUP BY 1, 2
+), zero AS (
+  SELECT etype, CAST(count(*) AS BIGINT) AS cnt
+  FROM e WHERE v = 0 GROUP BY etype
+), bb AS (
+  SELECT etype, i AS idx, cnt,
+         pow(2.0, i / 4.0) AS lower, pow(2.0, (i + 1) / 4.0) AS upper
+  FROM pos
+  UNION ALL
+  SELECT etype, -(i + 1) AS idx, cnt,
+         -pow(2.0, (i + 1) / 4.0) AS lower, -pow(2.0, i / 4.0) AS upper
+  FROM neg
+  UNION ALL
+  SELECT etype, 0 AS idx, cnt, 0.0 AS lower, 0.0 AS upper FROM zero
+)"""
+
+
+@register(
+    "exp_hist_signed_median",
+    _SIGNED_CTES
+    + """, c AS (
+  SELECT etype, lower, upper, cnt,
+         sum(cnt) OVER (PARTITION BY etype ORDER BY lower) AS cum,
+         sum(cnt) OVER (PARTITION BY etype) AS total
+  FROM bb
+), m AS (
+  SELECT etype, min(lower) AS l0 FROM c WHERE cum >= 0.5 * total
+  GROUP BY etype
+)
+SELECT 'app_delta_exp' AS name, c.etype,
+       round(greatest(lower, least(upper,
+         lower + (upper - lower) * ((0.5 * total - (cum - cnt)) / cnt))), 6)
+         AS value
+FROM c JOIN m ON c.etype = m.etype AND c.lower = m.l0""",
+)
+def exp_hist_signed_median(spark, sf_dir):
+    from ..operators.exp_histogram import exp_histogram_quantile_signed
+
+    q = exp_histogram_quantile_signed(
+        _signed_buckets(spark, sf_dir), 0.5, ["name", "etype"]
+    )
+    return q.select("name", "etype", F.round("value", 6).alias("value"))
+
+
+# p10 lands deep in the NEGATIVE domain — interpolation inside a
+# mirrored bucket, not just ordering across the sign boundary
+@register(
+    "exp_hist_signed_p10",
+    _SIGNED_CTES
+    + """, c AS (
+  SELECT etype, lower, upper, cnt,
+         sum(cnt) OVER (PARTITION BY etype ORDER BY lower) AS cum,
+         sum(cnt) OVER (PARTITION BY etype) AS total
+  FROM bb
+), m AS (
+  SELECT etype, min(lower) AS l0 FROM c WHERE cum >= 0.1 * total
+  GROUP BY etype
+)
+SELECT 'app_delta_exp' AS name, c.etype,
+       round(greatest(lower, least(upper,
+         lower + (upper - lower) * ((0.1 * total - (cum - cnt)) / cnt))), 6)
+         AS value
+FROM c JOIN m ON c.etype = m.etype AND c.lower = m.l0""",
+)
+def exp_hist_signed_p10(spark, sf_dir):
+    from ..operators.exp_histogram import exp_histogram_quantile_signed
+
+    q = exp_histogram_quantile_signed(
+        _signed_buckets(spark, sf_dir), 0.1, ["name", "etype"]
+    )
+    return q.select("name", "etype", F.round("value", 6).alias("value"))

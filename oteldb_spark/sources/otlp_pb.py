@@ -689,6 +689,8 @@ def enc_exp_histogram_point(
     positive_offset: int,
     positive_counts: list[int],
     attrs: dict[str, str] | None = None,
+    negative_offset: int = 0,
+    negative_counts: list[int] = (),
 ) -> bytes:
     out = b"".join(
         _enc_len(1, enc_kv(k, enc_any_string(v))) for k, v in (attrs or {}).items()
@@ -703,6 +705,12 @@ def enc_exp_histogram_point(
     )
     pos += _enc_len(2, b"".join(_enc_uvarint(c) for c in positive_counts))
     out += _enc_len(8, pos)
+    if negative_counts:
+        neg = _tag(1, 0) + _enc_uvarint(
+            ((negative_offset << 1) ^ (negative_offset >> 63)) & ((1 << 64) - 1)
+        )
+        neg += _enc_len(2, b"".join(_enc_uvarint(c) for c in negative_counts))
+        out += _enc_len(9, neg)
     return out
 
 

@@ -149,3 +149,47 @@ def test_exp_histogram_operators(spark):
     # fraction in [1, 2]: bucket 0 fully, bucket 1 none → 4/10
     fr = exp_histogram_fraction(b, 1.0, 2.0, ["g"]).collect()[0]
     assert abs(fr.value - 0.4) < 1e-12
+
+
+def test_signed_exp_histogram_quantile(spark):
+    """Signed decode: negative buckets mirror positive bounds; the
+    quantile sweep runs negatives → zero → positives, interpolating
+    inside a negative bucket and returning exactly 0.0 for ranks in
+    the zero bucket."""
+    from oteldb_spark.operators.exp_histogram import (
+        exp_histogram_quantile_signed,
+        explode_exp_buckets_signed,
+    )
+
+    # scale 0 (base 2): negatives [-4,-2) x4, [-2,-1) x2; zero x4;
+    # positives (1,2] x2, (2,4] x8 — total 20
+    state = spark.createDataFrame(
+        [
+            ("m", 0, 4, [1, 0], [2, 8], [2, 4]),
+        ],
+        "name string, scale int, zero_count long,"
+        " offs array<int>, positive_counts array<long>,"
+        " negative_counts array<long>",
+    ).selectExpr(
+        "name", "scale", "zero_count",
+        "offs[0] as positive_offset", "positive_counts",
+        "offs[1] as negative_offset", "negative_counts",
+    )
+    b = explode_exp_buckets_signed(state, ["name"])
+    rows = {
+        (r.lower, r.upper): r.cnt for r in b.collect()
+    }
+    assert rows[(-4.0, -2.0)] == 4 and rows[(-2.0, -1.0)] == 2
+    assert rows[(0.0, 0.0)] == 4
+    assert rows[(2.0, 4.0)] == 2 and rows[(4.0, 8.0)] == 8
+
+    def q(p):
+        out = exp_histogram_quantile_signed(b, p, ["name"]).collect()
+        return out[0].value
+
+    # rank 2 of 20 → inside [-4,-2): -4 + 2*(2/4)
+    assert q(0.1) == -3.0
+    # rank 8 of 20 → inside the zero bucket → exactly 0.0
+    assert q(0.4) == 0.0
+    # rank 16 of 20 → inside (4,8]: cum before = 12 → 4 + 4*(4/8)
+    assert q(0.8) == 6.0
