@@ -48,6 +48,13 @@ class MetricSource:
     # the latest state per step within the lookback and decodes.
     exp_states: "dict[str, DataFrame]" = field(default_factory=dict)
     exp_state_labels: list[str] = field(default_factory=list)
+    # info-metric frame for the experimental info() function
+    # (functions.go funcInfo behind promql-experimental-functions):
+    # (info_identifying..., data labels..., ts_col) — the latest row
+    # per identifying key within the staleness lookback donates its
+    # data labels to each sample of info()'s vector argument.
+    info_df: "DataFrame | None" = None
+    info_identifying: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -751,6 +758,57 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         return inner.withColumn(
             "value", (F.col("step_us") / F.lit(1e6)).cast("double")
         )
+
+    if name == "info":
+        # experimental info() (functions.go funcInfo): each sample of
+        # the vector argument gains the DATA labels of the latest
+        # matching info-metric row (target_info analog) within the
+        # staleness lookback, matched on the identifying labels
+        # (classically instance+job).  Unmatched samples pass through
+        # with the data labels absent.  The optional data-label
+        # selector argument is not modeled.
+        if source.info_df is None:
+            raise SyntaxError("PromQL: info() needs an info-metric frame")
+        if len(fc.args) > 1:
+            raise SyntaxError(
+                "PromQL: info() data-label selector not supported"
+            )
+        inner = _compile(fc.args[0], source, params, spark)
+        labels = _labels_of(inner)
+        ident = source.info_identifying
+        if not all(l in labels for l in ident):
+            raise SyntaxError(
+                "PromQL: info() vector lacks the identifying labels"
+            )
+        data_cols = [
+            c
+            for c in source.info_df.columns
+            if c not in ident and c != source.ts_col
+        ]
+        add = [c for c in data_cols if c not in labels]
+        fanned = fanout(
+            source.info_df,
+            params.start_us,
+            params.end_us,
+            params.step_us,
+            params.lookback_us,
+            source.ts_col,
+        )
+        latest = (
+            fanned.groupBy(*ident, "step_us")
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in data_cols]),
+                    F.col(source.ts_col),
+                ).alias("__s")
+            )
+            .select(
+                *ident,
+                "step_us",
+                *[F.col("__s")[c].alias(c) for c in add],
+            )
+        )
+        return inner.join(latest, [*ident, "step_us"], "left")
 
     if name in ("sort", "sort_desc"):
         # presentation ordering of the final instant vector

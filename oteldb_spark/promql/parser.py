@@ -45,6 +45,7 @@ FUNCS = {
     "ts_of_last_over_time",
     "ts_of_max_over_time",
     "ts_of_min_over_time",
+    "info",
     "histogram_count",
     "histogram_sum",
     "histogram_avg",

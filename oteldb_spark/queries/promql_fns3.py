@@ -5,8 +5,8 @@ funcTsOfMinOverTime / funcTsOfLastOverTime, behind
 float seconds, of the max / min / last sample per trailing window.
 Ties resolve to the LATEST occurrence (upstream iterates with >= /
 <=).  Closes the last gap between this engine's function surface and
-the full Prometheus 3.x list (``info()`` excepted — it needs a
-target_info metadata join the reference has no analog for).
+the full Prometheus 3.x list, plus ``info()`` via an
+explicit info-metric frame (target_info analog) on MetricSource.
 """
 
 from __future__ import annotations
@@ -80,3 +80,57 @@ register(
 FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
     ),
 )(_run("ts_of_last_over_time(events_gauge[12h])"))
+
+
+# --- info() ------------------------------------------------------------------
+# Synthesized target_info analog: one info row per (instance, step)
+# whose region label flips mid-month — info() must pick the LATEST
+# info row inside each step's lookback, so the flip propagates on the
+# step after _MID and not before.
+
+_MID_US = START_US + 15 * 86_400_000_000
+
+
+def _info_df(spark, sf_dir):
+    pts = counter_points_frame(spark, sf_dir)
+    inst = pts.select("instance").distinct()
+    spine = inst.crossJoin(
+        pts.sparkSession.range(
+            START_US, END_US + STEP_US, STEP_US
+        ).select(F.col("id").alias("ts_us"))
+    )
+    parity = F.substring("instance", -1, 1).cast("int") % 2
+    early = F.when(parity == 0, "east").otherwise("west")
+    late = F.when(parity == 0, "west").otherwise("east")
+    return spine.select(
+        "instance",
+        "ts_us",
+        F.when(F.col("ts_us") < _MID_US, early).otherwise(late).alias(
+            "region"
+        ),
+    )
+
+
+register(
+    "ppql_parsed_info",
+    with_ctes(
+        COUNTERS_CTE,
+        body=f"""SELECT mtype, instance, step_us,
+       arg_max(sample, ts_us) AS value,
+       CASE WHEN (CASE WHEN step_us < {_MID_US}
+                       THEN CAST(substr(instance, -1, 1) AS INTEGER) % 2 = 0
+                       ELSE CAST(substr(instance, -1, 1) AS INTEGER) % 2 = 1
+                  END)
+            THEN 'east' ELSE 'west' END AS region
+FROM {_G_FAN} s GROUP BY mtype, instance, step_us""",
+    ),
+)
+def ppql_parsed_info(spark, sf_dir):
+    import dataclasses
+
+    src = dataclasses.replace(
+        _source(spark, sf_dir),
+        info_df=_info_df(spark, sf_dir),
+        info_identifying=["instance"],
+    )
+    return compile_promql("info(events_gauge)", src, PARAMS, spark)

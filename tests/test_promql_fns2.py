@@ -252,3 +252,39 @@ def test_ts_of_family_semantics(spark):
     assert got["ts_of_max_over_time"] == [2.0]
     assert got["ts_of_min_over_time"] == [4.0]
     assert got["ts_of_last_over_time"] == [5.0]
+
+
+def test_info_unmatched_passthrough(spark):
+    """info(): samples with no matching info row keep flowing with the
+    data label absent (left join), and matched samples take the LATEST
+    info row inside the lookback."""
+    import dataclasses
+
+    pts = spark.createDataFrame(
+        [
+            ("a", "h1", 1_000_000, 5.0),
+            ("a", "h2", 1_000_000, 7.0),
+        ],
+        "mtype string, instance string, ts_us long, gauge double",
+    )
+    info = spark.createDataFrame(
+        [
+            ("h1", 500_000, "east"),
+            ("h1", 900_000, "west"),  # later row wins
+            # h2 has no info rows
+        ],
+        "instance string, ts_us long, region string",
+    )
+    src = MetricSource(
+        df=pts,
+        metrics={"g": "gauge"},
+        label_cols=["mtype", "instance"],
+        info_df=info,
+        info_identifying=["instance"],
+    )
+    params = PromParams(1_000_000, 1_000_000, 1_000_000,
+                        lookback_us=1_000_000)
+    out = compile_promql("info(g)", src, params, spark)
+    rows = {r.instance: (r.value, r.region) for r in out.collect()}
+    assert rows["h1"] == (5.0, "west")
+    assert rows["h2"] == (7.0, None)
