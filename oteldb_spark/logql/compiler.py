@@ -80,6 +80,10 @@ class _Env:
     source: LogSource
     # dynamic label map from a bare `| json` / `| logfmt` stage
     dyn_map: Column | None = None
+    # keys of dyn_map removed by drop / renamed away by label_format
+    dyn_excl: set = field(default_factory=set)
+    # when a keep stage ran: the only dyn_map keys that survive
+    dyn_keep: "set | None" = None
 
 
 def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
@@ -88,7 +92,11 @@ def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
     suffix (logql/log/parser.go jsonParser), excluded keys (the
     unwrapped label, without()-dropped labels) are removed."""
     known = sorted(set(env.labels) | set(env.source.label_cols))
+    exclude = set(exclude) | env.dyn_excl
     entries = F.map_entries(env.dyn_map)
+    if env.dyn_keep is not None:
+        kept = sorted(env.dyn_keep)
+        entries = F.filter(entries, lambda e: e["key"].isin(kept))
 
     def suffix(e):
         k, v = e["key"], e["value"]
@@ -121,7 +129,11 @@ def _resolve(env: _Env, name: str) -> Column:
         return env.labels[name]
     if norm in env.labels:
         return env.labels[norm]
-    if env.dyn_map is not None:
+    if (
+        env.dyn_map is not None
+        and name not in env.dyn_excl
+        and (env.dyn_keep is None or name in env.dyn_keep)
+    ):
         return env.dyn_map.getItem(name)
     if env.source.attrs_map_col is not None:
         return F.col(env.source.attrs_map_col).getItem(name)
@@ -335,6 +347,18 @@ def _apply_stage(env: _Env, stage) -> _Env:
         return env
     if isinstance(stage, ast.LineFormat):
         fields = dict(env.labels)
+        if env.dyn_map is not None:
+            # bare-parser labels are template-visible too: pull every
+            # field the template references out of the dynamic map
+            import re as _re
+
+            for name in set(
+                _re.findall(
+                    r"\{\{[^}]*?\.([A-Za-z_][A-Za-z0-9_]*)", stage.template
+                )
+            ):
+                if name not in fields and not name.startswith("__"):
+                    fields[name] = _resolve_or_empty(env, name)
         fields["__line__"] = env.body
         # Go time.Time.String() shape: trimmed fraction + " +0000 UTC"
         # (the session timezone is UTC); Loki renders __timestamp__
@@ -350,14 +374,26 @@ def _apply_stage(env: _Env, stage) -> _Env:
             if is_template:
                 env.labels[dst] = compile_template(src, dict(env.labels))
             else:
-                env.labels[dst] = _resolve(env, src)
+                # `dst=src` RENAMES: dst takes src's value and src is
+                # removed (Loki label_format; template forms keep
+                # their inputs) — whether src is a stream label, a
+                # parsed label, or a bare-parser map key
+                env.labels[dst] = _resolve_or_empty(env, src)
+                if src != dst:
+                    env.labels.pop(src, None)
+                    env.dyn_excl.add(src)
         return env
     if isinstance(stage, ast.DropKeep):
         if stage.kind == "drop":
             for lbl in stage.labels:
                 env.labels.pop(lbl, None)
+                env.dyn_excl.add(lbl)
         else:
             env.labels = {k: v for k, v in env.labels.items() if k in stage.labels}
+            keep = set(stage.labels)
+            env.dyn_keep = (
+                keep if env.dyn_keep is None else env.dyn_keep & keep
+            )
         return env
     if isinstance(stage, ast.Distinct):
         cols = [_resolve(env, l) for l in stage.labels]

@@ -34,6 +34,27 @@ _RANGE_AGGS = ["count_over_time", "rate", "bytes_over_time", "bytes_rate"]
 _UNWRAP_AGGS = [
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "first_over_time", "stddev_over_time",
+    "stdvar_over_time",
+]
+# post-parser label-manipulation stages (the divergences these shapes
+# caught at adoption: label_format rename keeping src, line filters
+# not seeing the line_format body, drop/keep ignoring bare-parser map
+# keys)
+_SHAPERS = [
+    "| label_format lvl=level",
+    "| label_format knew=k",
+    '| label_format combo="{{.service}}-{{.level}}"',
+    '| line_format "{{.k}}" |= "7"',
+    '| line_format "v={{.k}} svc={{.service}}" |= "v="',
+    "| drop k",
+    "| drop level",
+    "| keep service, k",
+    "| keep service, level",
+    "",
+]
+_ALT_PARSERS = [
+    '| regexp "k.: (?P<num>\\\\d+)"',
+    '| pattern "{\\"k\\": <num>}"',
 ]
 _VEC_AGGS = ["sum", "avg", "min", "max", "count"]
 _GROUPS = ["", " by (service)", " by (level)", " without (service)",
@@ -52,7 +73,20 @@ def gen_case(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.2:  # log listing
         return gen_pipeline(rng)
-    if roll < 0.55:  # plain range agg
+    if roll < 0.3:  # label-shaping pipeline (rename/format/drop/keep)
+        agg = rng.choice(["count_over_time", "rate"])
+        r = rng.choice(_RANGES)
+        sel = rng.choice(_SELECTORS)
+        parser = "| json" if rng.random() < 0.8 else rng.choice(_ALT_PARSERS)
+        shaper = rng.choice(_SHAPERS)
+        q = f"{agg}({sel} {parser} {shaper} [{r}])"
+    elif roll < 0.38:  # vector-vector set/arith ops
+        a = f"count_over_time({rng.choice(_SELECTORS)} [1h])"
+        b = f"count_over_time({rng.choice(_SELECTORS)} [6h])"
+        op = rng.choice(["and", "or", "unless", "/", "+", ">"])
+        q = f"(sum by (service) ({a})) {op} (sum by (service) ({b}))"
+        return q
+    elif roll < 0.55:  # plain range agg
         agg = rng.choice(_RANGE_AGGS)
         r = rng.choice(_RANGES)
         q = f"{agg}({gen_pipeline(rng)} [{r}])"
