@@ -134,7 +134,43 @@ class TraceQLReferee:
                     len(self.children.get(
                         (span["trace_id"], span["span_id"]), ()))
                 )
+            # colon-scoped intrinsics: first-match over events/links
+            # (attribute.go:67-84 / evaluater.go:562-669)
+            if a.name == "span:id":
+                return float(span["span_id"])
+            if a.name == "span:parentID":
+                p = span["parent_span_id"]
+                return None if p is None else float(p)
+            if a.name == "trace:id":
+                return float(span["trace_id"])
+            if a.name == "event:name":
+                for e in span.get("events") or []:
+                    if e["name"] != "":
+                        return e["name"]
+                return None
+            if a.name == "event:timeSinceStart":
+                for e in span.get("events") or []:
+                    d = e["ts_us"] - span["start_us"]
+                    if d != 0:
+                        return float(d)
+                return None
+            if a.name in ("link:traceID", "link:spanID"):
+                key = "trace_id" if a.name == "link:traceID" else "span_id"
+                for ln in span.get("links") or []:
+                    if ln[key] is not None:
+                        return float(ln[key])
+                return None
             raise TraceQLRefereeError(f"referee: intrinsic {a.name}")
+        if a.scope == "event":
+            for e in span.get("events") or []:
+                if a.name in e["attrs"]:
+                    return e["attrs"][a.name]
+            return None
+        if a.scope == "link":
+            for ln in span.get("links") or []:
+                if a.name in ln["attrs"]:
+                    return ln["attrs"][a.name]
+            return None
         key = self.attr_map.get(a.name)
         if key is None and a.scope in ("span", "resource", "instrumentation"):
             key = self.attr_map.get(f"{a.scope}.{a.name}")

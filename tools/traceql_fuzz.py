@@ -49,6 +49,28 @@ def gen_spans(rng: random.Random, n_traces: int = 24) -> list[dict]:
 
 
 def _mk(rng: random.Random, trace: int, sid: int, parent) -> dict:
+    start = 1_700_000_000_000_000 + rng.randint(0, 10_000_000)
+    events = []
+    for _ in range(rng.choice([0, 0, 1, 1, 2, 3])):
+        attrs = {"mode": rng.choice(["A", "B", "C"])}
+        if rng.random() < 0.4:
+            attrs["disc"] = rng.choice(["x", "y"])
+        events.append(
+            {
+                "name": rng.choice(["ship", "receipt", "retry", ""]),
+                "ts_us": start + rng.choice([0, 1_000, 5_000, 20_000]),
+                "attrs": attrs,
+            }
+        )
+    links = []
+    for _ in range(rng.choice([0, 0, 0, 1, 2])):
+        links.append(
+            {
+                "trace_id": trace,
+                "span_id": rng.randint(1, 6),
+                "attrs": {"lkind": rng.choice(["parent", "peer"])},
+            }
+        )
     return {
         "trace_id": trace,
         "span_id": sid,
@@ -57,9 +79,11 @@ def _mk(rng: random.Random, trace: int, sid: int, parent) -> dict:
         "name": rng.choice(_NAMES),
         "kind": rng.randint(1, 5),
         "status_code": rng.choice([0, 0, 1, 2]),
-        "start_us": 1_700_000_000_000_000 + rng.randint(0, 10_000_000),
+        "start_us": start,
         "duration_us": rng.randint(500, 200_000),
         "retries": rng.randint(0, 5),
+        "events": events,
+        "links": links,
     }
 
 
@@ -99,7 +123,7 @@ def gen_pred(rng: random.Random, depth: int = 2) -> str:
     if roll < 0.86:
         op = rng.choice(["=", "!=", ">", ">=", "<", "<="])
         return f"retries {op} {rng.randint(0, 4)}"
-    if roll < 0.96:
+    if roll < 0.9:
         # trace-context intrinsics (compiled via per-trace enrichment)
         return rng.choice(
             [
@@ -108,6 +132,21 @@ def gen_pred(rng: random.Random, depth: int = 2) -> str:
                 f'rootServiceName = "{rng.choice(_SERVICES)}"',
                 f"traceDuration > {rng.randint(50_000, 400_000)}",
                 f"childCount {rng.choice(['=', '>', '>='])} {rng.randint(0, 4)}",
+            ]
+        )
+    if roll < 0.96:
+        # event/link scopes: first-match over the span's arrays
+        return rng.choice(
+            [
+                f'event.mode {rng.choice(["=", "!="])} "{rng.choice(["A", "B", "C"])}"',
+                f'event.disc = "{rng.choice(["x", "y"])}"',
+                f'event:name = "{rng.choice(["ship", "receipt", "retry"])}"',
+                f"event:timeSinceStart {rng.choice(['>', '<='])} "
+                f"{rng.choice(['1ms', '4ms', '10ms'])}",
+                f'link.lkind = "{rng.choice(["parent", "peer"])}"',
+                f"link:spanID {rng.choice(['=', '>='])} {rng.randint(1, 6)}",
+                f"span:id {rng.choice(['=', '>'])} {rng.randint(1, 12)}",
+                f"span:parentID = {rng.randint(1, 6)}",
             ]
         )
     # arithmetic over numeric fields
@@ -272,12 +311,24 @@ def _spans_df(spark, spans):
                 s["trace_id"], s["span_id"], s["parent_span_id"],
                 s["service"], s["name"], s["kind"], s["status_code"],
                 s["start_us"], s["duration_us"], s["retries"],
+                [
+                    (e["name"], e["ts_us"], e["attrs"])
+                    for e in s["events"]
+                ],
+                [
+                    (ln["trace_id"], ln["span_id"], ln["attrs"])
+                    for ln in s["links"]
+                ],
             )
             for s in spans
         ],
         "trace_id long, span_id long, parent_span_id long, service string,"
         " name string, kind int, status_code int, start_us long,"
-        " duration_us long, retries long",
+        " duration_us long, retries long,"
+        " events array<struct<name:string,ts_us:bigint,"
+        "attrs:map<string,string>>>,"
+        " links array<struct<trace_id:bigint,span_id:bigint,"
+        "attrs:map<string,string>>>",
     ).cache()
 
 
@@ -287,21 +338,14 @@ def run_traceql_fuzz(spark, n: int, seed: int, verbose: bool = False):
 
     rng = random.Random(seed)
     spans = gen_spans(rng)
-    df = spark.createDataFrame(
-        [
-            (
-                s["trace_id"], s["span_id"], s["parent_span_id"],
-                s["service"], s["name"], s["kind"], s["status_code"],
-                s["start_us"], s["duration_us"], s["retries"],
-            )
-            for s in spans
-        ],
-        "trace_id long, span_id long, parent_span_id long, service string,"
-        " name string, kind int, status_code int, start_us long,"
-        " duration_us long, retries long",
-    ).cache()
+    df = _spans_df(spark, spans)
     df.count()
-    source = SpanSource(df=df, attr_cols=dict(_ATTR_MAP))
+    source = SpanSource(
+        df=df,
+        attr_cols=dict(_ATTR_MAP),
+        events_col="events",
+        links_col="links",
+    )
     referee = TraceQLReferee(spans, dict(_ATTR_MAP))
 
     stats = {"match": 0, "mismatch": 0, "both_error": 0,
