@@ -63,6 +63,12 @@ HEADLINE = [
     "pii_redact",
     "dedup_repeated_windows",
     "docs_weighted_sample",
+    # round-3 late additions: full PromQL fn tail, signed exp-hist
+    # decode, trace-context intrinsics through the generic compiler
+    "ppql_parsed_ts_of_max",
+    "ppql_parsed_info",
+    "exp_hist_signed_median",
+    "tql_parsed_childcount",
 ]
 
 

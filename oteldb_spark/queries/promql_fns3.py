@@ -111,7 +111,7 @@ def _info_df(spark, sf_dir):
     )
 
 
-register(
+@register(
     "ppql_parsed_info",
     with_ctes(
         COUNTERS_CTE,

@@ -39,3 +39,17 @@ def test_query_smoke(spark, name):
 
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_bench_headline_names_registered():
+    """Every bench headline name must resolve in the registry — a
+    dropped @register decorator otherwise surfaces only when the
+    driver's bench run crashes."""
+    import bench
+    from oteldb_spark.queries import ORACLES, QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    # and every registered query has an oracle (driver's hash gate)
+    no_oracle = [n for n in QUERIES if n not in ORACLES]
+    assert not no_oracle, no_oracle
