@@ -171,6 +171,27 @@ class TraceQLReferee:
                 if a.name in ln["attrs"]:
                     return ln["attrs"][a.name]
             return None
+        if a.scope == "parent":
+            pk = self._parent_key((span["trace_id"], span["span_id"]))
+            if pk is None:
+                return None  # parentless span: nil → comparisons drop
+            parent = self.by_key[pk]
+            intr = {
+                "duration": "duration_us",
+                "name": "name",
+                "status": "status_code",
+                "kind": "kind",
+            }
+            if a.name in intr:
+                v = parent.get(intr[a.name])
+            else:
+                key = self.attr_map.get(a.name)
+                if key is None:
+                    raise TraceQLRefereeError(
+                        f"referee: parent attribute {a.name}"
+                    )
+                v = parent.get(key)
+            return float(v) if isinstance(v, _NUM) else v
         key = self.attr_map.get(a.name)
         if key is None and a.scope in ("span", "resource", "instrumentation"):
             key = self.attr_map.get(f"{a.scope}.{a.name}")

@@ -147,6 +147,11 @@ def gen_pred(rng: random.Random, depth: int = 2) -> str:
                 f"link:spanID {rng.choice(['=', '>='])} {rng.randint(1, 6)}",
                 f"span:id {rng.choice(['=', '>'])} {rng.randint(1, 12)}",
                 f"span:parentID = {rng.randint(1, 6)}",
+                # parent scope: resolved via the pre-joined parent row
+                f'parent.service = "{rng.choice(_SERVICES)}"',
+                f'parent.name {rng.choice(["=", "!="])} "{rng.choice(_NAMES)}"',
+                f"parent.duration > {rng.randint(10_000, 150_000)}",
+                f"parent.retries >= {rng.randint(0, 4)}",
             ]
         )
     # arithmetic over numeric fields
