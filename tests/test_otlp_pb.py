@@ -193,3 +193,57 @@ def test_signed_exp_histogram_quantile(spark):
     assert q(0.4) == 0.0
     # rank 16 of 20 → inside (4,8]: cum before = 12 → 4 + 4*(4/8)
     assert q(0.8) == 6.0
+
+
+def test_pb_metrics_direct_equals_via_json(spark):
+    """The direct row decode must reproduce the shared-flattener
+    (via-JSON) path exactly — mixed fixture: monotonic sum with int
+    points and typed attrs, gauge, histogram with min/max, summary."""
+    import oteldb_spark.sources.otlp_pb as pb
+
+    num_pts = [
+        pb.enc_number_point(
+            time_ns=1_704_067_200_000_000_000 + i * 10**9,
+            value=i * 2 + 1,
+            attrs={"cpu": str(i % 2)},
+            as_int=(i % 2 == 0),
+        )
+        for i in range(6)
+    ]
+    metrics = [
+        pb.enc_sum_metric("req_total", "1", num_pts, monotonic=True),
+        pb.enc_gauge_metric("temp", "cel", num_pts[:3]),
+        pb.enc_histogram_metric(
+            "lat",
+            "s",
+            [
+                pb.enc_histogram_point(
+                    time_ns=1_704_067_200_000_000_000,
+                    bucket_counts=[3, 5, 2],
+                    explicit_bounds=[0.5, 1.0],
+                    sum_=7.25,
+                    attrs={"route": "/api"},
+                )
+            ],
+        ),
+    ]
+    payload = pb.enc_metrics_request({"service.name": "svc"}, metrics)
+    df = spark.createDataFrame([(payload,)], "payload binary")
+
+    direct = pb.pb_metrics(df)
+    via = pb.pb_metrics_via_json(df)
+    cols = sorted(direct.columns)
+    assert cols == sorted(via.columns)
+
+    def norm(frame):
+        rows = []
+        for r in frame.select(*cols).collect():
+            d = r.asDict()
+            d["labels"] = tuple(sorted((d["labels"] or {}).items()))
+            d["resource_attrs"] = tuple(
+                sorted((d["resource_attrs"] or {}).items())
+            )
+            rows.append(tuple(d[c] for c in cols))
+        return sorted(rows)
+
+    assert norm(direct) == norm(via)
