@@ -440,9 +440,9 @@ def pb_to_json(payloads: DataFrame, kind: str) -> DataFrame:
     return payloads.select("payload").mapInPandas(fn, schema="json string")
 
 
-def pb_logs(payloads: DataFrame) -> DataFrame:
-    """OTLP protobuf log payloads → flat log records (same output as
-    the JSON path: one flattener serves both encodings)."""
+def pb_logs_via_json(payloads: DataFrame) -> DataFrame:
+    """Reference path (wire → OTLP/JSON → shared flattener); kept as
+    the semantic cross-check for the direct decode."""
     from .otlp import OTLP_LOGS_SCHEMA, flatten_otlp_logs
 
     raw = pb_to_json(payloads, "logs").select(
@@ -451,13 +451,156 @@ def pb_logs(payloads: DataFrame) -> DataFrame:
     return flatten_otlp_logs(raw)
 
 
-def pb_spans(payloads: DataFrame) -> DataFrame:
+def pb_spans_via_json(payloads: DataFrame) -> DataFrame:
     from .otlp import OTLP_TRACES_SCHEMA, flatten_otlp_spans
 
     raw = pb_to_json(payloads, "traces").select(
         F.from_json("json", OTLP_TRACES_SCHEMA).alias("r")
     ).select("r.*")
     return flatten_otlp_spans(raw)
+
+
+def _utc_date(ts_ns):
+    import datetime as _dt
+
+    if ts_ns is None:
+        return None
+    return _dt.datetime.fromtimestamp(
+        (ts_ns // 1000) / 1e6, tz=_dt.timezone.utc
+    ).date()
+
+
+def _logs_rows(d: dict):
+    """Decoded ExportLogsServiceRequest dict → flat record tuples,
+    reproducing flatten_otlp_logs exactly."""
+    for rl in d.get("resourceLogs", []):
+        res = _attr_map((rl.get("resource") or {}).get("attributes"))
+        svc = res.get("service.name", "unknown_service")
+        ns = res.get("service.namespace", "")
+        for sl in rl.get("scopeLogs", []):
+            scope = sl.get("scope") or {}
+            for r in sl.get("logRecords", []):
+                ts = r.get("timeUnixNano")
+                ts = int(ts) if ts is not None else None
+                obs = r.get("observedTimeUnixNano")
+                obs = int(obs) if obs is not None else ts
+                yield (
+                    ts,
+                    obs,
+                    r.get("severityText"),
+                    r.get("severityNumber"),
+                    r.get("traceId"),
+                    r.get("spanId"),
+                    (r.get("body") or {}).get("stringValue"),
+                    _attr_map(r.get("attributes")),
+                    res,
+                    scope.get("name"),
+                    scope.get("version"),
+                    svc,
+                    ns,
+                    _utc_date(ts),
+                )
+
+
+_LOG_ROW_SCHEMA = (
+    "timestamp_ns long, observed_ns long, severity_text string,"
+    " severity_number long, trace_id string, span_id string, body string,"
+    " attrs map<string,string>, resource_attrs map<string,string>,"
+    " scope_name string, scope_version string, service_name string,"
+    " service_namespace string, date date"
+)
+
+
+def pb_logs(payloads: DataFrame) -> DataFrame:
+    """OTLP protobuf log payloads → flat log records, decoded DIRECTLY
+    to rows on the executors (no JSON round-trip); equality with the
+    shared-flattener path is pinned by test_otlp_pb.py."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                rows.extend(_logs_rows(decode_logs_request(bytes(payload))))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "timestamp_ns", "observed_ns", "severity_text",
+                    "severity_number", "trace_id", "span_id", "body",
+                    "attrs", "resource_attrs", "scope_name",
+                    "scope_version", "service_name", "service_namespace",
+                    "date",
+                ],
+            )
+
+    return payloads.select("payload").mapInPandas(fn, schema=_LOG_ROW_SCHEMA)
+
+
+def _spans_rows(d: dict):
+    """Decoded ExportTraceServiceRequest dict → flat span tuples,
+    reproducing flatten_otlp_spans (materialized duration, date)."""
+    for rs in d.get("resourceSpans", []):
+        res = _attr_map((rs.get("resource") or {}).get("attributes"))
+        svc = res.get("service.name", "unknown_service")
+        for ss in rs.get("scopeSpans", []):
+            for s in ss.get("spans", []):
+                start = s.get("startTimeUnixNano")
+                start = int(start) if start is not None else None
+                end = s.get("endTimeUnixNano")
+                end = int(end) if end is not None else None
+                dur = (
+                    end - start if start is not None and end is not None
+                    else None
+                )
+                status = s.get("status") or {}
+                yield (
+                    s.get("traceId"),
+                    s.get("spanId"),
+                    s.get("parentSpanId"),
+                    s.get("name"),
+                    s.get("kind"),
+                    start,
+                    end,
+                    dur,
+                    status.get("code"),
+                    status.get("message"),
+                    _attr_map(s.get("attributes")),
+                    res,
+                    svc,
+                    _utc_date(start),
+                )
+
+
+_SPAN_ROW_SCHEMA = (
+    "trace_id string, span_id string, parent_span_id string, name string,"
+    " kind long, start_ns long, end_ns long, duration_ns long,"
+    " status_code long, status_message string, attrs map<string,string>,"
+    " resource_attrs map<string,string>, service_name string, date date"
+)
+
+
+def pb_spans(payloads: DataFrame) -> DataFrame:
+    """OTLP protobuf trace payloads → flat span rows, decoded DIRECTLY
+    to rows on the executors; equality with the shared-flattener path
+    is pinned by test_otlp_pb.py."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                rows.extend(_spans_rows(decode_traces_request(bytes(payload))))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "trace_id", "span_id", "parent_span_id", "name",
+                    "kind", "start_ns", "end_ns", "duration_ns",
+                    "status_code", "status_message", "attrs",
+                    "resource_attrs", "service_name", "date",
+                ],
+            )
+
+    return payloads.select("payload").mapInPandas(fn, schema=_SPAN_ROW_SCHEMA)
 
 
 def pb_metrics_via_json(payloads: DataFrame) -> DataFrame:

@@ -247,3 +247,63 @@ def test_pb_metrics_direct_equals_via_json(spark):
         return sorted(rows)
 
     assert norm(direct) == norm(via)
+
+
+def _norm_frames_equal(direct, via):
+    cols = sorted(direct.columns)
+    assert cols == sorted(via.columns)
+
+    def norm(frame):
+        rows = []
+        for r in frame.select(*cols).collect():
+            d = r.asDict()
+            for mc in ("labels", "attrs", "resource_attrs"):
+                if mc in d:
+                    d[mc] = tuple(sorted((d[mc] or {}).items()))
+            rows.append(tuple(d[c] for c in cols))
+        return sorted(rows, key=repr)
+
+    assert norm(direct) == norm(via)
+
+
+def test_pb_logs_direct_equals_via_json(spark):
+    recs = [
+        pb.enc_log_record(
+            time_ns=1_704_067_200_000_000_000 + i * 10**9,
+            severity_number=9 if i % 2 else 17,
+            severity_text="INFO" if i % 2 else "ERROR",
+            body=f"line {i}",
+            attrs={"user": str(i)},
+            trace_id=i.to_bytes(16, "big"),
+            span_id=i.to_bytes(8, "big"),
+            observed_ns=1_704_067_200_000_000_000 + i * 10**9 + 5,
+        )
+        for i in range(5)
+    ]
+    payload = pb.enc_logs_request(
+        {"service.name": "svc", "service.namespace": "prod"}, recs,
+        scope_name="sc",
+    )
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    _norm_frames_equal(pb.pb_logs(df), pb.pb_logs_via_json(df))
+
+
+def test_pb_spans_direct_equals_via_json(spark):
+    spans = [
+        pb.enc_span(
+            trace_id=(i // 3).to_bytes(16, "big"),
+            span_id=i.to_bytes(8, "big"),
+            parent_span_id=b"" if i % 3 == 0 else (i - i % 3).to_bytes(8, "big"),
+            name=f"op-{i}",
+            kind=2 + i % 3,
+            start_ns=1_704_067_200_000_000_000 + i * 10**6,
+            end_ns=1_704_067_200_000_000_000 + i * 10**6 + 42,
+            attrs={"k": str(i)},
+            status_code=i % 3,
+            status_message="m" if i % 3 else "",
+        )
+        for i in range(6)
+    ]
+    payload = pb.enc_traces_request({"service.name": "svc"}, spans)
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    _norm_frames_equal(pb.pb_spans(df), pb.pb_spans_via_json(df))
