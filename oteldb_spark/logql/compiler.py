@@ -396,10 +396,28 @@ def _apply_stage(env: _Env, stage) -> _Env:
             )
         return env
     if isinstance(stage, ast.Distinct):
+        # Loki keeps the FIRST line per distinct value combination —
+        # the kept row's timestamp feeds downstream windowing, so an
+        # arbitrary-winner dropDuplicates is nondeterministic across
+        # partition layouts; rank by (ts, ord) instead.  (Known
+        # difference from the streaming engines: ranking runs over the
+        # full selected stream, not just the query range — a duplicate
+        # whose first occurrence predates the range stays dropped.
+        # The stage is deprecated upstream; documented, not chased.)
+        from pyspark.sql import Window
+
         cols = [_resolve(env, l) for l in stage.labels]
-        env.df = env.df.withColumns(
-            {f"__d{i}": c for i, c in enumerate(cols)}
-        ).dropDuplicates([f"__d{i}" for i in range(len(cols))])
+        order = [F.col(env.source.ts_col)]
+        if env.source.ord_col:
+            order.append(F.col(env.source.ord_col))
+        keys = [f"__d{i}" for i in range(len(cols))]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        env.df = (
+            env.df.withColumns({k: c for k, c in zip(keys, cols)})
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", *keys)
+        )
         return env
     raise SyntaxError(f"LogQL: unsupported stage {stage!r}")
 

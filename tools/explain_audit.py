@@ -32,6 +32,13 @@ DEFAULT = [
     "pipeline_decontaminate",
     "pipeline_pack_sequences",
     "promql_rate_cached",
+    # round-3 additions
+    "otlp_pb_ingest_points",
+    "tql_parsed_childcount",
+    "ppql_parsed_info",
+    "exp_hist_signed_median",
+    "ppql_parsed_ts_of_max",
+    "tql_parsed_metrics_topk",
 ]
 
 
