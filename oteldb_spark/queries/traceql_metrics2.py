@@ -85,7 +85,7 @@ register(
 )(_run("{ } | rate() by (span.service) | bottomk(1)"))
 
 
-# { } | rate() by (span.service) | * 60 | > 0.02 — scalar arithmetic
+# { } | rate() by (span.service) | * 60 | > 0.004 — scalar arithmetic
 # then point filter (MetricsScalarOp + MetricsFilter)
 register(
     "tql_parsed_metrics_scalar_filter",
@@ -94,14 +94,14 @@ register(
         _ALL_SAMPLES,
         _RATE_CTE,
         body="""SELECT service, step_us, value * 60 AS value
-FROM r WHERE value * 60 > 0.02""",
+FROM r WHERE value * 60 > 0.004""",
     ),
-)(_run("{ } | rate() by (span.service) | * 60 | > 0.02"))
+)(_run("{ } | rate() by (span.service) | * 60 | > 0.004"))
 
 
 # { } | compare({ status = error }, 2) — selection vs baseline count
 # series per declared attribute, top-2 values per (group, attr)
-register(
+@register(
     "tql_parsed_compare",
     with_ctes(
         SPANS_CTE,

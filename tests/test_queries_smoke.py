@@ -53,3 +53,27 @@ def test_bench_headline_names_registered():
     # and every registered query has an oracle (driver's hash gate)
     no_oracle = [n for n in QUERIES if n not in ORACLES]
     assert not no_oracle, no_oracle
+
+
+def test_no_orphaned_register_calls():
+    """A register(...) whose result is discarded right before a
+    function definition is a dropped @ — the gate silently never
+    enters the registry (it has happened twice)."""
+    import ast as pyast
+    import glob
+
+    bad = []
+    for path in glob.glob("oteldb_spark/queries/*.py"):
+        tree = pyast.parse(open(path).read())
+        body = tree.body
+        for i, node in enumerate(body):
+            if (
+                isinstance(node, pyast.Expr)
+                and isinstance(node.value, pyast.Call)
+                and isinstance(node.value.func, pyast.Name)
+                and node.value.func.id == "register"
+                and i + 1 < len(body)
+                and isinstance(body[i + 1], pyast.FunctionDef)
+            ):
+                bad.append(f"{path}:{node.lineno} → {body[i+1].name}")
+    assert not bad, f"register() without @ before a def: {bad}"
