@@ -186,7 +186,8 @@ def gen_query(rng: random.Random) -> str:
             stages.append(f"| by({rng.choice(['service', 'name'])})")
         agg = rng.choice(
             ["count()", "avg(duration)", "max(duration)", "min(duration)",
-             "sum(duration)", "max(retries)", "sum(retries)"]
+             "sum(duration)", "max(retries)", "sum(retries)",
+             "max(childCount)", "avg(childCount)"]
         )
         op = rng.choice([">", ">=", "<", "<=", "!="])
         if "duration" in agg and rng.random() < 0.5:
