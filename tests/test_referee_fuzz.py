@@ -52,3 +52,11 @@ def test_traceql_metrics_fuzz_engine_matches_referee(spark):
     stats, failures = run_traceql_metrics_fuzz(spark, n=30, seed=0)
     assert not failures, failures[:3]
     assert stats["match"] >= 27, stats
+
+
+def test_pprof_fuzz_wire_roundtrip_matches_fold(spark):
+    from tools.pprof_fuzz import run_pprof_fuzz
+
+    stats, failures = run_pprof_fuzz(spark, n=10, seed=0)
+    assert not failures, failures[:2]
+    assert stats["match"] == 10
