@@ -201,6 +201,10 @@ def gen_query(rng: random.Random) -> str:
             stages.append("| coalesce()")
             stages.append(f"| count() {rng.choice(['>', '<='])} {rng.randint(1, 8)}")
         q = f"{q} {' '.join(stages)}"
+    if rng.random() < 0.12:
+        # projection stage LAST (span identity unchanged — the
+        # comparator reads trace_id/span_id either way)
+        q = f"{q} | select({rng.choice(['service', 'name, duration', 'retries'])})"
     return q
 
 
