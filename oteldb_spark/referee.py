@@ -993,7 +993,14 @@ def _safe(fn):
     def wrapped(v):
         try:
             return fn(v)
-        except (ValueError, OverflowError):
+        except OverflowError:
+            # Go's libm saturates instead of raising: exp/sinh/cosh of
+            # a huge argument return ±Inf (sign follows the function's
+            # limit; every overflowing fn here diverges to +Inf for
+            # v→+∞ and exp→0 / ±Inf for v→-∞, which math handles
+            # before overflowing)
+            return INF if v > 0 else -INF
+        except ValueError:
             return NAN
 
     return wrapped
@@ -1151,7 +1158,8 @@ _SIMPLE_FUNCS = {
     "acos": _safe(lambda v: math.acos(v) if -1 <= v <= 1 else NAN),
     "atan": _safe(math.atan),
     "sinh": _safe(math.sinh),
-    "cosh": _safe(math.cosh),
+    # cosh is even: overflow saturates to +Inf for BOTH signs
+    "cosh": _safe(lambda v: math.cosh(abs(v))),
     "tanh": _safe(math.tanh),
     "asinh": _safe(math.asinh),
     "acosh": _safe(lambda v: math.acosh(v) if v >= 1 else NAN),

@@ -269,7 +269,12 @@ def run_traceql_metrics_fuzz(spark, n: int, seed: int, verbose: bool = False):
     rng = random.Random(seed)
     spans = gen_spans(rng)
     df = _spans_df(spark, spans)
-    source = SpanSource(df=df, attr_cols=dict(_ATTR_MAP))
+    source = SpanSource(
+        df=df,
+        attr_cols=dict(_ATTR_MAP),
+        events_col="events",
+        links_col="links",
+    )
     referee = TraceQLReferee(spans, dict(_ATTR_MAP))
     kw = dict(start_us=_M_START, end_us=_M_END, step_us=_M_STEP,
               range_us=_M_RANGE)
