@@ -99,6 +99,10 @@ def main() -> int:
         if msgs:
             failures.append((name, "; ".join(msgs)))
             print(f"FAIL  {name}: {'; '.join(msgs)}")
+        elif not srows:
+            # both sides empty: a hash match over nothing certifies
+            # nothing — surface it so thresholds/fixtures get fixed
+            print(f"ok    {name}: rows=0 VACUOUS [{time.time()-t0:.1f}s]")
         else:
             print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
