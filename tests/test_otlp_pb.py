@@ -307,3 +307,25 @@ def test_pb_spans_direct_equals_via_json(spark):
     payload = pb.enc_traces_request({"service.name": "svc"}, spans)
     df = spark.createDataFrame([(payload,)], "payload binary")
     _norm_frames_equal(pb.pb_spans(df), pb.pb_spans_via_json(df))
+
+
+def test_pb_metrics_direct_typed_attrs(spark):
+    """Typed point attributes (int / double / bool) must stringify
+    identically on the direct path and the Spark-cast JSON path."""
+    base = pb.enc_number_point(time_ns=1_704_067_200_000_000_000, value=1.5)
+    typed = (
+        pb._enc_len(7, pb.enc_kv("n", pb.enc_any_int(-42)))
+        + pb._enc_len(7, pb.enc_kv("d", pb.enc_any_double(0.25)))
+        + pb._enc_len(7, pb.enc_kv("dd", pb.enc_any_double(3.0)))
+        + pb._enc_len(7, pb.enc_kv("b", pb._tag(2, 0) + pb._enc_uvarint(1)))
+    )
+    metric = pb.enc_gauge_metric("g", "", [base + typed])
+    payload = pb.enc_metrics_request({"service.name": "svc"}, [metric])
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    d_rows = pb.pb_metrics(df).collect()
+    v_rows = pb.pb_metrics_via_json(df).collect()
+    d = dict(d_rows[0]["labels"])
+    v = dict(v_rows[0]["labels"])
+    assert d == v, (d, v)
+    assert d == {"n": "-42", "d": "0.25", "dd": "3.0", "b": "true"}
+    assert d_rows[0]["series_hash"] == v_rows[0]["series_hash"]
