@@ -282,6 +282,27 @@ def _labels_of(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in ("step_us", "value")]
 
 
+def _resolve_at_pin(at_us, params: PromParams) -> "PromParams | None":
+    """@ modifier on a range vector → single-evaluation params pinned
+    at the resolved time (None without @)."""
+    if at_us is None:
+        return None
+    if at_us == "start":
+        at_us = params.start_us
+    elif at_us == "end":
+        at_us = params.end_us
+    return PromParams(int(at_us), int(at_us), params.step_us, params.lookback_us)
+
+
+def _replicate_steps(out: DataFrame, params: PromParams, spark) -> DataFrame:
+    """Pinned single-step result → repeated across the query grid."""
+    from ..operators.stepfanout import step_spine
+
+    assert spark is not None, "@-pinned range vectors need the SparkSession"
+    spine = step_spine(spark, params.start_us, params.end_us, params.step_us)
+    return out.drop("step_us").crossJoin(spine)
+
+
 def _is_scalar_expr(e) -> bool:
     """Static type of the expression: True when it evaluates to a
     scalar (Prometheus type checking) — a 0-label VECTOR (e.g.
@@ -537,12 +558,17 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
 
     if name in RATE_FUNCS or name in ("resets", "changes", "deriv", "predict_linear"):
         sel = fc.args[0]
+        # @ on a RANGE vector pins the window: evaluate once at the
+        # fixed time, then replicate across the step grid (engine.go
+        # evaluates the pinned matrix identically for every step)
+        at_pin = _resolve_at_pin(getattr(sel, "at_us", None), params)
+        eff = at_pin if at_pin is not None else params
         if isinstance(sel, ast.FuncCall) and sel.name == "__subquery__":
             # rate over a subquery: samples are the inner expression
             # evaluated on the subquery grid
             pts = _subquery_samples(
                 sel.args[0], sel.range_us, getattr(sel, "step_us", None),
-                getattr(sel, "offset_us", 0), source, params, spark,
+                getattr(sel, "offset_us", 0), source, eff, spark,
             )
             sel = ast.VectorSelector(
                 None, [], sel.range_us, getattr(sel, "offset_us", 0)
@@ -552,47 +578,79 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         elif sel.subquery_step_us is not None:
             pts = _subquery_samples(
                 _strip_subquery(sel), sel.range_us, sel.subquery_step_us,
-                sel.offset_us, source, params, spark,
+                sel.offset_us, source, eff, spark,
             )
         else:
             pts = _selector_points(sel, source)
         kw = dict(
             series=[c for c in pts.columns if c not in ("ts_us", "sample")],
             value_col="sample",
-            start_us=params.start_us,
-            end_us=params.end_us,
-            step_us=params.step_us,
+            start_us=eff.start_us,
+            end_us=eff.end_us,
+            step_us=eff.step_us,
             range_us=sel.range_us,
         )
         if name in ("resets", "changes"):
             from ..operators.rate import resets_changes
 
-            return resets_changes(pts, name, **kw)
-        if name == "deriv":
+            out = resets_changes(pts, name, **kw)
+        elif name == "deriv":
             from ..operators.rate import deriv as deriv_op
 
-            return deriv_op(pts, **kw)
-        if name == "predict_linear":
+            out = deriv_op(pts, **kw)
+        elif name == "predict_linear":
             from ..operators.rate import predict_linear as pl_op
 
             horizon_s = fc.args[1].value
-            return pl_op(
+            out = pl_op(
                 pts, horizon_s=horizon_s, offset_us=sel.offset_us, **kw
             )
-        return rate_family(pts, name, **kw)
+            if at_pin is not None:
+                # UNLIKE every other range function, predict_linear is
+                # NOT constant under @: the regression window is
+                # pinned but the prediction target tracks each step's
+                # evaluation time (funcPredictLinear extrapolates from
+                # enh.Ts).  Extend the pinned regression line:
+                # value(t) = value(pin) + slope · (t − pin)
+                from ..operators.rate import deriv as deriv_op
+
+                slope = (
+                    deriv_op(pts, **kw)
+                    .drop("step_us")
+                    .withColumnRenamed("value", "__slope")
+                )
+                out = out.drop("step_us").join(slope, kw["series"])
+                out = _replicate_steps(
+                    out.withColumn("step_us", F.lit(eff.start_us)),
+                    params,
+                    spark,
+                ).withColumn(
+                    "value",
+                    F.col("value")
+                    + F.col("__slope")
+                    * (F.col("step_us") - F.lit(eff.start_us)) / F.lit(1e6),
+                ).drop("__slope")
+            return out
+        else:
+            out = rate_family(pts, name, **kw)
+        if at_pin is not None:
+            out = _replicate_steps(out, params, spark)
+        return out
 
     if name in RANGE_FUNCS or name == "present_over_time":
         arg = fc.args[-1]
         q = fc.args[0] if name == "quantile_over_time" else None
         if isinstance(q, ast.Literal):
             q = q.value
+        at_pin = _resolve_at_pin(getattr(arg, "at_us", None), params)
+        eff = at_pin if at_pin is not None else params
         if isinstance(arg, ast.VectorSelector) and arg.range_us is not None:
             if arg.subquery_step_us is not None:
                 # selector subquery x[r:st]: instant evals on the
                 # subquery grid, NOT raw samples
                 samples = _subquery_samples(
                     _strip_subquery(arg), arg.range_us,
-                    arg.subquery_step_us, arg.offset_us, source, params,
+                    arg.subquery_step_us, arg.offset_us, source, eff,
                     spark,
                 )
             else:
@@ -605,9 +663,9 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
             raise SyntaxError(f"PromQL: {name}() needs a range vector")
         if name == "present_over_time":
             fanned = fanout(
-                samples, params.start_us, params.end_us, params.step_us, rng
+                samples, eff.start_us, eff.end_us, eff.step_us, rng
             )
-            return (
+            out = (
                 fanned.select(
                     *[c for c in samples.columns
                       if c not in ("ts_us", "sample")],
@@ -616,17 +674,22 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
                 .distinct()
                 .withColumn("value", F.lit(1.0))
             )
+            if at_pin is not None:
+                out = _replicate_steps(out, params, spark)
+            return out
         out = range_aggregate(
             samples,
             RANGE_FUNCS[name],
-            start_us=params.start_us,
-            end_us=params.end_us,
-            step_us=params.step_us,
+            start_us=eff.start_us,
+            end_us=eff.end_us,
+            step_us=eff.step_us,
             range_us=rng,
             by=[c for c in samples.columns if c not in ("ts_us", "sample")],
             q=q,
             spark=spark,
         )
+        if at_pin is not None:
+            out = _replicate_steps(out, params, spark)
         if name.startswith("ts_of_"):
             # the points/subquery frames shift sample ts by the
             # selector offset for window math; the wire value is the

@@ -134,3 +134,25 @@ def ppql_parsed_info(spark, sf_dir):
         info_identifying=["instance"],
     )
     return compile_promql("info(events_gauge)", src, PARAMS, spark)
+
+
+# --- @ on RANGE vectors ------------------------------------------------------
+# The window is pinned at the resolved time, evaluated once, and the
+# result replicated across every output step (engine.go evaluates the
+# pinned matrix identically per step).
+
+register(
+    "ppql_parsed_count_at_end",
+    with_ctes(
+        COUNTERS_CTE,
+        f"""pinned AS (
+  SELECT mtype, instance, CAST(count(*) AS DOUBLE) AS value
+  FROM counters
+  WHERE ts_us > {END_US} - {RANGE_US} AND ts_us <= {END_US}
+  GROUP BY mtype, instance
+)""",
+        body=f"""SELECT mtype, instance, step_us, value
+FROM pinned CROSS JOIN (SELECT range AS step_us
+  FROM range({START_US}, {END_US} + 1, {STEP_US})) t""",
+    ),
+)(_run("count_over_time(events_gauge[12h] @ end())"))

@@ -66,6 +66,10 @@ def gen_range_call(rng: random.Random) -> str:
             sel = sel[: -len(o)]
             off = o
     r = rng.choice(_RANGES)
+    # @ pins the range window (evaluated once, replicated per step;
+    # predict_linear extends the pinned regression line)
+    if rng.random() < 0.12:
+        off = off + " " + rng.choice(["@ start()", "@ end()"])
     kind = rng.random()
     if kind < 0.4:
         fn = rng.choice(_RATE)
