@@ -89,7 +89,8 @@ def gen_case(rng: random.Random) -> str:
     elif roll < 0.55:  # plain range agg
         agg = rng.choice(_RANGE_AGGS)
         r = rng.choice(_RANGES)
-        q = f"{agg}({gen_pipeline(rng)} [{r}])"
+        off = rng.choice(["", "", " offset 30m", " offset 2h"])
+        q = f"{agg}({gen_pipeline(rng)} [{r}]{off})"
     elif roll < 0.75:  # unwrap agg
         agg = rng.choice(_UNWRAP_AGGS)
         r = rng.choice(_RANGES)
