@@ -109,10 +109,24 @@ def _go_sqrt(c):
     return F.when(c < 0, F.lit(_NAN)).otherwise(F.sqrt(c))
 
 
+def _go_round(fn):
+    """Go math.Ceil/Floor stay float64; Spark's ceil/floor return
+    LONG, silently clamping |v| > 2^63 to Long.MAX and nulling NaN.
+    Any double with |v| ≥ 2^52 is already integral — pass it (and
+    NaN/±Inf) through untouched."""
+
+    def wrapped(c):
+        return F.when(
+            F.isnan(c) | (F.abs(c) >= F.lit(2.0**52)), c
+        ).otherwise(fn(c).cast("double"))
+
+    return wrapped
+
+
 MATH_FUNCS = {
     "abs": F.abs,
-    "ceil": F.ceil,
-    "floor": F.floor,
+    "ceil": _go_round(F.ceil),
+    "floor": _go_round(F.floor),
     "exp": F.exp,
     "ln": _go_log(F.log),
     "log2": _go_log(F.log2),

@@ -423,7 +423,12 @@ class Referee:
         if name in ("rate", "increase", "delta"):
             mat = self._matrix(node.args[0], ts, qstart, qend)
             rng = _range_of(node.args[0])
-            t = ts - _offset_of(node.args[0])
+            # extrapolation bounds follow the SELECTED window: @ pins
+            # it, offset shifts it (mixing pinned samples with the
+            # step's own bounds produced negative counter rates)
+            t = self._resolve_at(
+                getattr(node.args[0], "at_us", None), ts, qstart, qend
+            ) - _offset_of(node.args[0])
             out = []
             for labels, samples in mat:
                 v = _extrapolated_rate(
