@@ -715,6 +715,13 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
                 out = out.withColumn(
                     "value", F.col("value") - F.lit(off / 1e6)
                 )
+        if name == "absent_over_time" and isinstance(arg, ast.VectorSelector):
+            # result labels derive from the equality matchers
+            # (functions.go createLabelsForAbsentFunction — same rule
+            # the absent() branch applies)
+            for m in arg.matchers:
+                if m.op == "=":
+                    out = out.withColumn(m.name, F.lit(m.value))
         return out
 
     if name in MATH_FUNCS:
@@ -816,21 +823,26 @@ def _compile_func(fc: ast.FuncCall, source: MetricSource, params: PromParams, sp
         sel = fc.args[0]
         if isinstance(sel, ast.VectorSelector) and sel.range_us is None:
             pts = _selector_points(sel, source)
+            at_pin = _resolve_at_pin(sel.at_us, params)
+            eff = at_pin if at_pin is not None else params
             fanned = fanout(
                 pts,
-                params.start_us,
-                params.end_us,
-                params.step_us,
+                eff.start_us,
+                eff.end_us,
+                eff.step_us,
                 params.lookback_us,
             )
             labels = [c for c in pts.columns if c not in ("ts_us", "sample")]
             # the wire value is the RAW sample timestamp — the points
             # frame shifts ts by the selector offset for window math,
             # so undo it here (funcTimestamp reads the unshifted T)
-            return fanned.groupBy(*labels, "step_us").agg(
+            out = fanned.groupBy(*labels, "step_us").agg(
                 ((F.max("ts_us") - F.lit(sel.offset_us)) / F.lit(1e6))
                 .alias("value")
             )
+            if at_pin is not None:
+                out = _replicate_steps(out, params, spark)
+            return out
         inner = _compile(sel, source, params, spark)
         return inner.withColumn(
             "value", (F.col("step_us") / F.lit(1e6)).cast("double")

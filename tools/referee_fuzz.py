@@ -31,6 +31,7 @@ _OVER_TIME = [
     "count_over_time", "stddev_over_time", "stdvar_over_time",
     "last_over_time", "present_over_time",
     "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "absent_over_time",
 ]
 _RATE = ["rate", "increase", "delta", "irate", "idelta", "resets",
          "changes", "deriv"]
@@ -176,7 +177,8 @@ def gen_exotic(rng: random.Random) -> str:
         sel = gen_selector(rng).split(" offset")[0]
         return f'label_join({sel}, "combo", "-", "mtype", "instance")'
     if roll < 0.75:
-        return f"timestamp({gen_selector(rng)})"
+        at = rng.choice(["", "", " @ start()", " @ end()"])
+        return f"timestamp({gen_selector(rng)}{at})"
     if roll < 0.85:
         fn = rng.choice(["minute", "hour", "day_of_week", "day_of_month",
                          "month", "year"])
