@@ -362,6 +362,50 @@ _TOK = re.compile(
 
 _TOKEN = re.compile(r"\{\{(.*?)\}\}", re.DOTALL)
 
+_DOTTED_FIELD = re.compile(r"\.([A-Za-z_]\w*)")
+
+
+def iter_actions(template: str):
+    """Yield ``(start, end, body)`` for each ``{{ ... }}`` action,
+    skipping ``}`` characters inside double-quoted (with backslash
+    escapes) and backtick string literals — ``{{ printf "}}" }}``
+    is ONE action with body ``printf "}}" ``."""
+    pos = 0
+    n = len(template)
+    while True:
+        start = template.find("{{", pos)
+        if start < 0:
+            return
+        i = start + 2
+        while i < n:
+            c = template[i]
+            if c == '"':
+                i += 1
+                while i < n and template[i] != '"':
+                    i += 2 if template[i] == "\\" else 1
+                i += 1
+            elif c == "`":
+                end_q = template.find("`", i + 1)
+                i = n if end_q < 0 else end_q + 1
+            elif c == "}" and template.startswith("}}", i):
+                yield start, i + 2, template[start + 2 : i]
+                pos = i + 2
+                break
+            else:
+                i += 1
+        else:
+            return
+
+
+def template_fields(template: str) -> set[str]:
+    """Every ``.field`` name referenced anywhere in any action of the
+    template — all dotted identifiers per action, not just the first
+    (``{{ printf "%s-%s" .a .b }}`` yields ``{'a', 'b'}``)."""
+    out: set[str] = set()
+    for _, _, body in iter_actions(template):
+        out.update(_DOTTED_FIELD.findall(body))
+    return out
+
 
 def _tokenize(src: str):
     pos, out = 0, []
@@ -470,11 +514,11 @@ def compile_template(template: str, fields: dict[str, Column]) -> Column:
     """
     parts: list[Column] = []
     pos = 0
-    for m in _TOKEN.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos : m.start()]))
-        parts.append(compile_action(m.group(1), fields).cast("string"))
-        pos = m.end()
+    for start, end, body in iter_actions(template):
+        if start > pos:
+            parts.append(F.lit(template[pos:start]))
+        parts.append(compile_action(body, fields).cast("string"))
+        pos = end
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
     if not parts:

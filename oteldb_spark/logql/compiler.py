@@ -92,6 +92,11 @@ def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
     suffix (logql/log/parser.go jsonParser), excluded keys (the
     unwrapped label, without()-dropped labels) are removed."""
     known = sorted(set(env.labels) | set(env.source.label_cols))
+    attrs_keys = (
+        F.map_keys(F.col(env.source.attrs_map_col))
+        if env.source.attrs_map_col is not None
+        else None
+    )
     exclude = set(exclude) | env.dyn_excl
     entries = F.map_entries(env.dyn_map)
     if env.dyn_keep is not None:
@@ -100,10 +105,13 @@ def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
 
     def suffix(e):
         k, v = e["key"], e["value"]
-        nk = (
-            F.when(k.isin(known), F.concat(k, F.lit("_extracted"))).otherwise(k)
-            if known else k
-        )
+        # collisions with static labels AND with stream-attrs-map keys
+        # get the _extracted suffix (Loki: the stream label keeps the
+        # plain name, the parsed label is renamed)
+        clash = k.isin(known) if known else F.lit(False)
+        if attrs_keys is not None:
+            clash = clash | F.array_contains(attrs_keys, k)
+        nk = F.when(clash, F.concat(k, F.lit("_extracted"))).otherwise(k)
         return F.struct(nk.alias("key"), v.alias("value"))
 
     entries = F.transform(entries, suffix)
@@ -113,30 +121,72 @@ def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
     return F.array_sort(entries)
 
 
+def _all_label_entries(env: _Env, exclude: set[str]) -> "Column | None":
+    """Sorted entries of every dynamic label on the stream: the
+    attrs-map long tail (stream labels; plain names win) plus any
+    bare-parser map (collisions suffixed ``_extracted``).  ``None``
+    when the source has neither."""
+    parts = []
+    if env.source.attrs_map_col is not None:
+        a = F.map_entries(F.col(env.source.attrs_map_col))
+        known = sorted(set(env.labels) | set(env.source.label_cols))
+        if known:
+            a = F.filter(a, lambda e: ~e["key"].isin(known))
+        excl = sorted(set(exclude) | env.dyn_excl)
+        if excl:
+            a = F.filter(a, lambda e: ~e["key"].isin(excl))
+        if env.dyn_keep is not None:
+            kept = sorted(env.dyn_keep)
+            a = F.filter(a, lambda e: e["key"].isin(kept))
+        parts.append(a)
+    if env.dyn_map is not None:
+        parts.append(_extracted_entries(env, exclude))
+    if not parts:
+        return None
+    return F.array_sort(parts[0] if len(parts) == 1 else F.concat(*parts))
+
+
 def _extracted_json(env: _Env, exclude: set[str]) -> Column:
-    """Canonical (sorted-entries) JSON of the extracted-label map — a
-    groupable stand-in for "every label the parser discovered", since
+    """Canonical (sorted-entries) JSON of the dynamic-label map — a
+    groupable stand-in for "every label the stream carries", since
     Spark cannot group by a map column.  Serializers merge it back
     into the wire label set."""
-    return F.to_json(
-        F.map_from_entries(_extracted_entries(env, exclude))
-    )
+    return F.to_json(F.map_from_entries(_all_label_entries(env, exclude)))
 
 
 def _resolve(env: _Env, name: str) -> Column:
-    norm = name.replace(".", "_")
+    """Label name → Column, sanitization-aware.
+
+    Mirrors the reference's OTel-key ↔ Prometheus-label translation
+    surface: ``http_method`` finds a stored ``http.method`` key
+    (``otelstorage/attrs.go:11-41`` KeyToLabel reverse lookup via
+    ``chstorage/columns_logs.go:304-371``) and ``U__``-hex spellings
+    decode (``chstorage/querier_metrics.go:145-163``).  Known labels
+    resolve at compile time; only the attrs-map fallback pays a
+    per-row map_keys scan (codegen'd, no shuffle)."""
+    from ..functions.otel_labels import map_attr_lookup, resolve_label_name
+
     if name in env.labels:
         return env.labels[name]
+    norm = name.replace(".", "_")
     if norm in env.labels:
         return env.labels[norm]
+    resolved = resolve_label_name(name, env.labels.keys())
+    if resolved is not None:
+        return env.labels[resolved]
+    # stream attrs win the plain name over parser-extracted labels
+    # (Loki renames the colliding parsed key to <key>_extracted)
+    cands = []
+    if env.source.attrs_map_col is not None:
+        cands.append(map_attr_lookup(F.col(env.source.attrs_map_col), name))
     if (
         env.dyn_map is not None
         and name not in env.dyn_excl
         and (env.dyn_keep is None or name in env.dyn_keep)
     ):
-        return env.dyn_map.getItem(name)
-    if env.source.attrs_map_col is not None:
-        return F.col(env.source.attrs_map_col).getItem(name)
+        cands.append(map_attr_lookup(env.dyn_map, name))
+    if cands:
+        return F.coalesce(*cands)
     raise KeyError(f"LogQL: unknown label {name!r}")
 
 
@@ -349,14 +399,12 @@ def _apply_stage(env: _Env, stage) -> _Env:
         fields = dict(env.labels)
         if env.dyn_map is not None:
             # bare-parser labels are template-visible too: pull every
-            # field the template references out of the dynamic map
-            import re as _re
+            # field the template references out of the dynamic map —
+            # ALL dotted identifiers per action ({{ printf "%s-%s"
+            # .a .b }} needs both), string-literal-aware action spans
+            from ..functions.templates import template_fields
 
-            for name in set(
-                _re.findall(
-                    r"\{\{[^}]*?\.([A-Za-z_][A-Za-z0-9_]*)", stage.template
-                )
-            ):
+            for name in template_fields(stage.template):
                 if name not in fields and not name.startswith("__"):
                     fields[name] = _resolve_or_empty(env, name)
         fields["__line__"] = env.body
@@ -479,15 +527,12 @@ def compile_logql(
         cols = [F.col(source.ts_col).alias("ts_us"), env.body.alias("body")] + [
             v.alias(k) for k, v in env.labels.items()
         ]
-        if env.dyn_map is not None:
-            # bare `| json` / `| logfmt`: every discovered field is a
-            # stream label (Loki materializes them; serializers merge
-            # the map into the wire label set)
-            cols.append(
-                F.map_from_entries(_extracted_entries(env, set())).alias(
-                    "__extracted"
-                )
-            )
+        entries = _all_label_entries(env, set())
+        if entries is not None:
+            # bare `| json` / `| logfmt` fields and attrs-map stream
+            # labels are all wire labels (serializers merge the map
+            # into the label set)
+            cols.append(F.map_from_entries(entries).alias("__extracted"))
         return env.df.select(*cols)
 
     if isinstance(expr, ast.Literal):
@@ -518,13 +563,14 @@ def compile_logql(
         if expr.offset_us:
             ts = ts + F.lit(expr.offset_us)
         extra_cols = {}
-        if env.dyn_map is not None and (
-            not expr.grouping or expr.grouping.without
-        ):
-            # bare-parser extracted labels are part of the series
-            # identity (Loki: every discovered label shapes the
-            # series) unless an explicit by() restricts the grouping;
-            # without() drops its labels from the map too
+        if (
+            env.dyn_map is not None
+            or env.source.attrs_map_col is not None
+        ) and (not expr.grouping or expr.grouping.without):
+            # bare-parser extracted labels AND attrs-map stream labels
+            # are part of the series identity (Loki: every label
+            # shapes the series) unless an explicit by() restricts the
+            # grouping; without() drops its labels from the map too
             excl = set(expr.grouping.labels) if expr.grouping else set()
             if expr.query.unwrap:
                 excl.add(expr.query.unwrap.label)
@@ -595,10 +641,26 @@ def compile_logql(
         labels = [c for c in inner.columns if c not in ("step_us", "value")]
         if expr.grouping and not expr.grouping.without:
             by = expr.grouping.labels
-            # by-labels absent from every series group under ""
             missing = [l for l in by if l not in labels]
             if missing:
-                inner = inner.withColumns({l: F.lit("") for l in missing})
+                # a by-label absent from the materialized columns may
+                # still live in the inner __extracted dynamic-label
+                # map (bare-parser / attrs-map series identity) —
+                # pull it out sanitization-aware; truly absent labels
+                # group under "" (Loki semantics)
+                if "__extracted" in labels:
+                    from ..functions.otel_labels import map_attr_lookup
+
+                    m = F.from_json(
+                        F.col("__extracted"), "map<string,string>"
+                    )
+                    fills = {
+                        l: F.coalesce(map_attr_lookup(m, l), F.lit(""))
+                        for l in missing
+                    }
+                else:
+                    fills = {l: F.lit("") for l in missing}
+                inner = inner.withColumns(fills)
                 labels = labels + missing
         elif expr.grouping and expr.grouping.without:
             by = [l for l in labels if l not in expr.grouping.labels]

@@ -519,12 +519,17 @@ def _render_template(template: str, pr: PipeRow) -> str:
                 raise ValueError(f"referee template: unknown fn {name}")
         return val
 
+    # string-literal-aware action spans, like Go's text/template lexer
+    # (and the engine's templates.iter_actions): "}}" inside a quoted
+    # literal does not close the action
+    from .functions.templates import iter_actions
+
     out = []
     pos = 0
-    for m in _TMPL_TOKEN.finditer(template):
-        out.append(template[pos : m.start()])
-        out.append(render_action(m.group(1).strip()))
-        pos = m.end()
+    for start, end, body in iter_actions(template):
+        out.append(template[pos:start])
+        out.append(render_action(body.strip()))
+        pos = end
     out.append(template[pos:])
     return "".join(out)
 

@@ -216,7 +216,7 @@ bits AS (
   GROUP BY doc, j
 ),
 fps AS (
-  SELECT doc, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-           AS simhash
+  SELECT doc, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+           AS BIGINT) AS simhash
   FROM bits GROUP BY doc
 )"""

@@ -164,6 +164,27 @@ DATE_FUNCS = {
 }
 
 
+def _sanitized_label_cols(source: MetricSource) -> list:
+    """Storage label columns exposed under Prometheus-safe names.
+
+    The Prometheus data model forbids dots in label names, so a dotted
+    OTel attr column surfaces under its sanitized spelling — the same
+    translation the reference applies (``otelstorage/attrs.go:11-41``);
+    querying the original key uses the ``U__`` hex escape
+    (``chstorage/querier_metrics.go:145-163``)."""
+    from ..functions.otel_labels import key_to_label
+
+    return [
+        F.col(f"`{l}`").alias(key_to_label(l)) for l in source.label_cols
+    ]
+
+
+def _out_label_names(source: MetricSource) -> list[str]:
+    from ..functions.otel_labels import key_to_label
+
+    return [key_to_label(l) for l in source.label_cols]
+
+
 def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame:
     if sel.name is None:
         # name-less selector ({__name__=~"..."} / {label="..."}):
@@ -198,7 +219,7 @@ def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame
         ]
         if not frames:
             return source.df.filter(F.lit(False)).select(
-                *source.label_cols,
+                *_sanitized_label_cols(source),
                 F.lit("").alias("__name__"),
                 F.col(source.ts_col).alias("ts_us"),
                 F.lit(0.0).cast("double").alias("sample"),
@@ -207,21 +228,28 @@ def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame
         for f in frames[1:]:
             out = out.unionByName(f)
         return out.select(
-            *source.label_cols, "__name__", "ts_us", "sample"
+            *_out_label_names(source), "__name__", "ts_us", "sample"
         )
     if sel.name not in source.metrics:
         # unknown metric → empty instant/range vector, not an error
         # (Prometheus returns no series for a name with no samples)
         return source.df.filter(F.lit(False)).select(
-            *source.label_cols,
+            *_sanitized_label_cols(source),
             F.col(source.ts_col).alias("ts_us"),
             F.lit(0.0).cast("double").alias("sample"),
         )
+    from ..functions.otel_labels import resolve_label_name
+
     df = source.df
     for m in sel.matchers:
         # a matcher on a label no series carries compares against the
-        # empty string (Prometheus: absent label == "")
-        c = F.col(m.name) if m.name in source.label_cols else F.lit("")
+        # empty string (Prometheus: absent label == "").  Resolution is
+        # sanitization-aware: an underscore or U__-hex spelling finds a
+        # dotted OTel attr column (otelstorage/attrs.go:11-41,
+        # chstorage/querier_metrics.go:145-163) — compile-time only,
+        # label names are query literals.
+        resolved = resolve_label_name(m.name, source.label_cols)
+        c = F.col(f"`{resolved}`") if resolved is not None else F.lit("")
         if m.op == "=":
             df = df.filter(c == m.value)
         elif m.op == "!=":
@@ -235,7 +263,9 @@ def _selector_points(sel: ast.VectorSelector, source: MetricSource) -> DataFrame
     if sel.offset_us:
         ts = ts + F.lit(sel.offset_us)
     return df.select(
-        *source.label_cols, ts.alias("ts_us"), F.col(vcol).alias("sample")
+        *_sanitized_label_cols(source),
+        ts.alias("ts_us"),
+        F.col(vcol).alias("sample"),
     )
 
 
@@ -352,12 +382,27 @@ def _compile(expr, source: MetricSource, params: PromParams, spark) -> DataFrame
         return _compile_func(expr, source, params, spark)
 
     if isinstance(expr, ast.VectorAgg):
+        from ..functions.otel_labels import resolve_label_name
+
         inner = _compile(expr.expr, source, params, spark)
         labels = _labels_of(inner)
         if expr.grouping and not expr.grouping.without:
-            by = [l for l in expr.grouping.labels if l in labels]
+            # sanitization-aware: by (http_method) groups on a stored
+            # http.method column (dedup preserves first-spelling order)
+            by = list(
+                dict.fromkeys(
+                    r
+                    for l in expr.grouping.labels
+                    for r in [resolve_label_name(l, labels)]
+                    if r is not None
+                )
+            )
         elif expr.grouping and expr.grouping.without:
-            by = [l for l in labels if l not in expr.grouping.labels]
+            dropped = {
+                resolve_label_name(l, labels) or l
+                for l in expr.grouping.labels
+            }
+            by = [l for l in labels if l not in dropped]
         else:
             by = []
         if expr.op == "count_values":

@@ -326,14 +326,23 @@ def _encode_signed_states(rows, time_ns) -> list[bytes]:
         zero_count = sum(1 for v in vals if v == 0)
         pos_idx = [math.ceil(4 * math.log2(v)) - 1 for v in vals if v > 0]
         neg_idx = [math.ceil(4 * math.log2(-v)) - 1 for v in vals if v < 0]
-        plo, phi = min(pos_idx), max(pos_idx)
-        pcounts = [0] * (phi - plo + 1)
-        for i in pos_idx:
-            pcounts[i - plo] += 1
-        nlo, nhi = min(neg_idx), max(neg_idx)
-        ncounts = [0] * (nhi - nlo + 1)
-        for i in neg_idx:
-            ncounts[i - nlo] += 1
+        # an all-one-sign (or all-zero) event_type leaves the other
+        # side empty — emit empty counts at offset 0, matching
+        # enc_exp_histogram_point's optional arrays
+        if pos_idx:
+            plo, phi = min(pos_idx), max(pos_idx)
+            pcounts = [0] * (phi - plo + 1)
+            for i in pos_idx:
+                pcounts[i - plo] += 1
+        else:
+            plo, pcounts = 0, []
+        if neg_idx:
+            nlo, nhi = min(neg_idx), max(neg_idx)
+            ncounts = [0] * (nhi - nlo + 1)
+            for i in neg_idx:
+                ncounts[i - nlo] += 1
+        else:
+            nlo, ncounts = 0, []
         metrics.append(
             pb.enc_exp_histogram_metric(
                 "app_delta_exp",

@@ -1163,8 +1163,10 @@ _SIMPLE_FUNCS = {
     "acos": _safe(lambda v: math.acos(v) if -1 <= v <= 1 else NAN),
     "atan": _safe(math.atan),
     "sinh": _safe(math.sinh),
-    # cosh is even: overflow saturates to +Inf for BOTH signs
-    "cosh": _safe(lambda v: math.cosh(abs(v))),
+    # cosh is even: overflow saturates to +Inf for BOTH signs — abs
+    # must be applied OUTSIDE _safe so its OverflowError handler sees
+    # the non-negative argument (cosh(-1000) = +Inf, not -Inf)
+    "cosh": (lambda f: lambda v: f(abs(v)))(_safe(math.cosh)),
     "tanh": _safe(math.tanh),
     "asinh": _safe(math.asinh),
     "acosh": _safe(lambda v: math.acosh(v) if v >= 1 else NAN),

@@ -42,16 +42,40 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
-    """Deterministic fake media rows (md5-stream payloads) for tests."""
+def synthesize_media(
+    spark, n: int, kind: str = "image", real_png: bool = False
+) -> DataFrame:
+    """Deterministic fake media rows for tests: md5-stream payloads,
+    or (``real_png=True``, images only) genuine PNG encodings of a
+    seeded pixel pattern so the decode branch runs end-to-end."""
+    import numpy as np
+
+    from .png_codec import encode_png
+
     rows = []
     for i in range(n):
-        payload = b"".join(
-            hashlib.md5(f"{kind}-{i}-{j}".encode()).digest() for j in range(8)
-        )
+        if real_png and kind == "image":
+            w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+            rng = np.random.default_rng(i)
+            payload = encode_png(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            )
+        else:
+            payload = b"".join(
+                hashlib.md5(f"{kind}-{i}-{j}".encode()).digest()
+                for j in range(8)
+            )
         meta = {
-            "width": 64 + (i % 4) * 32 if kind == "image" else None,
-            "height": 64 + (i % 3) * 32 if kind == "image" else None,
+            "width": (
+                (16 + (i % 4) * 8 if real_png else 64 + (i % 4) * 32)
+                if kind == "image"
+                else None
+            ),
+            "height": (
+                (16 + (i % 3) * 8 if real_png else 64 + (i % 3) * 32)
+                if kind == "image"
+                else None
+            ),
             "sample_rate": 16000 if kind == "audio" else None,
             "duration_ms": 1000 + i * 250 if kind in ("audio", "video") else None,
             "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
@@ -61,23 +85,36 @@ def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
 
 
 def _try_decode_image(data: bytes):
-    """Decode to a HxWxC uint8 array when an image library is present
-    AND the payload is a real encoded image; otherwise return None so
-    callers fall back to the deterministic byte-level path.  A present
-    PIL must never make extraction WORSE than no PIL — undecodable
-    payloads (like the synthetic md5-stream fixtures) fall back too."""
+    """Decode to a HxWxC uint8 array; None when undecodable so callers
+    fall back to the deterministic byte-level path.
+
+    Two tiers: PIL when installed (JPEG & friends); otherwise the
+    pure-stdlib PNG codec (``png_codec.py`` — zlib-only, depth-8
+    gray/RGB/RGBA) so the pixel branch is REAL and tested even in this
+    codec-library-free container.  A decoder must never make
+    extraction WORSE than none — undecodable payloads (like the
+    md5-stream fixtures) fall back too."""
     try:
         from PIL import Image
     except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            with Image.open(io.BytesIO(data)) as img:
+                return np.asarray(img.convert("RGB"))
+        except Exception:
+            return None
+    from .png_codec import decode_png, is_png
+
+    if not is_png(data):
         return None
-    import io
-
-    import numpy as np
-
     try:
-        with Image.open(io.BytesIO(data)) as img:
-            return np.asarray(img.convert("RGB"))
-    except Exception:
+        return decode_png(data)
+    except ValueError:
         return None
 
 

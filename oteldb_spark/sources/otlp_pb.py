@@ -617,17 +617,86 @@ def pb_metrics_via_json(payloads: DataFrame) -> DataFrame:
 
 
 def _jnum(v: float) -> str:
-    """Double → string the way Spark/Java renders a cast: integral
-    doubles keep ``.0``, plain decimals stay plain, exponents render
-    as ``1.0E20``."""
-    s = repr(float(v))
-    if "e" in s:
-        mant, exp = s.split("e")
-        if "." not in mant:
-            mant += ".0"
-        exp_i = int(exp)
-        return f"{mant}E{exp_i}" if exp_i < 0 else f"{mant}E{exp_i}"
-    return s
+    """Double → string the way Spark/Java ``Double.toString`` renders a
+    cast (the via-JSON flattener goes through Spark's double→string
+    cast, so the direct wire decode must match it byte-for-byte):
+
+    - ``NaN`` / ``Infinity`` / ``-Infinity`` spellings;
+    - plain decimal only when ``1e-3 <= |v| < 1e7`` (Python ``repr``
+      stays plain up to 1e16 and down to 1e-4, so e.g. 2e7 must render
+      ``2.0E7`` not ``20000000.0`` and 1.2e-4 must render ``1.2E-4``);
+    - otherwise computerized scientific notation ``d.dddEn`` with one
+      digit before the point and at least one after.
+
+    Digits: Python's shortest-round-trip digits agree with the JDK
+    everywhere EXCEPT exact-integer doubles in [2^54, 2^63), where
+    Java 17's legacy FloatingDecimal prints the exact integer digits
+    rounded by an "insignificant trailing digits" count (floor of
+    log10 of the power-of-two gap below the ulp) instead of the
+    shortest form — e.g. 1.7033882668101804e18 renders as
+    1.70338826681018035E18.  We replicate that branch exactly
+    (fuzz-verified against Spark's double→string cast on 3k random
+    bit-pattern doubles)."""
+    import math as _math
+    import struct as _struct
+
+    v = float(v)
+    if _math.isnan(v):
+        return "NaN"
+    if _math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    sign = "-" if _math.copysign(1.0, v) < 0 else ""
+    a = abs(v)
+    if a == 0.0:
+        return sign + "0.0"
+
+    bits = _struct.unpack("<Q", _struct.pack("<d", a))[0]
+    biased = (bits >> 52) & 0x7FF
+    mant = bits & ((1 << 52) - 1)
+    if biased > 0:
+        fract = mant | (1 << 52)
+        bin_exp = biased - 1023
+    else:  # subnormal — always goes through the shortest path below
+        fract, bin_exp = mant, -1022
+
+    if 54 <= bin_exp <= 62 and biased > 0:
+        # Legacy-FloatingDecimal long shortcut: the value is an exact
+        # integer; print its exact digits minus the insignificant tail.
+        lval = fract << (bin_exp - 52)
+        # digits of 2^(bin_exp - 54) that cannot affect the value
+        insig = int(_math.floor((bin_exp - 54) * _math.log10(2.0)))
+        if insig > 0:
+            pow10 = 10**insig
+            residue = lval % pow10
+            lval //= pow10
+            if residue >= pow10 // 2:
+                lval += 1
+        ds = str(lval)
+        digits = ds.rstrip("0") or "0"
+        e10 = len(ds) + insig - 1
+    else:
+        s = repr(a)
+        if "e" in s:
+            ms, exps = s.split("e")
+            exp = int(exps)
+        else:
+            ms, exp = s, 0
+        ip, _, fp = ms.partition(".")
+        alldig = ip + fp
+        digits = alldig.lstrip("0")
+        lead_zeros = len(alldig) - len(digits)
+        # value = digits[0].digits[1:] * 10^e10
+        e10 = len(ip) - 1 - lead_zeros + exp
+        digits = digits.rstrip("0") or "0"
+
+    if -3 <= e10 < 7:
+        if e10 >= 0:
+            intpart = digits[: e10 + 1].ljust(e10 + 1, "0")
+            frac = digits[e10 + 1 :] or "0"
+            return f"{sign}{intpart}.{frac}"
+        return f"{sign}0.{'0' * (-e10 - 1)}{digits}"
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{e10}"
 
 
 def _attr_str(value: dict) -> str | None:

@@ -82,3 +82,55 @@ def test_prom_and_tempo_shapes(spark):
     t = tempo_search(tdf)
     assert t["traces"][0]["traceID"].endswith("539")
     assert t["traces"][0]["durationMs"] == 2500
+
+
+def test_png_codec_roundtrip_all_filters():
+    import numpy as np
+
+    from oteldb_spark.sources.png_codec import decode_png, encode_png, is_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(7, 5, 3), (16, 16, 4), (9, 13), (1, 1, 3), (12, 8, 2)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        exp = a[:, :, None] if a.ndim == 2 else a
+        for fc in [None, 0, 1, 2, 3, 4]:  # None cycles all five filters
+            blob = encode_png(a, filter_choice=fc)
+            assert is_png(blob)
+            assert np.array_equal(decode_png(blob), exp)
+
+
+def test_png_codec_rejects_garbage():
+    import pytest as _pytest
+
+    from oteldb_spark.sources.png_codec import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_extract_features_pixel_branch(spark):
+    """real_png payloads must flow through the DECODE branch: features
+    equal the per-chunk means of the decoded pixel array, not of the
+    raw encoded bytes."""
+    import numpy as np
+
+    from oteldb_spark.sources.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from oteldb_spark.sources.png_codec import decode_png
+
+    media = synthesize_media(spark, 4, "image", real_png=True)
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, n_features=4).collect()
+    }
+    raw = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    for mid, blob in raw.items():
+        arr = decode_png(blob).astype(np.float64).ravel()
+        exp = [float(c.mean()) for c in np.array_split(arr, 4)]
+        assert got[mid] == exp
+        # and differs from the byte-level fallback on the encoded blob
+        b = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+        fallback = [float(c.mean()) for c in np.array_split(b, 4)]
+        assert got[mid] != fallback

@@ -329,3 +329,43 @@ def test_pb_metrics_direct_typed_attrs(spark):
     assert d == v, (d, v)
     assert d == {"n": "-42", "d": "0.25", "dd": "3.0", "b": "true"}
     assert d_rows[0]["series_hash"] == v_rows[0]["series_hash"]
+
+
+def test_pb_metrics_direct_double_attr_formatting(spark):
+    """Doubles outside Python repr's plain-decimal window ([1e7,1e16),
+    [1e-4,1e-3)), the legacy-FloatingDecimal exact-integer band
+    (2^54..2^63), and NaN/Inf must render via Java Double.toString
+    rules on BOTH ingest paths — labels and series_hash pinned equal."""
+    doubles = [
+        2e7,           # Java 2.0E7, Python repr 20000000.0
+        12345678.0,    # Java 1.2345678E7
+        0.00012,       # Java 1.2E-4, Python repr 0.00012
+        1e16,
+        1.7033882668101804e18,  # legacy band: 1.70338826681018035E18
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        -0.0,
+    ]
+    typed = b"".join(
+        pb._enc_len(7, pb.enc_kv(f"d{i}", pb.enc_any_double(x)))
+        for i, x in enumerate(doubles)
+    )
+    base = pb.enc_number_point(time_ns=1_704_067_200_000_000_000, value=1.0)
+    metric = pb.enc_gauge_metric("g", "", [base + typed])
+    payload = pb.enc_metrics_request({"service.name": "svc"}, [metric])
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    d_rows = pb.pb_metrics(df).collect()
+    v_rows = pb.pb_metrics_via_json(df).collect()
+    d = dict(d_rows[0]["labels"])
+    v = dict(v_rows[0]["labels"])
+    assert d == v, (d, v)
+    assert d["d0"] == "2.0E7"
+    assert d["d1"] == "1.2345678E7"
+    assert d["d2"] == "1.2E-4"
+    assert d["d4"] == "1.70338826681018035E18"
+    assert d["d5"] == "NaN"
+    assert d["d6"] == "Infinity"
+    assert d["d7"] == "-Infinity"
+    assert d["d8"] == "-0.0"
+    assert d_rows[0]["series_hash"] == v_rows[0]["series_hash"]
