@@ -72,18 +72,29 @@ def _encode_states(rows, limit, time_ns) -> list[bytes]:
     return metrics
 
 
+_PAYLOAD_MEMO: dict = {}
+
+
 def _state_payload(spark, sf_dir) -> list[bytes]:
+    # fixture encode pinned per (session, sf): five sibling gates call
+    # this, and the events collect + driver-side wire encode is
+    # identical every time
+    memo = _PAYLOAD_MEMO.get((spark, sf_dir))
+    if memo is not None:
+        return memo
     rows = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_id") < _LIMIT)
         .select("event_id", "event_type", "value")
         .collect()
     )
-    return [
+    out = [
         pb.enc_metrics_request(
             {"service.name": "svc-exp"}, _encode_states(rows, _LIMIT, _T0_NS)
         )
     ]
+    _PAYLOAD_MEMO[(spark, sf_dir)] = out
+    return out
 
 
 def _buckets(spark, sf_dir):

@@ -212,7 +212,10 @@ def pipeline_decontaminate(spark, sf_dir):
         grams.filter(F.col("doc_id") % 50 != 0)
         .join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+        # grams are array_distinct'ed per doc before the explode, so
+        # (doc_id, gram) pairs are already unique — a plain count
+        # avoids the count-distinct expand/dedup aggregate entirely
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
 
 
