@@ -75,3 +75,15 @@ def test_pii_redact_no_shuffle(spark):
     facts = audit(QUERIES["pii_redact"](spark, SF))
     assert facts.n_exchanges == 0
     assert all("lang" not in s for s in facts.read_schemas)
+
+
+def test_sanitized_promql_matcher_stays_compile_time(spark):
+    # a sanitized-spelling matcher resolves at COMPILE time to a plain
+    # column predicate — the translation surface adds no runtime
+    # machinery: same exchange count as the direct-spelling gate, and
+    # the events scan stays pruned to the derivation columns
+    facts = audit(
+        QUERIES["otel_label_promql_sanitized_matcher"](spark, SF)
+    )
+    assert facts.n_exchanges <= 4
+    assert all("props" not in s for s in facts.read_schemas)
