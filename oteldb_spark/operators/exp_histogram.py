@@ -217,6 +217,39 @@ def exp_histogram_quantile(
     return straddle.select(*by, est.alias("value"))
 
 
+def exp_histogram_stdvar_signed(
+    buckets: DataFrame, state: DataFrame, by: list[str]
+) -> DataFrame:
+    """UPSTREAM Prometheus native-histogram stdvar/stddev over signed
+    buckets at any scale (promql/functions.go funcHistogramStdDev /
+    funcHistogramStdVar): bucket mass sits at the geometric midpoint
+    ±sqrt(upper·lower) — exactly 0 for any bucket spanning zero — and
+    deviations are taken around the TRUE mean sum/count from the state
+    row (zero-bucket counts included in the denominator).
+
+    ``buckets`` is ``explode_exp_buckets_signed`` output; ``state``
+    carries the (by..., count, sum) native rows."""
+    val = F.when(
+        (F.col("lower") <= 0) & (F.col("upper") >= 0), F.lit(0.0)
+    ).otherwise(F.signum("upper") * F.sqrt(F.col("upper") * F.col("lower")))
+    means = state.select(
+        *by,
+        (F.col("sum") / F.col("count")).alias("__mean"),
+        F.col("count").cast("double").alias("__n"),
+    )
+    dev = val - F.col("__mean")
+    return (
+        buckets.join(F.broadcast(means), by)
+        .groupBy(*by)
+        .agg(
+            (F.sum(F.col("cnt") * dev * dev) / F.any_value("__n")).alias(
+                "h_stdvar"
+            )
+        )
+        .withColumn("h_stddev", F.sqrt("h_stdvar"))
+    )
+
+
 def exp_histogram_fraction(
     buckets: DataFrame, lo: float, hi: float, by: list[str]
 ) -> DataFrame:

@@ -406,9 +406,18 @@ def _signed_buckets(spark, sf_dir):
     )
     from ..operators.pin import pin
 
-    out = pin(explode_exp_buckets_signed(pin(state), ["name", "etype"]))
+    pinned_state = pin(state)
+    out = pin(explode_exp_buckets_signed(pinned_state, ["name", "etype"]))
     _SIGNED_MEMO[(spark, sf_dir)] = out
+    _SIGNED_MEMO[("state", spark, sf_dir)] = pinned_state
     return out
+
+
+def _signed_state(spark, sf_dir):
+    """The pinned native state rows behind :func:`_signed_buckets`
+    (count/sum per series — the stddev mean source)."""
+    _signed_buckets(spark, sf_dir)
+    return _SIGNED_MEMO[("state", spark, sf_dir)]
 
 
 _SIGNED_CTES = f"""WITH e AS (
@@ -492,3 +501,44 @@ def exp_hist_signed_p10(spark, sf_dir):
         _signed_buckets(spark, sf_dir), 0.1, ["name", "etype"]
     )
     return q.select("name", "etype", F.round("value", 6).alias("value"))
+
+
+# histogram_stdvar/stddev over the SIGNED native state — pinned to the
+# UPSTREAM Prometheus convention (promql/functions.go
+# funcHistogramStdDev): geometric-midpoint mass ±sqrt(upper·lower),
+# exactly 0 for the zero bucket, deviations around the true mean
+# sum/count with zero counts in the denominator.  The oracle replays
+# the identical loop in SQL over the same decoded buckets.
+@register(
+    "exp_hist_signed_stdvar",
+    _SIGNED_CTES
+    + """, m AS (
+  SELECT etype, round(sum(v), 2) / count(*) AS mean,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM e GROUP BY etype
+)
+SELECT 'app_delta_exp' AS name, bb.etype,
+       round(sum(cnt * pow(
+         (CASE WHEN lower <= 0 AND upper >= 0 THEN 0.0
+               ELSE sign(upper) * sqrt(upper * lower) END) - mean, 2))
+         / any_value(n), 6) AS stdvar,
+       round(sqrt(sum(cnt * pow(
+         (CASE WHEN lower <= 0 AND upper >= 0 THEN 0.0
+               ELSE sign(upper) * sqrt(upper * lower) END) - mean, 2))
+         / any_value(n)), 6) AS stddev
+FROM bb JOIN m USING (etype) GROUP BY bb.etype""",
+)
+def exp_hist_signed_stdvar(spark, sf_dir):
+    from ..operators.exp_histogram import exp_histogram_stdvar_signed
+
+    out = exp_histogram_stdvar_signed(
+        _signed_buckets(spark, sf_dir),
+        _signed_state(spark, sf_dir),
+        ["name", "etype"],
+    )
+    return out.select(
+        "name",
+        "etype",
+        F.round("h_stdvar", 6).alias("stdvar"),
+        F.round("h_stddev", 6).alias("stddev"),
+    )
