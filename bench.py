@@ -69,6 +69,14 @@ HEADLINE = [
     "ppql_parsed_info",
     "exp_hist_signed_median",
     "tql_parsed_childcount",
+    # round-4 additions: OTel-key↔Prometheus-label translation surface
+    # (sanitized/U__ spellings over attrs maps), upstream-convention
+    # signed stdvar, Gopher rule filtering, simhash fingerprints
+    "otel_label_logql_sanitized",
+    "otel_label_promql_uhex",
+    "exp_hist_signed_stdvar",
+    "docs_gopher_rules",
+    "dedup_simhash",
 ]
 
 

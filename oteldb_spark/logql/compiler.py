@@ -121,6 +121,45 @@ def _extracted_entries(env: _Env, exclude: set[str]) -> Column:
     return F.array_sort(entries)
 
 
+# outer vector op → range ops it distributes over: Σ of per-series
+# counts/sums IS the count/sum of the refined grouping (rate = count /
+# range distributes the same way); min/max are idempotent-distributive
+_DISTRIBUTIVE = {
+    "sum": {
+        "count_over_time",
+        "rate",
+        "bytes_over_time",
+        "bytes_rate",
+        "sum_over_time",
+    },
+    "min": {"min_over_time"},
+    "max": {"max_over_time"},
+}
+
+
+def _push_grouping_down(expr: "ast.VectorAgg"):
+    """``sum by (x) (count_over_time(sel[r]))`` ≡ the range agg grouped
+    by x directly — one aggregation at the final key instead of a
+    full-series-identity aggregation (which materializes the dynamic
+    label map per row) re-grouped by a second shuffle.  The same
+    rewrite the reference's storage offload performs for the groupings
+    it can honor (``goldenbench_logql_test.go:368-371``); at 100 TB
+    the avoided per-row label-map serialization is the difference
+    between a map-side-combine count and a wide shuffle."""
+    if (
+        expr.grouping is None
+        or expr.grouping.without
+        or expr.k is not None
+        or not isinstance(expr.expr, ast.RangeAgg)
+        or expr.expr.grouping is not None
+        or expr.expr.op not in _DISTRIBUTIVE.get(expr.op, ())
+    ):
+        return None
+    from dataclasses import replace
+
+    return replace(expr.expr, grouping=expr.grouping)
+
+
 def _all_label_entries(env: _Env, exclude: set[str]) -> "Column | None":
     """Sorted entries of every dynamic label on the stream: the
     attrs-map long tail (stream labels; plain names win) plus any
@@ -637,6 +676,9 @@ def compile_logql(
         return out
 
     if isinstance(expr, ast.VectorAgg):
+        pushed = _push_grouping_down(expr)
+        if pushed is not None:
+            return compile_logql(pushed, source, params, spark)
         inner = compile_logql(expr.expr, source, params, spark)
         labels = [c for c in inner.columns if c not in ("step_us", "value")]
         if expr.grouping and not expr.grouping.without:

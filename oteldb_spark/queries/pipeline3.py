@@ -559,3 +559,71 @@ def text_langid_trigram(spark, sf_dir):
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+# ------------------------------------------------------- Gopher rules
+# Rule-based document filtering (Rae et al. 2021 "Scaling Language
+# Models" §A.1.1 — the standard pre-training curation rule set): word
+# count bounds, mean word length bounds, symbol-to-word ratio,
+# alphabetic-word ratio, minimum distinct stop-word hits.  Pure
+# per-row codegen column math — no shuffle, no UDF; at 100 TB this is
+# a single map-side pass over the scan.
+_GOPHER_STOPS = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with', 'a', 'in')"
+
+
+@register(
+    "docs_gopher_rules",
+    f"""SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3 AND 10
+                  AND alpha_ratio >= 0.8
+                  AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                  w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS alpha_ratio,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                  w -> w IN {_GOPHER_STOPS}))) AS stop_hits
+  FROM documents)""",
+)
+def docs_gopher_rules(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_word_len = (
+        F.length(F.replace("text", F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    alpha_ratio = (
+        F.expr(
+            "size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))"
+        ).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.array_distinct(
+            F.expr(f"filter(split(text, ' '), w -> w IN {_GOPHER_STOPS})")
+        )
+    )
+    keep = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3, 10)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        keep.cast("long").alias("keep"),
+    )
