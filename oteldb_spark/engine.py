@@ -337,11 +337,21 @@ class PromQLEngine:
         return prom_vector(df, labels, ts_us / 1e6, max_rows=self.max_result_rows)
 
     def label_values(self, label: str) -> dict:
-        """GET /api/v1/label/{label}/values (promhandler.go:72-110)."""
-        if label not in self.source.label_cols:
+        """GET /api/v1/label/{label}/values (promhandler.go:72-110).
+
+        Sanitization-aware like the query path: a sanitized or U__-hex
+        spelling resolves to the dotted storage column
+        (chstorage/querier_metrics.go:145-163)."""
+        from pyspark.sql import functions as F
+
+        from .functions.otel_labels import resolve_label_name
+
+        resolved = resolve_label_name(label, self.source.label_cols)
+        if resolved is None:
             return prom_labels([])
         rows = bounded_collect(
-            self.source.df.select(label).distinct(), self.max_result_rows
+            self.source.df.select(F.col(f"`{resolved}`")).distinct(),
+            self.max_result_rows,
         )
         return prom_labels([r[0] for r in rows if r[0] is not None])
 
@@ -414,7 +424,12 @@ class PromQLEngine:
         }
 
     def labels(self) -> dict:
-        return prom_labels(list(self.source.label_cols))
+        # Prometheus label names cannot contain dots: dotted storage
+        # columns surface under their sanitized spelling, matching
+        # what query results carry (otelstorage/attrs.go:11-41)
+        from .functions.otel_labels import key_to_label
+
+        return prom_labels([key_to_label(l) for l in self.source.label_cols])
 
     def series(self, q: str | None = None, limit: int | None = None) -> list[dict]:
         from pyspark.sql import functions as F
