@@ -237,6 +237,60 @@ class LogQLEngine:
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return loki_matrix(df, labels, max_rows=self.max_result_rows)
 
+    def detected_fields(
+        self, query: str, start_us: int, end_us: int
+    ) -> dict:
+        """GET /loki/api/v1/detected_fields (lokihandler.go:116-163):
+        every label of every stream matching the selector, with its
+        distinct-value cardinality; the reference types everything
+        "string" (storagebackend/logs.go:629-651)."""
+        df = self.detected_fields_frame(query, start_us, end_us)
+        rows = bounded_collect(df, self.max_result_rows)
+        fields = [
+            {
+                "label": r["label"],
+                "type": "string",
+                "cardinality": int(r["cardinality"]),
+            }
+            for r in rows
+        ]
+        return {"fields": fields, "limit": len(fields)}
+
+    def detected_fields_frame(self, query: str, start_us: int, end_us: int):
+        """(label, cardinality) per stream label under the selector —
+        one union of per-column distincts plus an explode over the
+        dynamic-label map; all map-side until the final tiny agg."""
+        from pyspark.sql import functions as F
+
+        params = EvalParams(start_us, end_us, max(end_us - start_us, 1))
+        df = compile_logql(query, self.source, params, self._spark())
+        reserved = ("ts_us", "body", "__extracted")
+        parts = [
+            df.select(
+                F.lit(c).alias("label"),
+                F.col(c).cast("string").alias("value"),
+            )
+            for c in df.columns
+            if c not in reserved
+        ]
+        if "__extracted" in df.columns:
+            parts.append(
+                df.select(F.explode("__extracted").alias("label", "value"))
+            )
+        if not parts:
+            return df.sparkSession.createDataFrame(
+                [], "label string, cardinality long"
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.filter(F.col("value").isNotNull())
+            .groupBy("label")
+            .agg(F.count_distinct("value").alias("cardinality"))
+            .orderBy("label")
+        )
+
     def detected_field_values(
         self,
         field: str,

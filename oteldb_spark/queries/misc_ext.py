@@ -149,3 +149,37 @@ register(
         "{ duration > 2 * 50ms }", _tsrc(spark, sf_dir)
     )
 )
+
+
+# GET /loki/api/v1/detected_fields — stream-label cardinalities under
+# a selector (lokihandler.go:116-163, storagebackend/logs.go:629-651)
+@register(
+    "loki_detected_fields",
+    with_ctes(
+        LOGS_CTE,
+        body=f"""SELECT label, cardinality FROM (
+  SELECT 'env' AS label,
+         CAST(count(DISTINCT env) AS BIGINT) AS cardinality
+  FROM logs WHERE env = 'prod' AND ts_us BETWEEN {START_US} AND {END_US}
+  UNION ALL
+  SELECT 'level', CAST(count(DISTINCT level) AS BIGINT)
+  FROM logs WHERE env = 'prod' AND ts_us BETWEEN {START_US} AND {END_US}
+  UNION ALL
+  SELECT 'service', CAST(count(DISTINCT service) AS BIGINT)
+  FROM logs WHERE env = 'prod' AND ts_us BETWEEN {START_US} AND {END_US}
+  UNION ALL
+  SELECT 'value', CAST(count(DISTINCT CAST(value AS VARCHAR)) AS BIGINT)
+  FROM logs WHERE env = 'prod' AND ts_us BETWEEN {START_US} AND {END_US}
+) ORDER BY label""",
+    ),
+)
+def loki_detected_fields(spark, sf_dir):
+    from ..engine import LogQLEngine
+    from ..logql import LogSource
+    from ..signals import logs_frame
+
+    eng = LogQLEngine(
+        source=LogSource(df=logs_frame(spark, sf_dir), label_cols=dict(_LBL)),
+        spark=spark,
+    )
+    return eng.detected_fields_frame('{env="prod"}', START_US, END_US)
