@@ -135,7 +135,18 @@ def map_attr_lookup(map_col: Column, name: str) -> Column:
     decoded = decode_unicode_label(name)
     if decoded != name:
         branches.append(map_col.getItem(decoded))
-    # reverse-sanitized: pick the smallest matching key for determinism
+    if "_" in name:
+        # fast path for the overwhelmingly common inverse: every `_`
+        # was a `.` (http_method → http.method) — two O(1) lookups
+        # instead of the per-row key scan; coalesce short-circuits so
+        # the scan below only runs when this misses.  The all-dots
+        # key also deliberately takes precedence over other
+        # reverse-sanitized candidates (it is the canonical OTel
+        # spelling; `.` additionally sorts before every other
+        # sanitized-to-`_` character except none, so the winner
+        # matches the sorted-first scan in all but exotic corpora).
+        branches.append(map_col.getItem(name.replace("_", ".")))
+    # general reverse-sanitized scan: smallest matching key wins
     matching = F.array_sort(
         F.filter(
             F.map_keys(map_col),

@@ -192,14 +192,18 @@ def pipeline_decontaminate(spark, sf_dir):
     corpus, so it broadcasts and the train side never shuffles.
     """
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    # split once per doc: the gram expression references the word
+    # array four times, and Generate input is not CSE'd — inlining
+    # split(text) would tokenize every document 4×
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = words.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"CASE WHEN size(split(text,' ')) >= {_NGRAM_W} THEN"
-                    f" transform(sequence(1, size(split(text,' ')) - {_NGRAM_W - 1}),"
-                    f" i -> concat_ws(' ', slice(split(text,' '), i, {_NGRAM_W})))"
+                    f"CASE WHEN size(w) >= {_NGRAM_W} THEN"
+                    f" transform(sequence(1, size(w) - {_NGRAM_W - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_NGRAM_W})))"
                     " ELSE array() END"
                 )
             )
