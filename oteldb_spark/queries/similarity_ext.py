@@ -76,13 +76,19 @@ def ann_lsh_pairs(spark, sf_dir):
     # joins it replaces at any scale where banding keeps candidates
     # sparse (which is the regime LSH is for).
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
     )
+    # norm once per VECTOR before the band join — computing it inside
+    # the cosine would re-fold the 64-dim array once per candidate
+    # pair per shared band; the value (same expression, same row) is
+    # bit-identical either way
+    emb = emb.withColumn("nrm", norm(F.col("e")))
     bb = hyperplane_lsh_bands(emb, "e", N_PLANES, N_BANDS, DIM)
     a = bb.alias("a")
     b = bb.alias("b")
     cos = F.round(
-        dot(F.col("a.e"), F.col("b.e")) / (norm(F.col("a.e")) * norm(F.col("b.e"))),
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     return (
