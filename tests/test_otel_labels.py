@@ -165,3 +165,54 @@ def test_promql_sanitized_matcher_and_grouping(spark):
     )
     vals4 = {r["k8s_node_name"]: r["value"] for r in out4.collect()}
     assert vals4 == {"n0": 6.0, "n1": 7.0}
+
+
+# ---------------------------------------------------------- properties
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _keys = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"),
+            whitelist_characters="._-/: @",
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(_keys)
+    @settings(max_examples=200, deadline=None)
+    def test_prop_sanitized_spelling_resolves_back(key):
+        lbl = key_to_label(key)
+        got = resolve_label_name(lbl, [key])
+        # the sanitized spelling must find the original key (exact
+        # match when sanitization was the identity)
+        assert got == key
+
+    @given(_keys)
+    @settings(max_examples=200, deadline=None)
+    def test_prop_uhex_roundtrip(key):
+        # only pure-ASCII keys here (multi-byte is covered by
+        # test_decode_utf8_across_escapes)
+        if not key.isascii():
+            return
+        # encode the way Prometheus value-encoding escaping does:
+        # every char outside [A-Za-z0-9] as _XX_ under a U__ prefix
+        enc = "U__" + "".join(
+            c if c.isalnum() else f"_{ord(c):02x}_" for c in key
+        )
+        assert decode_unicode_label(enc) == key
+
+    @given(_keys)
+    @settings(max_examples=200, deadline=None)
+    def test_prop_key_to_label_is_prometheus_safe(key):
+        import re
+
+        lbl = key_to_label(key)
+        assert re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", lbl) or lbl == ""
