@@ -54,6 +54,7 @@ from . import logql_parsed  # noqa: F401
 from . import logql_log  # noqa: F401
 from . import tpch  # noqa: F401
 from . import otel_labels_gates  # noqa: F401
+from . import streaming_gates  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES
