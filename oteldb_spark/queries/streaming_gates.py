@@ -66,3 +66,75 @@ def stream_neardup_pairs(spark, sf_dir):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, "doc_a long, doc_b long, agree long")
+
+
+# Streaming tumbling-window rollup == the batch hourly aggregate over
+# the finalized windows (append mode emits a window once the final
+# watermark — max event time − 2h — passes its end).
+@register(
+    "stream_windowed_rollup",
+    """WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+), mx AS (SELECT max(ts_us) AS m FROM e)
+SELECT event_type,
+       CAST(ws / 1000 AS BIGINT) AS window_start_ms,
+       CAST(n AS BIGINT) AS n,
+       CAST(total AS DOUBLE) AS total,
+       vmin, vmax
+FROM (
+  SELECT event_type,
+         (ts_us // 3600000000) * 3600000000 AS ws,
+         count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS total,
+         min(value) AS vmin,
+         max(value) AS vmax
+  FROM e GROUP BY 1, 2
+) JOIN mx ON ws + 3600000000 <= m - 7200000000""",
+)
+def stream_windowed_rollup(spark, sf_dir):
+    from ..streaming.rollup import windowed_rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    work = tempfile.mkdtemp(prefix="rollup_gate_")
+    try:
+        src = f"{work}/in"
+        out_dir = f"{work}/out"
+        ckpt = f"{work}/ckpt"
+        ev.coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            windowed_rollup(
+                stream,
+                keys=["event_type"],
+                value_col="value",
+                window="1 hour",
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).select(
+            "event_type",
+            F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+            F.col("n").cast("long").alias("n"),
+            F.col("total").cast("double").alias("total"),
+            F.col("vmin").cast("double").alias("vmin"),
+            F.col("vmax").cast("double").alias("vmax"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, window_start_ms long, n long, total double,"
+        " vmin double, vmax double",
+    )
