@@ -138,3 +138,76 @@ def stream_windowed_rollup(spark, sf_dir):
         "event_type string, window_start_ms long, n long, total double,"
         " vmin double, vmax double",
     )
+
+
+# Streaming sessionization == the batch gap-window derivation, closed
+# sessions only.  A session closes two ways: a SUCCESSOR event of the
+# same user arrives past the gap (emitted immediately, regardless of
+# watermark — every non-final session), or the event-time timeout
+# fires, which requires the final watermark (max event − 1h) to
+# STRICTLY exceed last_event + gap (probed with an exactly-aligned
+# fixture: equality does not fire).
+@register(
+    "stream_sessionize_closed",
+    """WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, value FROM events
+), w AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (
+      PARTITION BY user_id ORDER BY ts_ms) > 1800000 THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM w
+), g AS (
+  SELECT user_id, sid,
+         min(ts_ms) AS session_start_ms,
+         max(ts_ms) AS session_end_ms,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM s GROUP BY 1, 2
+), gm AS (SELECT user_id, max(sid) AS max_sid FROM g GROUP BY user_id),
+mx AS (SELECT max(epoch_us(ts) // 1000) AS m FROM events)
+SELECT g.user_id, session_start_ms, session_end_ms,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(total AS DOUBLE), 6) AS total_value
+FROM g JOIN gm ON g.user_id = gm.user_id CROSS JOIN mx
+WHERE g.sid < gm.max_sid
+   OR session_end_ms + 1800000 < m - 3600000""",
+)
+def stream_sessionize_closed(spark, sf_dir):
+    from ..streaming.sessionize import stream_sessionize
+
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    work = tempfile.mkdtemp(prefix="sess_gate_")
+    try:
+        src = f"{work}/in"
+        out_dir = f"{work}/out"
+        ckpt = f"{work}/ckpt"
+        ev.coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).select(
+            "user_id",
+            "session_start_ms",
+            "session_end_ms",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("total_value", 6).alias("total_value"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start_ms long, session_end_ms long,"
+        " n_events long, total_value double",
+    )
