@@ -211,3 +211,74 @@ def stream_sessionize_closed(spark, sf_dir):
         "user_id long, session_start_ms long, session_end_ms long,"
         " n_events long, total_value double",
     )
+
+
+# Streaming windowed HLL register maintenance == the batch register
+# build per finalized hourly window (same md5→rank math, max-merge is
+# exact in incremental state; inclusive end <= watermark boundary as
+# for the rollup gate).
+def _hll_window_oracle() -> str:
+    from ..operators.hll import M, _ALPHA, _HASH_BITS  # noqa: F401
+
+    h = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"""WITH e AS (
+  SELECT event_type, user_id,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+         epoch_us(ts) AS ts_us
+  FROM events
+), mx AS (SELECT max(ts_us) AS m FROM e)
+SELECT event_type,
+       CAST(ws / 1000 AS BIGINT) AS window_start_ms,
+       CAST({h} % {M} AS INT) AS bucket,
+       CAST(max(CASE WHEN {h} // {M} = 0 THEN 53
+                ELSE 53 - length(bin({h} // {M})) END) AS INT) AS rank
+FROM e CROSS JOIN mx
+WHERE ws + 3600000000 <= m - 7200000000
+GROUP BY event_type, ws, {h} % {M}"""
+
+
+@register("stream_hll_windowed", _hll_window_oracle())
+def stream_hll_windowed(spark, sf_dir):
+    from ..streaming.rollup import windowed_hll_registers
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    work = tempfile.mkdtemp(prefix="hll_gate_")
+    try:
+        src = f"{work}/in"
+        out_dir = f"{work}/out"
+        ckpt = f"{work}/ckpt"
+        ev.coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            windowed_hll_registers(
+                stream,
+                key="user_id",
+                by=["event_type"],
+                window="1 hour",
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).select(
+            "event_type",
+            F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, window_start_ms long, bucket int, rank int",
+    )
