@@ -8,12 +8,41 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
 from ..operators.dedup import MINHASH_ORACLE_CTES
 from ..tables import load
 from .registry import register
+
+
+@contextmanager
+def _bounded_shuffle(spark, n: int = 32):
+    """Pin shuffle partitions for the streaming run: the state-store
+    partition count binds to spark.sql.shuffle.partitions at the first
+    run of a checkpoint, and a 200-partition default session would
+    spread a few thousand state rows over 200 stores per stateful op."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+
+def _run_to_parquet(spark, out_stream, out_dir: str, ckpt: str) -> None:
+    with _bounded_shuffle(spark):
+        q = (
+            out_stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 # Streaming MinHash-LSH near-dup candidates == the batch LSH pairs:
@@ -46,16 +75,9 @@ def stream_neardup_pairs(spark, sf_dir):
         ckpt = f"{work}/ckpt"
         docs.coalesce(1).write.parquet(src)
         stream = spark.readStream.schema(docs.schema).parquet(src)
-        q = (
-            stream_near_dup_pairs(stream, threshold=4)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        _run_to_parquet(
+            spark, stream_near_dup_pairs(stream, threshold=4), out_dir, ckpt
         )
-        q.awaitTermination()
         pairs = (
             spark.read.parquet(out_dir)
             .select("doc_a", "doc_b", F.col("agree").cast("long").alias("agree"))
@@ -106,22 +128,18 @@ def stream_windowed_rollup(spark, sf_dir):
         ckpt = f"{work}/ckpt"
         ev.coalesce(2).write.parquet(src)
         stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = (
+        _run_to_parquet(
+            spark,
             windowed_rollup(
                 stream,
                 keys=["event_type"],
                 value_col="value",
                 window="1 hour",
                 watermark="2 hours",
-            )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            ),
+            out_dir,
+            ckpt,
         )
-        q.awaitTermination()
         out = spark.read.parquet(out_dir).select(
             "event_type",
             F.unix_millis(F.col("window_start")).alias("window_start_ms"),
@@ -186,16 +204,7 @@ def stream_sessionize_closed(spark, sf_dir):
         ckpt = f"{work}/ckpt"
         ev.coalesce(2).write.parquet(src)
         stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = (
-            stream_sessionize(stream)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _run_to_parquet(spark, stream_sessionize(stream), out_dir, ckpt)
         out = spark.read.parquet(out_dir).select(
             "user_id",
             "session_start_ms",
@@ -253,22 +262,18 @@ def stream_hll_windowed(spark, sf_dir):
         ckpt = f"{work}/ckpt"
         ev.coalesce(2).write.parquet(src)
         stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = (
+        _run_to_parquet(
+            spark,
             windowed_hll_registers(
                 stream,
                 key="user_id",
                 by=["event_type"],
                 window="1 hour",
                 watermark="2 hours",
-            )
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+            ),
+            out_dir,
+            ckpt,
         )
-        q.awaitTermination()
         out = spark.read.parquet(out_dir).select(
             "event_type",
             F.unix_millis(F.col("window_start")).alias("window_start_ms"),
