@@ -209,3 +209,57 @@ def test_logfmt_error_label_through_pipeline(spark):
     assert good.msg == "ok" and good["__error__"] is None
     assert bad.msg is None
     assert bad["__error__"] == "logfmt parsing error"
+
+
+def test_grouping_pushdown_compositions(spark):
+    """sum/min by (x) over distributive range aggs compile to the
+    range agg grouped directly; values must match the unpushed
+    semantics (topk wrapper, scalar threshold, unwrap min)."""
+    import json as _json
+
+    rows = [
+        (1_000_000 * i, _json.dumps({"k": i}), "s%d" % (i % 3))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "ts_us long, body string, svc string")
+    src = LogSource(df=df, label_cols={"svc": "svc"})
+    p = EvalParams(30_000_000, 30_000_000, 30_000_000)
+
+    out = compile_logql(
+        'topk(2, sum by (svc) (count_over_time({svc=~".+"}[30s])))',
+        src,
+        p,
+        spark,
+    )
+    assert sorted((r["svc"], r["value"]) for r in out.collect()) == [
+        ("s1", 10.0),
+        ("s2", 10.0),
+    ]
+    out2 = compile_logql(
+        'sum by (svc) (count_over_time({svc=~".+"}[30s])) > 5', src, p, spark
+    )
+    assert sorted((r["svc"], r["value"]) for r in out2.collect()) == [
+        ("s0", 9.0),
+        ("s1", 10.0),
+        ("s2", 10.0),
+    ]
+    out3 = compile_logql(
+        'min by (svc) (min_over_time({svc=~".+"} | json | unwrap k [30s]))',
+        src,
+        p,
+        spark,
+    )
+    assert sorted((r["svc"], r["value"]) for r in out3.collect()) == [
+        ("s0", 3.0),
+        ("s1", 1.0),
+        ("s2", 2.0),
+    ]
+    # avg does NOT distribute — must stay on the two-stage path
+    out4 = compile_logql(
+        'avg by (svc) (count_over_time({svc=~".+"}[30s]))', src, p, spark
+    )
+    assert sorted((r["svc"], r["value"]) for r in out4.collect()) == [
+        ("s0", 9.0),
+        ("s1", 10.0),
+        ("s2", 10.0),
+    ]
