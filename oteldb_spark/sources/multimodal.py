@@ -173,3 +173,69 @@ def frame_sample(media: DataFrame, fps: float = 1.0) -> DataFrame:
     ).withColumn(
         "frame_ts_ms", (F.col("frame_idx") / F.lit(fps) * 1000).cast("int")
     )
+
+
+def image_dhash(media: DataFrame, *, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash per image — Arrow-batched decode.
+
+    Decode (PIL or the stdlib PNG codec) → grayscale → block-mean
+    downsample to (grid+1)×grid → one bit per horizontal neighbor
+    comparison ⇒ a 64-bit fingerprint (grid=8) whose hamming distance
+    is a perceptual similarity metric.  Undecodable payloads yield
+    NULL.  The heavy work is per-row numpy inside mapInPandas; pair
+    finding downstream reuses the SimHash hamming-join machinery."""
+    import numpy as np
+    import pandas as pd
+
+    def one(blob: bytes):
+        arr = _try_decode_image(bytes(blob))
+        if arr is None:
+            return None
+        g = arr.astype(np.float64).mean(axis=2)
+        h, w = g.shape
+        # block-mean resample to (grid)x(grid+1) via index binning
+        ys = (np.arange(grid) * h) // grid
+        ye = ((np.arange(grid) + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // (grid + 1)
+        xe = ((np.arange(grid + 1) + 1) * w) // (grid + 1)
+        small = np.empty((grid, grid + 1))
+        for i in range(grid):
+            for j in range(grid + 1):
+                small[i, j] = g[ys[i] : max(ye[i], ys[i] + 1),
+                                xs[j] : max(xe[j], xs[j] + 1)].mean()
+        bits = (small[:, 1:] > small[:, :-1]).ravel()
+        out = 0
+        for b in bits:
+            out = (out << 1) | int(b)
+        # two's-complement fold so a set top bit stays int64-safe
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [one(b) for b in pdf["data"]],
+                }
+            )
+
+    return media.mapInPandas(fn, schema="media_id long, dhash long")
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """All pairs of images within ``max_hamming`` bits — the same
+    bit_count hamming join as text SimHash (operators/dedup.py);
+    block on the top byte at scale to avoid the full self-join."""
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    ham = F.expr("bit_count(a.dhash ^ b.dhash)")
+    return (
+        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            "hamming",
+        )
+    )

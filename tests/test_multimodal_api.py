@@ -134,3 +134,40 @@ def test_extract_features_pixel_branch(spark):
         b = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
         fallback = [float(c.mean()) for c in np.array_split(b, 4)]
         assert got[mid] != fallback
+
+
+def test_image_dhash_near_pairs(spark):
+    """dHash over real PNG payloads (stdlib decode path): perturbed
+    twins land within a small hamming distance, unrelated images far
+    apart; undecodable payloads hash NULL."""
+    import numpy as np
+
+    from oteldb_spark.sources.multimodal import image_dhash, phash_near_pairs
+    from oteldb_spark.sources.png_codec import encode_png
+
+    rng = np.random.default_rng(123)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    twin = base.copy()
+    twin[:2, :2] = 255 - twin[:2, :2]  # tiny local perturbation
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        (0, "image", bytes(encode_png(base)), None),
+        (1, "image", bytes(encode_png(twin)), None),
+        (2, "image", bytes(encode_png(other)), None),
+        (3, "image", b"not an image", None),
+    ]
+    from oteldb_spark.sources.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = image_dhash(media)
+    got = {r.media_id: r.dhash for r in hashes.collect()}
+    assert got[3] is None
+    assert got[0] is not None and got[0] == got[0]
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_pairs(
+            hashes.filter(hashes.dhash.isNotNull()), max_hamming=6
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert (0, 2) not in pairs and (1, 2) not in pairs
