@@ -68,6 +68,15 @@ class LogSource:
     # surface parse failures as __error__/__error_details__ labels
     # instead of silent nulls (logqlabels/label_set.go:235-247)
     error_labels: bool = False
+    # hex-id labels (trace_id/span_id): equality is case-insensitive
+    # (the reference compares unhex'd binary), regex is CASE-SENSITIVE
+    # against the UPPERCASE hex rendering (chstorage
+    # querier_logs_query.go:736-752 matchHex — Hex() upper-cases)
+    hexid_labels: frozenset = frozenset()
+    # severity labels (level): equality folds case (EqualFold against
+    # severity names); a regex matches if it matches ANY of the
+    # title/lower/upper spellings (querier_logs_query.go:760-784)
+    severity_labels: frozenset = frozenset()
 
 
 @dataclass
@@ -243,13 +252,33 @@ def _matcher_pred(env: _Env, m: ast.LabelMatcher) -> Column:
         # matcher on a label no stream carries compares against the
         # empty string (Loki: absent label == "")
         c = F.lit("")
+    value = m.value
+    if m.name in env.source.hexid_labels:
+        # equality unhex-folds; regex stays case-sensitive against the
+        # UPPERCASE hex rendering (matchHex)
+        c = F.upper(c)
+        if m.op in ("=", "!="):
+            value = m.value.upper()
+    elif m.name in env.source.severity_labels:
+        if m.op in ("=", "!="):
+            c = F.upper(c)
+            value = m.value.upper()
+        else:
+            # regex matches ANY of the three severity spellings
+            lower = F.lower(c)
+            hit = (
+                anchored_rlike(F.upper(c), m.value)
+                | anchored_rlike(lower, m.value)
+                | anchored_rlike(F.initcap(lower), m.value)
+            )
+            return hit if m.op == "=~" else ~hit
     if m.op == "=":
-        return c == m.value
+        return c == value
     if m.op == "!=":
-        return c != m.value
+        return c != value
     if m.op == "=~":
-        return anchored_rlike(c, m.value)
-    return ~anchored_rlike(c, m.value)
+        return anchored_rlike(c, value)
+    return ~anchored_rlike(c, value)
 
 
 def _line_filter_pred(env: _Env, f: ast.LineFilter) -> Column:

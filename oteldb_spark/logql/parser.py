@@ -207,7 +207,13 @@ class Parser:
         return ast.Selector(matchers)
 
     def _label_name(self) -> str:
-        parts = [self.next().text]
+        t = self.next()
+        if t.kind == "string":
+            # Prometheus-style quoted label name — the oteldb
+            # extension exercised by its e2e suite
+            # (integration/lokie2e/common_test.go: {"http.method"="GET"})
+            return t.unquote()
+        parts = [t.text]
         while self.peek().text == "." and self.peek(1).kind == "ident":
             self.next()
             parts.append(self.next().text)
