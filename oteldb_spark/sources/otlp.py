@@ -166,6 +166,18 @@ SPAN_RECORD = T.StructType(
                 ]
             ),
         ),
+        T.StructField(
+            "events",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("timeUnixNano", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("attributes", T.ArrayType(_ATTR)),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -223,6 +235,18 @@ def flatten_otlp_spans(raw: DataFrame) -> DataFrame:
         F.col("s.status.code").alias("status_code"),
         F.col("s.status.message").alias("status_message"),
         _attrs_to_map(F.col("s.attributes")).alias("attrs"),
+        # span events in the engine's events_col shape
+        # (traceql/compiler.py: array<struct<name, ts_us, attrs>>)
+        F.transform(
+            F.col("s.events"),
+            lambda e: F.struct(
+                e["name"].alias("name"),
+                (e["timeUnixNano"].cast("long") / 1000)
+                .cast("long")
+                .alias("ts_us"),
+                _attrs_to_map(e["attributes"]).alias("attrs"),
+            ),
+        ).alias("events"),
         "resource_attrs",
         F.coalesce(
             F.col("resource_attrs").getItem("service.name"),

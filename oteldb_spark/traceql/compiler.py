@@ -40,6 +40,9 @@ class SpanSource:
     parent_col: str = "parent_span_id"
     start_col: str = "start_us"
     attrs_map_col: str | None = None
+    # optional map of RESOURCE attrs; scope-strict lookups (see
+    # _attr_col) — resource.X reads only this, span.X only attrs_map
+    resource_attrs_map_col: str | None = None
     # array<struct<name,ts_us,attrs>> / array<struct<trace_id,span_id,attrs>>
     events_col: str | None = None
     links_col: str | None = None
@@ -101,8 +104,31 @@ def _attr_col(src: SpanSource, a: P.Attr) -> Column:
         and f"{a.scope}.{key}" in src.attr_cols
     ):
         return F.col(src.attr_cols[f"{a.scope}.{key}"])
-    if src.attrs_map_col is not None:
-        return F.col(src.attrs_map_col).getItem(key)
+    # map fallbacks are STRICTLY scoped (the reference searches only
+    # the scope's own attribute set: resource.X never reads a span
+    # attr — tempoe2e pins `{resource.http.method = "POST"}` empty);
+    # unscoped searches span first, then resource
+    span_m = (
+        F.col(src.attrs_map_col).getItem(key)
+        if src.attrs_map_col is not None
+        else None
+    )
+    res_m = (
+        F.col(src.resource_attrs_map_col).getItem(key)
+        if src.resource_attrs_map_col is not None
+        else None
+    )
+    if a.scope == "span" and span_m is not None:
+        return span_m
+    if a.scope == "resource" and res_m is not None:
+        return res_m
+    if a.scope == "unscoped":
+        if span_m is not None and res_m is not None:
+            return F.coalesce(span_m, res_m)
+        if span_m is not None:
+            return span_m
+        if res_m is not None:
+            return res_m
     raise KeyError(f"TraceQL: unknown attribute {a.scope}.{key}")
 
 
@@ -181,6 +207,16 @@ def _query_attrs(query) -> list:
     for st in query.stages:
         if isinstance(st, P.ScalarFilter) and st.attr is not None:
             _collect_attrs(st.attr, attrs)
+        elif isinstance(st, P.ScalarExprFilter):
+            def _walk_scalar(node):
+                if isinstance(node, P.SAgg) and node.attr is not None:
+                    _collect_attrs(node.attr, attrs)
+                elif isinstance(node, P.SBin):
+                    _walk_scalar(node.lhs)
+                    _walk_scalar(node.rhs)
+
+            _walk_scalar(st.lhs)
+            _walk_scalar(st.rhs)
         elif isinstance(st, P.Select):
             for a in st.attrs:
                 _collect_attrs(a, attrs)
@@ -275,6 +311,16 @@ def _with_parent_columns(source: SpanSource, query) -> SpanSource:
     for st in query.stages:
         if isinstance(st, P.ScalarFilter) and st.attr is not None:
             _collect_attrs(st.attr, attrs)
+        elif isinstance(st, P.ScalarExprFilter):
+            def _walk_scalar(node):
+                if isinstance(node, P.SAgg) and node.attr is not None:
+                    _collect_attrs(node.attr, attrs)
+                elif isinstance(node, P.SBin):
+                    _walk_scalar(node.lhs)
+                    _walk_scalar(node.rhs)
+
+            _walk_scalar(st.lhs)
+            _walk_scalar(st.rhs)
         elif isinstance(st, P.Select):
             for a in st.attrs:
                 _collect_attrs(a, attrs)
@@ -298,6 +344,49 @@ def _with_parent_columns(source: SpanSource, query) -> SpanSource:
     return dataclasses.replace(source, df=enriched)
 
 
+_NUMERIC_DTYPES = ("bigint", "int", "smallint", "tinyint", "double", "float", "decimal")
+_CMP_OPS = frozenset({"=", "!=", "=~", "!~", ">", ">=", "<", "<="})
+
+
+def _operand_type(src: SpanSource, e) -> "str | None":
+    """'string' / 'numeric' for typed-comparison checking; None when
+    unknown (arithmetic subtrees, intrinsics with enum literals)."""
+    if isinstance(e, P.Lit):
+        if e.kind == "string":
+            return "string"
+        if e.kind in ("number", "duration"):
+            return "numeric"
+        return None  # status/kind enums compare against their columns
+    if isinstance(e, P.Attr) and e.scope in (
+        "span",
+        "resource",
+        "unscoped",
+        "instrumentation",
+    ):
+        key = e.name if e.name in src.attr_cols else f"{e.scope}.{e.name}"
+        if key in src.attr_cols:
+            dt = dict(src.df.dtypes).get(src.attr_cols[key])
+            if dt is None:
+                return None
+            if dt == "string":
+                return "string"
+            if dt.startswith(_NUMERIC_DTYPES):
+                return "numeric"
+            return None
+        if src.attrs_map_col is not None:
+            return None  # untyped map values — dynamic, skip the check
+    return None
+
+
+def _static_type_mismatch(src: SpanSource, lhs, rhs) -> bool:
+    """TraceQL comparisons are typed: an int attribute never matches a
+    string literal (and vice versa) — the reference's evaluator fails
+    the comparison instead of coercing (tempoe2e common_test.go:771-773
+    pins `{ .http.status_code = "200" }` and `=~ "^POST$"` empty)."""
+    a, b = _operand_type(src, lhs), _operand_type(src, rhs)
+    return a is not None and b is not None and a != b
+
+
 def _field_col(src: SpanSource, e) -> Column:
     if isinstance(e, P.Lit):
         if e.kind == "duration":
@@ -310,6 +399,8 @@ def _field_col(src: SpanSource, e) -> Column:
             return ~_field_col(src, e.lhs)
         if e.op == "neg":
             return -_field_col(src, e.lhs)
+        if e.op in _CMP_OPS and _static_type_mismatch(src, e.lhs, e.rhs):
+            return F.lit(False)
         a = _field_col(src, e.lhs)
         b = _field_col(src, e.rhs)
         ops = {
@@ -394,6 +485,70 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
                 ">=": F.col("__agg") >= stage.value,
                 "<": F.col("__agg") < stage.value,
                 "<=": F.col("__agg") <= stage.value,
+            }[stage.op]
+            keep = per_set.filter(cmp).select(*keys)
+            out = out.join(keep, keys, "left_semi")
+        elif isinstance(stage, P.ScalarExprFilter):
+            # general scalar expressions over spanset aggregates:
+            # | sum(.x)/count() = avg(.x), | 200 = min(.x), parenthesized
+            # arithmetic — ONE aggregation computes every referenced
+            # aggregate, then the expression evaluates over the row
+            aggs: dict[str, Column] = {}
+
+            def _sagg_col(fn: str, attr) -> Column:
+                if fn == "count":
+                    return F.count(F.lit(1)).cast("double")
+                col = (
+                    _field_col(src=source, e=attr)
+                    if attr is not None
+                    else F.col(source.duration_col)
+                )
+                return {
+                    "max": F.max,
+                    "min": F.min,
+                    "avg": F.avg,
+                    "sum": F.sum,
+                }[fn](col).cast("double")
+
+            def _collect(node):
+                if isinstance(node, P.SAgg):
+                    key = f"__s_{fn_key(node)}"
+                    aggs.setdefault(key, _sagg_col(node.fn, node.attr))
+                elif isinstance(node, P.SBin):
+                    _collect(node.lhs)
+                    _collect(node.rhs)
+
+            def fn_key(node: "P.SAgg") -> str:
+                a = "" if node.attr is None else f"{node.attr.scope}.{node.attr.name}"
+                return f"{node.fn}({a})".replace(".", "_")
+
+            def _eval(node) -> Column:
+                if isinstance(node, P.SAgg):
+                    return F.col(f"__s_{fn_key(node)}")
+                if isinstance(node, P.SNum):
+                    return F.lit(float(node.value))
+                ops = {
+                    "+": lambda a, b: a + b,
+                    "-": lambda a, b: a - b,
+                    "*": lambda a, b: a * b,
+                    "/": lambda a, b: a / b,
+                }
+                return ops[node.op](_eval(node.lhs), _eval(node.rhs))
+
+            _collect(stage.lhs)
+            _collect(stage.rhs)
+            keys = [source.trace_col, *group_cols]
+            per_set = out.groupBy(*keys).agg(
+                *[c.alias(k) for k, c in aggs.items()]
+            )
+            l, r = _eval(stage.lhs), _eval(stage.rhs)
+            cmp = {
+                "=": l == r,
+                "!=": l != r,
+                ">": l > r,
+                ">=": l >= r,
+                "<": l < r,
+                "<=": l <= r,
             }[stage.op]
             keep = per_set.filter(cmp).select(*keys)
             out = out.join(keep, keys, "left_semi")

@@ -76,6 +76,33 @@ class ScalarFilter:
     value: float
 
 
+# --- scalar EXPRESSION filters (parser_pipeline.go scalar grammar):
+# | sum(.x) / count() = avg(.x), | 200 = min(.x), | (min(.x)+min(.x))/2 = 200
+@dataclass
+class SAgg:
+    fn: str  # count max min avg sum
+    attr: "Attr | None"
+
+
+@dataclass
+class SNum:
+    value: float
+
+
+@dataclass
+class SBin:
+    op: str  # + - * /
+    lhs: object
+    rhs: object
+
+
+@dataclass
+class ScalarExprFilter:
+    lhs: object
+    op: str  # = != > >= < <=
+    rhs: object
+
+
 @dataclass
 class Select:
     attrs: list[Attr]
@@ -370,19 +397,56 @@ class Parser:
             self.expect("(")
             self.expect(")")
             return Coalesce()
+        if t.text in ("count", "max", "min", "avg", "sum") or t.text == "(" or t.kind in ("number", "duration"):
+            self.i -= 1  # re-read the token inside the scalar grammar
+            lhs = self._scalar_expr()
+            op = self.next().text
+            if op not in (">", ">=", "<", "<=", "=", "!="):
+                raise SyntaxError(f"TraceQL: bad scalar filter op {op!r}")
+            rhs = self._scalar_expr()
+            # keep the historical simple shape on the historical node
+            if (
+                isinstance(lhs, SAgg)
+                and isinstance(rhs, SNum)
+            ):
+                return ScalarFilter(lhs.fn, lhs.attr, op, rhs.value)
+            return ScalarExprFilter(lhs, op, rhs)
+        raise SyntaxError(f"TraceQL: unknown pipeline stage {t.text!r}")
+
+    def _scalar_expr(self):
+        """Additive precedence over scalar terms (aggregate calls,
+        numbers/durations, parenthesized subexpressions)."""
+        node = self._scalar_term()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            node = SBin(op, node, self._scalar_term())
+        return node
+
+    def _scalar_term(self):
+        node = self._scalar_primary()
+        while self.peek().text in ("*", "/"):
+            op = self.next().text
+            node = SBin(op, node, self._scalar_primary())
+        return node
+
+    def _scalar_primary(self):
+        t = self.next()
+        if t.text == "(":
+            e = self._scalar_expr()
+            self.expect(")")
+            return e
         if t.text in ("count", "max", "min", "avg", "sum"):
             self.expect("(")
             attr = None
             if self.peek().text != ")":
                 attr = self.parse_primary()
             self.expect(")")
-            op = self.next().text
-            v = self.next()
-            value = (
-                duration_to_us(v.text) if v.kind == "duration" else float(v.text)
-            )
-            return ScalarFilter(t.text, attr, op, value)
-        raise SyntaxError(f"TraceQL: unknown pipeline stage {t.text!r}")
+            return SAgg(t.text, attr)
+        if t.kind == "duration":
+            return SNum(float(duration_to_us(t.text)))
+        if t.kind == "number":
+            return SNum(float(t.text))
+        raise SyntaxError(f"TraceQL: bad scalar term {t.text!r}")
 
 
 def parse(text: str) -> TraceQuery:
