@@ -285,7 +285,10 @@ class Parser:
         self.expect("{")
         matchers = []
         while not self.accept("}"):
-            lname = self.next().text
+            lt = self.next()
+            # Prometheus quoted label names ({"handler"="x"} — UTF-8
+            # label syntax; the reference's e2e suite uses it)
+            lname = lt.unquote() if lt.kind == "string" else lt.text
             op = self.next().text
             if op not in ("=", "!=", "=~", "!~"):
                 raise SyntaxError(f"PromQL: bad matcher op {op!r}")
