@@ -457,7 +457,11 @@ def pb_spans_via_json(payloads: DataFrame) -> DataFrame:
     raw = pb_to_json(payloads, "traces").select(
         F.from_json("json", OTLP_TRACES_SCHEMA).alias("r")
     ).select("r.*")
-    return flatten_otlp_spans(raw)
+    # the pinned-equality contract with the direct wire decode covers
+    # the shared span columns; the JSON flattener additionally carries
+    # span events (TraceQL event: intrinsics) which the wire path does
+    # not decode
+    return flatten_otlp_spans(raw).drop("events")
 
 
 def _utc_date(ts_ns):
