@@ -390,24 +390,95 @@ class PromQLEngine:
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return prom_vector(df, labels, ts_us / 1e6, max_rows=self.max_result_rows)
 
-    def label_values(self, label: str) -> dict:
+    def label_values(
+        self,
+        label: str,
+        match: "list[str] | None" = None,
+        start_us: "int | None" = None,
+        end_us: "int | None" = None,
+    ) -> dict:
         """GET /api/v1/label/{label}/values (promhandler.go:72-110).
 
-        Sanitization-aware like the query path: a sanitized or U__-hex
-        spelling resolves to the dotted storage column
-        (chstorage/querier_metrics.go:145-163)."""
+        Sanitization-aware like the query path; ``match`` restricts to
+        series any of the selectors matches (Prometheus ``match[]``
+        semantics — the reference's e2e suite pins negative, regex,
+        multi-matcher and time-bounded behavior,
+        ``integration/prome2e/common_test.go:280-420``); the special
+        label ``__name__`` enumerates metric names."""
         from pyspark.sql import functions as F
 
         from .functions.otel_labels import resolve_label_name
+        from .promql.compiler import _selector_points, _out_label_names
+        from .promql.parser import parse as parse_promql
+
+        if label == "__name__":
+            # metric names whose selector (if any) matches at least one
+            # point in range
+            names = [
+                name
+                for name in sorted(self.source.metrics)
+                if not match
+                or any(
+                    self._match_rows(sel, start_us, end_us, only=name)
+                    for sel in match
+                )
+            ]
+            return prom_labels(names)
 
         resolved = resolve_label_name(label, self.source.label_cols)
         if resolved is None:
             return prom_labels([])
+        frames = []
+        if match:
+            for sel_str in match:
+                sel = parse_promql(sel_str)
+                pts = _selector_points(sel, self.source)
+                frames.append(pts)
+        else:
+            frames.append(
+                self.source.df.select(
+                    *[
+                        F.col(f"`{l}`").alias(n)
+                        for l, n in zip(
+                            self.source.label_cols,
+                            _out_label_names(self.source),
+                        )
+                    ],
+                    F.col(self.source.ts_col).alias("ts_us"),
+                )
+            )
+        from .functions.otel_labels import key_to_label
+
+        out_name = key_to_label(resolved)
+        u = None
+        for f in frames:
+            p = f.select(out_name, "ts_us")
+            u = p if u is None else u.unionByName(p)
+        if start_us is not None:
+            u = u.filter(F.col("ts_us") >= start_us)
+        if end_us is not None:
+            u = u.filter(F.col("ts_us") <= end_us)
         rows = bounded_collect(
-            self.source.df.select(F.col(f"`{resolved}`")).distinct(),
-            self.max_result_rows,
+            u.select(out_name).distinct(), self.max_result_rows
         )
-        return prom_labels([r[0] for r in rows if r[0] is not None])
+        vals = sorted(r[0] for r in rows if r[0] is not None and r[0] != "")
+        return prom_labels(vals)
+
+    def _match_rows(self, sel_str, start_us, end_us, only=None) -> bool:
+        from pyspark.sql import functions as F
+
+        from .promql.compiler import _selector_points
+        from .promql.parser import parse as parse_promql
+
+        sel = parse_promql(sel_str)
+        if only is not None and sel.name not in (None, only):
+            return False
+        pts = _selector_points(sel, self.source)
+        if start_us is not None:
+            pts = pts.filter(F.col("ts_us") >= start_us)
+        if end_us is not None:
+            pts = pts.filter(F.col("ts_us") <= end_us)
+        return pts.limit(1).count() > 0
 
     def query_exemplars(self, q: str, start_us: int, end_us: int) -> dict:
         """GET /api/v1/query_exemplars (promhandler.go:392-460).

@@ -189,3 +189,69 @@ def test_prome2e_aggregation_invariants(spark, prom_src):
     assert len(s) == len(mn) == len(mx) == len(av)
     for i in range(len(s)):
         assert s[i] >= mx[i] >= av[i] >= mn[i] >= 0.0
+
+
+def test_prome2e_label_values_matchers(spark, prom_src):
+    """GET /api/v1/label/handler/values with match[] selectors —
+    common_test.go:280-420: one/regex/negative/multi matchers, unknown
+    labels/values, out-of-range windows."""
+    from oteldb_spark.engine import PromQLEngine
+
+    src, lo, hi = prom_src
+    eng = PromQLEngine(source=src, spark=spark)
+
+    all_handlers = sorted(
+        r[0]
+        for r in src.df.select("handler").distinct().collect()
+        if r[0] is not None
+    )
+    assert len(all_handlers) == 50
+
+    def vals(label, match=None, start_us=None, end_us=None):
+        return eng.label_values(
+            label, match=match, start_us=start_us, end_us=end_us
+        )["data"]
+
+    mk = METRIC
+    assert vals("handler", ['{handler="/api/v1/series"}']) == ["/api/v1/series"]
+    assert vals("__name__", [f"{mk}{{}}"]) == [mk]
+    assert vals("handler", ['{handler=~"/api/v1/(series|query)$"}']) == [
+        "/api/v1/query",
+        "/api/v1/series",
+    ]
+    expect_minus_query = [h for h in all_handlers if h != "/api/v1/query"]
+    assert (
+        vals("handler", [f'{mk}{{handler!="/api/v1/query"}}'])
+        == expect_minus_query
+    )
+    assert (
+        vals("handler", [f'{mk}{{handler!~"^/api/v1/query$"}}'])
+        == expect_minus_query
+    )
+    assert vals("handler", [f'{mk}{{handler!=""}}']) == all_handlers
+    assert vals(
+        "handler", ['{handler="/api/v1/series"}', '{handler="/api/v1/query"}']
+    ) == ["/api/v1/query", "/api/v1/series"]
+    assert vals("handler", ['{handler="/api/v1/series",code="200"}']) == [
+        "/api/v1/series"
+    ]
+    assert vals(
+        "handler",
+        [
+            f'{mk}{{handler="/api/v1/series"}}',
+            f'{mk}{{handler="/api/v1/query"}}',
+        ],
+    ) == ["/api/v1/query", "/api/v1/series"]
+    assert vals("label_clearly_not_exist") == []
+    assert vals("handler", ['{handler="value_clearly_not_exist"}']) == []
+    assert vals("handler", ['{handler=~".+",clearly="not_exist"}']) == []
+    # out-of-range window excludes everything
+    assert (
+        vals(
+            "handler",
+            [f'{mk}{{handler="/api/v1/series"}}'],
+            start_us=10_000_000,
+            end_us=20_000_000,
+        )
+        == []
+    )
