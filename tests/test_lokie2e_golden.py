@@ -252,3 +252,18 @@ def test_e2e_metric_grouped_counts(spark, e2e_source):
     # and the empty complement
     q0 = "sum by (http_method) ( count_over_time({http_method!~\".+\"} [30s]) )"
     assert compile_logql(q0, e2e_source, p, spark).count() == 0
+
+
+def test_e2e_detected_field_cardinalities(spark, e2e_source):
+    """common_test.go:360-392 — per-label distinct-value cardinality
+    under the full-range selector: level 2 (INFO, FATAL), service_name
+    2, service_namespace 2, service_version 1."""
+    from oteldb_spark.engine import LogQLEngine
+
+    eng = LogQLEngine(source=e2e_source, spark=spark)
+    fields = eng.detected_fields('{service_name=~".+"}', START_US, END_US)
+    card = {f["label"]: f["cardinality"] for f in fields["fields"]}
+    assert card["level"] == 2
+    assert card["service_name"] == 2
+    assert card["service_namespace"] == 2
+    assert card["service_version"] == 1
