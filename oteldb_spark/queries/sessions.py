@@ -166,15 +166,23 @@ def events_range_join(spark, sf_dir):
 # continuous-aggregate cascade that makes coarse granularities cost
 # |fine rollup| instead of |raw|.  Sums/counts compose exactly; avg
 # is derived at the end from the composed sums.
+# the composed average is computed ENTIRELY in integer math: values
+# carry two decimals, so avg = V/(100·n) with V = Σvalue·100 an exact
+# integer, and round-half-up to 6 decimals is (V·20000 + n) div (2n).
+# Anything float-typed here eventually lands a knife-edge tie (Spark
+# rounds the shortest-decimal rendering, DuckDB the exact binary —
+# they break .xxxxxx5 ties differently).
 @register(
     "events_rollup_cascade",
     """SELECT t6, event_type,
        CAST(sum(n) AS BIGINT) AS n_events,
-       round(sum(v_sum) / sum(n), 6) AS avg_value
+       CAST((CAST(sum(v_sum) * 100 AS BIGINT) * 20000 + sum(n))
+            // (2 * sum(n)) AS BIGINT) / 1e6 AS avg_value
 FROM (
   SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t1,
          ((epoch_us(ts) // 3600000000) // 6) * 6 * 3600000000 AS t6,
-         event_type, count(*) AS n, sum(value) AS v_sum
+         event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS v_sum
   FROM events GROUP BY 1, 2, 3
 ) GROUP BY t6, event_type""",
 )
@@ -185,7 +193,7 @@ def events_rollup_cascade(spark, sf_dir):
         ev.select(
             hour.alias("t1"),
             "event_type",
-            "value",
+            F.col("value").cast("decimal(18,2)").alias("value"),
         )
         .groupBy("t1", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v_sum"))
@@ -195,6 +203,12 @@ def events_rollup_cascade(spark, sf_dir):
         .groupBy("t6", "event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("v_sum") / F.sum("n"), 6).alias("avg_value"),
+            (
+                F.expr(
+                    "(CAST(sum(v_sum) * 100 AS BIGINT) * 20000 + sum(n))"
+                    " div (2 * sum(n))"
+                )
+                / F.lit(1e6)
+            ).alias("avg_value"),
         )
     )
