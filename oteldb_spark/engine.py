@@ -473,7 +473,17 @@ class PromQLEngine:
         sel = parse_promql(sel_str)
         if only is not None and sel.name not in (None, only):
             return False
+        if only is not None and sel.name is None:
+            # name-less match[] (e.g. {env="prod"}): count only the
+            # candidate metric's points, not every metric's — else any
+            # matching series anywhere certifies all names.
+            import dataclasses
+
+            sel = dataclasses.replace(sel, name=only)
         pts = _selector_points(sel, self.source)
+        # a NULL sample is "this row carries no point of this metric"
+        # (sparse multi-metric frames) — it must not certify a match
+        pts = pts.filter(F.col("sample").isNotNull())
         if start_us is not None:
             pts = pts.filter(F.col("ts_us") >= start_us)
         if end_us is not None:

@@ -84,7 +84,12 @@ def resolve_label_name(name: str, candidates) -> str | None:
     1. exact key (``http.method`` queried as-is);
     2. ``U__`` hex decode (``U__k8s_2e_node_2e_name`` → the stored
        ``k8s.node.name`` column);
-    3. reverse sanitization: the first (sorted) stored key whose
+    3. the all-dots inverse (``http_method`` → a stored
+       ``http.method``) — the canonical OTel spelling, and the same
+       precedence :func:`map_attr_lookup`'s fast path gives it so the
+       compile-time and runtime resolvers agree on exotic corpora
+       holding e.g. both ``a-b`` and ``a.b``;
+    4. reverse sanitization: the first (sorted) stored key whose
        ``key_to_label`` form equals the queried name — a Grafana
        dashboard emitting ``http_method`` finds the ``http.method``
        attr.
@@ -104,6 +109,10 @@ def resolve_label_name(name: str, candidates) -> str | None:
         slab = key_to_label(decoded)
         if slab in cands:
             return slab
+    if "_" in name:
+        dotted = name.replace("_", ".")
+        if dotted in cands:
+            return dotted
     for key in sorted(cands):
         if key != name and key_to_label(key) == name:
             return key

@@ -164,6 +164,13 @@ def _push_grouping_down(expr: "ast.VectorAgg"):
         or expr.expr.op not in _DISTRIBUTIVE.get(expr.op, ())
     ):
         return None
+    # by() over the unwrapped label itself must NOT push down: the
+    # unpushed path excludes the unwrap label from series identity
+    # (grouping it under ""), while a pushed range-agg grouping would
+    # resolve its real value — different groups.
+    unwrap = expr.expr.query.unwrap
+    if unwrap is not None and unwrap.label in expr.grouping.labels:
+        return None
     from dataclasses import replace
 
     return replace(expr.expr, grouping=expr.grouping)

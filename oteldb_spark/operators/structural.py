@@ -41,10 +41,27 @@ def _materialize(df: DataFrame) -> DataFrame:
     covered union), so without truncation the logical plan doubles per
     round and driver-side ANALYSIS time grows exponentially with depth
     — persist/cache alone does not help, because cache matching
-    happens after the full plan is analyzed.  ``localCheckpoint(eager)``
-    replaces the plan with the materialized RDD; loop state is tiny
-    (ids only), so the executor-memory cost is negligible."""
-    return df.localCheckpoint(eager=True)
+    happens after the full plan is analyzed.  Checkpointing replaces
+    the plan with the materialized RDD; loop state is tiny (ids only),
+    so the materialization cost is negligible.
+
+    Mode-aware like :func:`oteldb_spark.operators.pin.pin` (same env
+    var): ``SPARK_GRAFT_PIN=<dir>`` uses a RELIABLE checkpoint — on a
+    real cluster with dynamic allocation, a lost executor mid-traversal
+    would kill a ``>>`` query under ``localCheckpoint`` because its
+    blocks are not recomputable.  ``local``/``disk``/unset keep
+    ``localCheckpoint`` (the local-mode default): ``pin``'s DISK_ONLY
+    persist is not a substitute here because the loop requires plan
+    truncation, which persist does not provide."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_PIN", "local")
+    if mode in ("local", "disk"):
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(mode)
+    return df.checkpoint(eager=True)
 
 
 class StructuralDepthError(RuntimeError):

@@ -176,7 +176,7 @@ def events_range_join(spark, sf_dir):
     "events_rollup_cascade",
     """SELECT t6, event_type,
        CAST(sum(n) AS BIGINT) AS n_events,
-       CAST((CAST(sum(v_sum) * 100 AS BIGINT) * 20000 + sum(n))
+       CAST((CAST(sum(v_sum) * 100 AS HUGEINT) * 20000 + sum(n))
             // (2 * sum(n)) AS BIGINT) / 1e6 AS avg_value
 FROM (
   SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS t1,
@@ -203,10 +203,15 @@ def events_rollup_cascade(spark, sf_dir):
         .groupBy("t6", "event_type")
         .agg(
             F.sum("n").alias("n_events"),
+            # scaled numerator stays DECIMAL(38,0) (Spark) / HUGEINT
+            # (oracle): a BIGINT intermediate silently wraps once the
+            # per-group value sum passes ~4.6e12 — plausible at 100 TB.
+            # Only the (small) quotient is cast back.  Half-up identity
+            # assumes non-negative sums (events.value ≥ 0 by contract).
             (
                 F.expr(
-                    "(CAST(sum(v_sum) * 100 AS BIGINT) * 20000 + sum(n))"
-                    " div (2 * sum(n))"
+                    "(CAST(sum(v_sum) * 100 AS DECIMAL(38,0)) * 20000"
+                    " + sum(n)) div (2 * sum(n))"
                 )
                 / F.lit(1e6)
             ).alias("avg_value"),

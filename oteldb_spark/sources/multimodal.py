@@ -223,14 +223,40 @@ def image_dhash(media: DataFrame, *, grid: int = 8) -> DataFrame:
 
 
 def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
-    """All pairs of images within ``max_hamming`` bits — the same
-    bit_count hamming join as text SimHash (operators/dedup.py);
-    block on the top byte at scale to avoid the full self-join."""
-    a = hashes.alias("a")
-    b = hashes.alias("b")
+    """All pairs of images within ``max_hamming`` bits.
+
+    Pigeonhole-blocked, not a full self-join: split the 64-bit dhash
+    into ``max_hamming + 1`` disjoint bands — two hashes within
+    ``max_hamming`` bits MUST agree exactly on at least one band, so
+    the equi-join on (band, band_bits) is lossless while candidate
+    volume scales with real collisions instead of n².  Same trick as
+    the text SimHash/LSH banding in ``operators/dedup.py``; the exact
+    ``bit_count`` filter then removes band-collision false positives
+    and ``dropDuplicates`` collapses pairs colliding in >1 band."""
+    n_bands = max_hamming + 1
+    width = max(1, 64 // n_bands)
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.expr(
+            f"CASE WHEN band < {n_bands - 1} THEN "
+            f"shiftrightunsigned(dhash, band * {width}) & {(1 << width) - 1} "
+            f"ELSE shiftrightunsigned(dhash, band * {width}) END"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     ham = F.expr("bit_count(a.dhash ^ b.dhash)")
     return (
-        a.join(b, F.col("a.media_id") < F.col("b.media_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
         .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select(
@@ -238,4 +264,5 @@ def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
             F.col("b.media_id").alias("media_b"),
             "hamming",
         )
+        .dropDuplicates(["media_a", "media_b"])
     )

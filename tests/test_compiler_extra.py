@@ -263,3 +263,13 @@ def test_grouping_pushdown_compositions(spark):
         ("s1", 10.0),
         ("s2", 10.0),
     ]
+    # by() over the unwrapped label itself must NOT push down: the
+    # unpushed path drops the unwrap label from series identity, so
+    # every series groups under k="" — one output group.
+    out5 = compile_logql(
+        'min by (k) (min_over_time({svc=~".+"} | json | unwrap k [30s]))',
+        src,
+        p,
+        spark,
+    )
+    assert [(r["k"], r["value"]) for r in out5.collect()] == [("", 1.0)]

@@ -295,6 +295,32 @@ def test_logql_instant_query_and_drilldown(spark):
     assert dd["version"] and dd["limits"]["volume_enabled"] is True
 
 
+def test_label_values_name_nameless_match(spark):
+    """label_values('__name__', match=[{env=...}]) with a NAME-LESS
+    selector must return only metrics with a matching non-null point —
+    not every metric whenever any series anywhere matches
+    (common_test.go:280-420 match[] semantics)."""
+    df = spark.createDataFrame(
+        [
+            ("prod", 1_000_000, 1.0, None),
+            ("dev", 2_000_000, None, 2.0),
+        ],
+        "env string, ts_us long, va double, vb double",
+    )
+    src = MetricSource(
+        df=df, metrics={"metric_a": "va", "metric_b": "vb"}, label_cols=["env"]
+    )
+    eng = PromQLEngine(src)
+    assert eng.label_values("__name__", match=['{env="prod"}'])["data"] == [
+        "metric_a"
+    ]
+    assert eng.label_values("__name__", match=['{env="dev"}'])["data"] == [
+        "metric_b"
+    ]
+    assert eng.label_values("__name__", match=['{env="qa"}'])["data"] == []
+    assert eng.label_values("__name__")["data"] == ["metric_a", "metric_b"]
+
+
 def test_promql_instant_label_values_exemplars(spark):
     import pytest
     from pyspark.sql import functions as F

@@ -171,3 +171,39 @@ def test_image_dhash_near_pairs(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 6
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_phash_near_pairs_blocking_lossless(spark):
+    """The pigeonhole band-blocked join finds EXACTLY the brute-force
+    pair set (no pair within max_hamming can differ in every one of
+    the max_hamming+1 disjoint bands), and the plan is an equi-join —
+    no cartesian product."""
+    import random
+
+    from oteldb_spark.sources.multimodal import phash_near_pairs
+
+    rng = random.Random(7)
+    hashes = [rng.getrandbits(63) for _ in range(40)]
+    # planted near-twins at several hamming distances incl. the boundary
+    for d in (0, 1, 6, 10, 11):
+        base = hashes[d]
+        h = base
+        for bit in rng.sample(range(63), d):
+            h ^= 1 << bit
+        hashes.append(h)
+    df = spark.createDataFrame(
+        list(enumerate(hashes)), "media_id long, dhash long"
+    )
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_pairs(df, max_hamming=10).collect()
+    }
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 10:
+                want[(i, j)] = d
+    assert got == want
+    plan = phash_near_pairs(df, max_hamming=10)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -76,6 +76,11 @@ def test_resolve_label_name_order():
     # reverse sanitization, sorted-first determinism
     assert resolve_label_name("a_b", ["a/b", "a.b"]) == "a.b"
     assert resolve_label_name("missing", cands) is None
+    # all-dots (canonical OTel) beats other reverse-sanitized keys even
+    # when they sort first — same precedence as map_attr_lookup's fast
+    # path, so compile-time and runtime resolution agree
+    assert resolve_label_name("a_b", ["a-b", "a.b"]) == "a.b"
+    assert resolve_label_name("a_b", ["a-b", "a/b"]) == "a-b"
 
 
 def test_map_attr_lookup(spark):
@@ -94,6 +99,17 @@ def test_map_attr_lookup(spark):
     assert got.uhex == "GET"
     assert got.plain == "x"
     assert got.missing is None
+
+
+def test_resolvers_agree_on_ambiguous_keys(spark):
+    # both 'a-b' and 'a.b' sanitize to 'a_b': the runtime map path and
+    # the compile-time column path must pick the SAME key (all-dots)
+    df = spark.createDataFrame(
+        [({"a-b": "dash", "a.b": "dot"},)], "m map<string,string>"
+    )
+    got = df.select(map_attr_lookup(F.col("m"), "a_b").alias("v")).first()
+    assert got.v == "dot"
+    assert resolve_label_name("a_b", ["a-b", "a.b"]) == "a.b"
 
 
 def _log_df(spark):

@@ -82,6 +82,32 @@ def test_descendants_deep_chain_no_truncation(spark):
     assert {r.span_id for r in anc.collect()} == {1}
 
 
+def test_descendants_deep_chain_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_PIN=<dir> routes the traversal's per-round
+    materialization through a RELIABLE checkpoint (recoverable after
+    executor loss on a real cluster) — same 12-level chain must fully
+    resolve, and checkpoint files must actually land in the dir."""
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_PIN", str(ckpt))
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    try:
+        depth = 12
+        spans = _deep_chain(spark, depth)
+        desc = descendants(
+            spans, F.col("span_id") == 1, F.col("span_id") == depth
+        )
+        assert {r.span_id for r in desc.collect()} == {depth}
+        import os
+
+        assert any(
+            files for _, _, files in os.walk(str(ckpt))
+        ), "no checkpoint files written under SPARK_GRAFT_PIN dir"
+    finally:
+        if prev is not None:
+            sc.setCheckpointDir(prev)
+
+
 def test_nested_sets_deep_chain(spark):
     depth = 12
     spans = _deep_chain(spark, depth)
