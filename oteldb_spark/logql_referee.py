@@ -185,7 +185,7 @@ class LogQLReferee(Referee):
             sig = tuple(sorted(gl.items()))
             if sig not in series:
                 series[sig] = (gl, [])
-            series[sig][1].append(v)
+            series[sig][1].append((pr.ts_us, v))
         if node.op == "absent_over_time":
             if any_line:
                 return []
@@ -197,8 +197,23 @@ class LogQLReferee(Referee):
             return [(labels, 1.0)]
         out = []
         range_s = node.range_us / 1e6
-        for gl, vals in series.values():
+        for gl, pairs in series.values():
+            vals = [p[1] for p in pairs]
             op = node.op
+            if op == "rate_counter":
+                # unwrapped samples treated as a Prometheus counter:
+                # reset-aware extrapolated rate (the engine routes
+                # through rate_family("rate"); this is the same
+                # upstream extrapolatedRate transcription the PromQL
+                # referee uses)
+                from .referee import _extrapolated_rate
+
+                rv = _extrapolated_rate(
+                    sorted(pairs), lo, t, is_counter=True, is_rate=True
+                )
+                if rv is not None:
+                    out.append((gl, rv))
+                continue
             if op == "count_over_time":
                 v = float(len(vals))
             elif op == "rate":
@@ -492,10 +507,46 @@ def _render_template(template: str, pr: PipeRow) -> str:
     """Minimal text/template: {{ .label }}, {{ __line__ }},
     {{ __timestamp__ }}, pipelines with ToLower/ToUpper/quote/trunc N."""
 
+    def resolve_arg(tok: str) -> str:
+        if tok.startswith('"') and tok.endswith('"'):
+            return tok[1:-1]
+        if tok.startswith("."):
+            return pr.labels.get(tok[1:], "")
+        if tok == "__line__":
+            return pr.line
+        if tok == "__timestamp__":
+            return _go_time_string(pr.ts_us)
+        return tok
+
+    def split_pipeline(src: str) -> list[str]:
+        # '|' inside a quoted literal (printf "%s|%s") is not a pipe
+        parts, buf, in_q = [], [], False
+        for ch in src:
+            if ch == '"':
+                in_q = not in_q
+                buf.append(ch)
+            elif ch == "|" and not in_q:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        return [p.strip() for p in parts]
+
     def render_action(src: str) -> str:
-        parts = [p.strip() for p in src.split("|")]
+        parts = split_pipeline(src)
         head = parts[0]
-        if head.startswith('"') and head.endswith('"'):
+        head_toks = head.split()
+        if head_toks and head_toks[0] == "printf":
+            # {{ printf "fmt" args... }} — Go fmt verbs %s/%d/%v over
+            # resolved args (the only verbs the gate templates use)
+            import shlex
+
+            toks = shlex.split(head, posix=False)
+            fmt = resolve_arg(toks[1])
+            args = [resolve_arg(a) for a in toks[2:]]
+            val = re.sub(r"%[sdv]", lambda m: str(args.pop(0)), fmt)
+        elif head.startswith('"') and head.endswith('"'):
             val = head[1:-1]
         elif head.startswith("."):
             val = pr.labels.get(head[1:], "")
@@ -507,14 +558,18 @@ def _render_template(template: str, pr: PipeRow) -> str:
             val = ""
         for fn in parts[1:]:
             name, *args = fn.split()
-            if name == "ToLower":
+            if name == "ToLower" or name == "lower":
                 val = val.lower()
-            elif name == "ToUpper":
+            elif name == "ToUpper" or name == "upper":
                 val = val.upper()
             elif name == "quote":
                 val = json.dumps(val)
             elif name == "trunc":
                 val = val[: int(args[0])]
+            elif name == "alignRight":
+                val = val.rjust(int(args[0]))
+            elif name == "alignLeft":
+                val = val.ljust(int(args[0]))
             else:
                 raise ValueError(f"referee template: unknown fn {name}")
         return val

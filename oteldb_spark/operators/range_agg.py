@@ -52,6 +52,43 @@ def range_aggregate(
     range_s = range_us / 1_000_000.0
     v = F.col(value_col)
 
+    # range ≫ step with a decomposable aggregate: route through the
+    # sliding bucket-merge — the fan-out would replicate every input
+    # row ×(range/step) (2880 at a 24h/30s dashboard shape), while the
+    # merge is O(series × steps).  rate/bytes_rate are count/sum
+    # divided by a constant, so they ride along.
+    base = {"rate": "count_over_time", "bytes_rate": "bytes_over_time"}.get(op, op)
+    # the fan-out replicates each row min(ratio, n_steps+1) times —
+    # route to the merge only when that REAL factor is large (an
+    # instant query with a huge range replicates ×1: fan-out is
+    # already optimal, and the merge's ratio-sized spine would not be)
+    # and the dense spine stays bounded
+    _ratio = range_us // step_us
+    _n_steps = (end_us - start_us) // step_us
+    if (
+        by
+        and base in DECOMPOSABLE
+        and range_us % step_us == 0
+        and min(_ratio, _n_steps + 1) >= SLIDING_MIN_RATIO
+        and _ratio + _n_steps <= SLIDING_MAX_SPINE
+    ):
+        out = range_aggregate_sliding(
+            samples,
+            base,
+            start_us=start_us,
+            end_us=end_us,
+            step_us=step_us,
+            range_us=range_us,
+            by=by,
+            value_col=value_col,
+            ts_col=ts_col,
+        )
+        if op != base:
+            out = out.withColumn(
+                "value", (F.col("value") / F.lit(range_s)).cast("double")
+            )
+        return out
+
     if op == "absent_over_time":
         assert spark is not None, "absent_over_time needs the SparkSession for the spine"
         spine = step_spine(spark, start_us, end_us, step_us)
@@ -109,6 +146,15 @@ def range_aggregate(
     return grouped.agg(agg.alias("value"))
 
 
+# fan-out factor above which range_aggregate re-routes decomposable
+# ops through the sliding bucket-merge; below it the single-shuffle
+# fan-out is cheaper than the merge's extra (tiny) spine shuffles
+SLIDING_MIN_RATIO = 32
+# per-series dense-spine bound for the merge (ratio + steps buckets);
+# past this the spine itself is the problem and fan-out's row-bounded
+# replication is the safer plan
+SLIDING_MAX_SPINE = 4_000_000
+
 DECOMPOSABLE = {
     "count_over_time": (F.count, F.sum),
     "sum_over_time": (F.sum, F.sum),
@@ -116,6 +162,92 @@ DECOMPOSABLE = {
     "max_over_time": (F.max, F.max),
     "bytes_over_time": (F.sum, F.sum),
 }
+
+
+def range_aggregate_sliding(
+    samples: DataFrame,
+    op: str,
+    *,
+    start_us: int,
+    end_us: int,
+    step_us: int,
+    range_us: int,
+    by: list[str],
+    value_col: str = "sample",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Range ≫ step evaluation WITHOUT the ×(range/step) fan-out.
+
+    Both the row fan-out and the prebucketed fan-out replicate their
+    input by up to ``range/step`` — at a realistic dashboard shape
+    (24h range, 30s step: ratio 2880) that turns a 100 TB scan into a
+    multi-PB shuffle.  Decomposable aggregates don't need it: the
+    trailing window ``(t_k - range, t_k]`` is exactly the union of the
+    ``ratio`` step-aligned buckets ``k-ratio+1 .. k``, so
+
+      1. partial-aggregate per (series, bucket) — the only pass over
+         raw rows, map-side combined;
+      2. left-join the partials onto a dense per-series bucket spine
+         (broadcast; ``series × (steps + ratio)`` rows, i.e. output-
+         sized, never data-sized);
+      3. merge with a ``rangeBetween(-(ratio-1), 0)`` window ordered
+         by bucket — one ordered pass per series partition.
+
+    Total fanned volume is O(series × steps) regardless of ratio.
+    Same sampled-points offload the reference performs
+    (``querier_metrics.go:745-843``), taken to its Spark-native
+    conclusion.  Requires ``range_us % step_us == 0`` (callers fall
+    back to ``range_aggregate_prebucketed`` otherwise); empty windows
+    emit no row, matching the fan-out semantics.
+    """
+    if range_us % step_us != 0:
+        raise ValueError("sliding merge requires range % step == 0")
+    from pyspark.sql import Window
+
+    ratio = range_us // step_us
+    n_steps = (end_us - start_us) // step_us
+    partial_fn, merge_fn = DECOMPOSABLE[op]
+    arg = F.lit(1) if op == "count_over_time" else F.col(value_col)
+
+    ts = F.col(ts_col)
+    windowed = samples.filter(
+        (ts > F.lit(start_us - range_us)) & (ts <= F.lit(end_us))
+    )
+    from .stepfanout import prebucket
+
+    buckets = prebucket(
+        windowed,
+        start_us,
+        step_us,
+        by,
+        [partial_fn(arg).alias("__partial")],
+        ts_col=ts_col,
+    )
+    # dense spine: every bucket a window can draw from (1-ratio .. n)
+    # for every observed series — nulls where the bucket is empty so
+    # the ordered window sees a complete, gap-free frame
+    spine = samples.sparkSession.range(1 - ratio, n_steps + 1).select(
+        F.col("id").alias("__bucket")
+    )
+    dense = buckets.select(*by).distinct().crossJoin(F.broadcast(spine))
+    merged = dense.join(buckets, [*by, "__bucket"], "left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__bucket")
+        .rangeBetween(-(ratio - 1), 0)
+    )
+    return (
+        merged.withColumn("value", merge_fn("__partial").over(w))
+        .withColumn("__nb", F.count("__partial").over(w))
+        .filter((F.col("__bucket") >= 0) & (F.col("__nb") > 0))
+        .select(
+            *by,
+            (F.lit(start_us) + F.col("__bucket") * F.lit(step_us))
+            .cast("long")
+            .alias("step_us"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
 
 
 def range_aggregate_prebucketed(

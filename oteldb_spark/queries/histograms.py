@@ -324,3 +324,60 @@ def logql_count_over_time_wide(spark, sf_dir):
         range_us=_WIDE_RANGE_US,
         by=["service"],
     )
+
+
+# range ≫ step at REAL dashboard ratio: 24h trailing window / 30s step
+# (ratio 2880) over a 2h evaluation span.  Any fan-out formulation —
+# row or prebucketed — replicates its input ×2880 here; the sliding
+# bucket-merge keeps fanned volume at series × steps (see
+# range_aggregate_sliding).  The oracle restates the same two-phase
+# decomposition in ANSI SQL (bucket counts + bounded bucket-range
+# join) — the naive row fan-out would be a 10^8-row join in DuckDB.
+_R2880_STEP_US = 30_000_000  # 30 s
+_R2880_RANGE_US = 86_400_000_000  # 24 h
+_R2880_RATIO = _R2880_RANGE_US // _R2880_STEP_US  # 2880
+_R2880_START_US = START_US + 2 * 86_400_000_000  # day 3: full lookback in-data
+_R2880_END_US = _R2880_START_US + 2 * 3_600_000_000  # 2h of steps
+_R2880_NSTEPS = (_R2880_END_US - _R2880_START_US) // _R2880_STEP_US  # 240
+
+
+@register(
+    "logql_count_over_time_ratio2880",
+    with_ctes(
+        LOGS_CTE,
+        f"""b AS (
+  SELECT service,
+         CAST(ceil((ts_us - {_R2880_START_US}) / {_R2880_STEP_US}) AS BIGINT) AS j,
+         count(*) AS n
+  FROM logs
+  WHERE ts_us > {_R2880_START_US - _R2880_RANGE_US} AND ts_us <= {_R2880_END_US}
+  GROUP BY 1, 2
+)""",
+        f"""sp AS (
+  SELECT service, k
+  FROM (SELECT DISTINCT service FROM b),
+       (SELECT range AS k FROM range(0, {_R2880_NSTEPS + 1}, 1))
+)""",
+        body=f"""SELECT sp.service,
+       CAST({_R2880_START_US} + sp.k * {_R2880_STEP_US} AS BIGINT) AS step_us,
+       CAST(sum(b.n) AS DOUBLE) AS value
+FROM sp JOIN b
+  ON b.service = sp.service
+ AND b.j BETWEEN sp.k - {_R2880_RATIO - 1} AND sp.k
+GROUP BY 1, 2""",
+    ),
+)
+def logql_count_over_time_ratio2880(spark, sf_dir):
+    from ..operators.range_agg import range_aggregate_sliding
+
+    logs = logs_frame(spark, sf_dir)
+    samples = logs.select("service", "ts_us", F.lit(1.0).alias("sample"))
+    return range_aggregate_sliding(
+        samples,
+        "count_over_time",
+        start_us=_R2880_START_US,
+        end_us=_R2880_END_US,
+        step_us=_R2880_STEP_US,
+        range_us=_R2880_RANGE_US,
+        by=["service"],
+    )

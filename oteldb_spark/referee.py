@@ -1015,7 +1015,9 @@ def _safe(fn):
 # tests/test_referee_corpus.py) -----------------------------------------------
 
 
-def build_referee(spark, sf_dir: str, lookback_us: int) -> "Referee":
+def build_referee(
+    spark, sf_dir: str, lookback_us: int, include_counter: bool = False
+) -> "Referee":
     """Referee over the SAME points the Spark engine reads: the
     collected counter_points_frame, split per metric/value column."""
     from .signals import counter_points_frame
@@ -1024,19 +1026,31 @@ def build_referee(spark, sf_dir: str, lookback_us: int) -> "Referee":
     series: dict[tuple, dict[str, list]] = {}
     for r in rows:
         key = (r["mtype"], r["instance"])
-        d = series.setdefault(key, {"gauge": [], "counter_mod": []})
+        d = series.setdefault(
+            key, {"gauge": [], "counter_mod": [], "counter": []}
+        )
         d["gauge"].append((r["ts_us"], float(r["gauge"])))
         d["counter_mod"].append((r["ts_us"], float(r["counter_mod"])))
+        d["counter"].append((r["ts_us"], float(r["counter"])))
     metrics: dict[str, list[RefSeries]] = {
         "events_gauge": [],
         "events_value_total": [],
     }
+    if include_counter:
+        # the parsed-gate sweep also exercises events_counter_total;
+        # the compliance corpus tests keep the two-metric universe the
+        # engine side registers
+        metrics["events_counter_total"] = []
     for (mtype, instance), d in sorted(series.items()):
         labels = {"mtype": mtype, "instance": instance}
         metrics["events_gauge"].append(RefSeries(labels, sorted(d["gauge"])))
         metrics["events_value_total"].append(
             RefSeries(labels, sorted(d["counter_mod"]))
         )
+        if include_counter:
+            metrics["events_counter_total"].append(
+                RefSeries(labels, sorted(d["counter"]))
+            )
     return Referee(metrics, lookback_us)
 
 

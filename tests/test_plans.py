@@ -87,3 +87,71 @@ def test_sanitized_promql_matcher_stays_compile_time(spark):
     )
     assert facts.n_exchanges <= 4
     assert all("props" not in s for s in facts.read_schemas)
+
+
+def test_ratio2880_sliding_no_fanout(spark):
+    """24h/30s (ratio 2880) must take the sliding bucket-merge: a
+    Window merge over a dense bucket spine, NO explode fan-out (which
+    would replicate input ×2880), spine side broadcast, and the events
+    scan pruned to the derivation columns."""
+    df = QUERIES["logql_count_over_time_ratio2880"](spark, SF)
+    facts = audit(df)
+    assert "Window" in facts.text
+    assert "Generate" not in facts.text  # no explode fan-out anywhere
+    assert facts.n_broadcasts >= 1  # dense spine join is broadcast
+    assert all("props" not in s for s in facts.read_schemas)
+
+
+def test_sliding_merge_matches_fanout(spark):
+    """Property parity on a synthetic stream: the sliding bucket-merge
+    equals the naive row fan-out for every decomposable op, including
+    lookback samples before start and empty-window gaps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.operators.range_agg import (
+        DECOMPOSABLE,
+        range_aggregate,
+        range_aggregate_sliding,
+    )
+
+    rng = random.Random(42)
+    start, end, step, rng_us = 1_000_000_000, 1_060_000_000, 1_000_000, 12_000_000
+    rows = [
+        (
+            rng.choice(["a", "b", "c"]),
+            start - rng_us + rng.randrange((end - start) + rng_us + step),
+            float(rng.randrange(100)),
+        )
+        for _ in range(300)
+    ]
+    # bursty: leave a hole so some windows are empty for one series
+    rows = [r for r in rows if not (r[0] == "c" and r[1] > start + 20_000_000)]
+    df = spark.createDataFrame(rows, "svc string, ts_us long, sample double")
+    for op in DECOMPOSABLE:
+        naive = {
+            (r.svc, r.step_us): r.value
+            for r in range_aggregate(
+                df,
+                op,
+                start_us=start,
+                end_us=end,
+                step_us=step,
+                range_us=rng_us,
+                by=["svc"],
+            ).collect()
+        }
+        sliding = {
+            (r.svc, r.step_us): r.value
+            for r in range_aggregate_sliding(
+                df,
+                op,
+                start_us=start,
+                end_us=end,
+                step_us=step,
+                range_us=rng_us,
+                by=["svc"],
+            ).collect()
+        }
+        assert sliding == naive, op
