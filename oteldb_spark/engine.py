@@ -237,6 +237,52 @@ class LogQLEngine:
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return loki_matrix(df, labels, max_rows=self.max_result_rows)
 
+    def detected_labels(
+        self, query: str, start_us: int, end_us: int
+    ) -> dict:
+        """GET /loki/api/v1/detected_labels (lokihandler.go:165-212).
+
+        Distinct-value cardinality of each STREAM (resource) label
+        under the selector — the reference scans only the deduplicated
+        resource attr maps (chstorage querier_logs.go:247-340), so the
+        record-attr long tail stays detected_fields' domain.  Empty
+        label values do not count toward cardinality (absent attr)."""
+        df = self.detected_labels_frame(query, start_us, end_us)
+        rows = bounded_collect(df, self.max_result_rows)
+        return {
+            "detectedLabels": [
+                {"label": r["label"], "cardinality": int(r["cardinality"])}
+                for r in rows
+            ]
+        }
+
+    def detected_labels_frame(self, query: str, start_us: int, end_us: int):
+        from pyspark.sql import functions as F
+
+        params = EvalParams(start_us, end_us, max(end_us - start_us, 1))
+        df = compile_logql(query, self.source, params, self._spark())
+        labels = [l for l in self.source.label_cols if l in df.columns]
+        if not labels:
+            return df.sparkSession.createDataFrame(
+                [], "label string, cardinality long"
+            )
+        parts = [
+            df.select(
+                F.lit(l).alias("label"),
+                F.col(l).cast("string").alias("value"),
+            )
+            for l in labels
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (
+            u.filter(F.col("value").isNotNull() & (F.col("value") != ""))
+            .groupBy("label")
+            .agg(F.count_distinct("value").alias("cardinality"))
+            .orderBy("label")
+        )
+
     def detected_fields(
         self, query: str, start_us: int, end_us: int
     ) -> dict:

@@ -267,3 +267,85 @@ def test_e2e_detected_field_cardinalities(spark, e2e_source):
     assert card["service_name"] == 2
     assert card["service_namespace"] == 2
     assert card["service_version"] == 1
+
+
+def test_e2e_volume_endpoints(spark, e2e_source):
+    """index/volume + volume_range over the reference corpus
+    (lokihandler.go:409-491 evalVolumeQuery): per-label log volumes
+    with exact corpus counts — testService 59 / fooService 64
+    (common_test.go LogQueries), level INFO 121 / FATAL 2."""
+    from oteldb_spark.engine import LogQLEngine
+
+    eng = LogQLEngine(source=e2e_source, spark=spark)
+    # evalVolumeQuery truncates the aggregation range to whole seconds
+    # (lokihandler.go:521 aggRange.Truncate(time.Second)) — a padded
+    # start makes the window cover the whole 14.76s corpus, giving the
+    # reference's exact per-service totals
+    vec = eng.query_volume('{service_name=~".+"}', END_US - 16_000_000, END_US)
+    assert vec["status"] == "success"
+    assert vec["data"]["resultType"] == "vector"
+    got = {
+        r["metric"]["service_name"]: float(r["value"][1])
+        for r in vec["data"]["result"]
+    }
+    assert got == {"testService": 59.0, "fooService": 64.0}
+    # and the truncation itself: the corpus-tight window floors to 14s,
+    # counting exactly the rows in (END-14s, END] — cross-checked
+    # against the raw frame
+    tight = eng.query_volume('{service_name=~".+"}', START_US, END_US)
+    in_window = (
+        e2e_source.df.filter(
+            (F.col("ts_us") > END_US - 14_000_000) & (F.col("ts_us") <= END_US)
+        ).count()
+    )
+    assert (
+        sum(float(r["value"][1]) for r in tight["data"]["result"]) == in_window
+    )
+    # every vector point is stamped at `end` (evalVolumeQuery sets
+    # Start=End)
+    assert all(
+        float(r["value"][0]) == END_US / 1e6 for r in vec["data"]["result"]
+    )
+
+    # volume_range: target_labels regroups; one point per series
+    # (same padded start for full-corpus coverage)
+    mat = eng.query_volume_range(
+        '{level=~".+"}',
+        END_US - 16_000_000,
+        END_US,
+        60_000_000,
+        target_labels=["level"],
+    )
+    assert mat["data"]["resultType"] == "matrix"
+    assert all(len(s["values"]) == 1 for s in mat["data"]["result"])
+    vals = {
+        s["metric"]["level"]: float(s["values"][0][1])
+        for s in mat["data"]["result"]
+    }
+    assert vals == {"INFO": 121.0, "FATAL": 2.0}
+
+
+def test_e2e_detected_labels(spark, e2e_source):
+    """detected_labels (lokihandler.go:165-212): stream-label
+    cardinalities under the full-range selector.  Reference-derived
+    expectations: level 2 (INFO, FATAL), service_name 2,
+    service_namespace 2, service_version 1 (common_test.go:360-392
+    comments); trace/span ids are per-record-unique resource-side here
+    so their cardinality equals the corpus row count."""
+    from oteldb_spark.engine import LogQLEngine
+
+    eng = LogQLEngine(source=e2e_source, spark=spark)
+    out = eng.detected_labels('{service_name=~".+"}', START_US, END_US)
+    card = {d["label"]: d["cardinality"] for d in out["detectedLabels"]}
+    assert card["level"] == 2
+    assert card["service_name"] == 2
+    assert card["service_namespace"] == 2
+    assert card["service_version"] == 1
+    # the record-attr long tail (http_method et al.) is NOT a stream
+    # label — detected_fields' domain, mirroring the reference's
+    # resource-map-only scan
+    assert "http_method" not in card
+    n_traces = e2e_source.df.filter("trace_id <> ''").select(
+        "trace_id"
+    ).distinct().count()
+    assert card["trace_id"] == n_traces

@@ -37,6 +37,22 @@ def test_logql_fuzz_engine_matches_referee(spark):
     assert stats["match"] >= 45, stats
 
 
+def test_logql_pushdown_fuzz_engine_matches_referee(spark):
+    """The grouping-pushdown rewrite's exact trigger shape (sum/min/max
+    by(...) directly over distributive range aggs, parser pipelines and
+    unwrap below) fuzzed against the referee — verifies the rewrite's
+    equivalence on random inputs, not just pinned regression cases.
+    The rewrite must demonstrably FIRE across the sweep (plan-level
+    witness via _push_grouping_down), including by-unwrap-label cases
+    exercising the bail-out."""
+    from tools.logql_fuzz import run_pushdown_fuzz
+
+    stats, failures = run_pushdown_fuzz(spark, SF_DIR, n=200, seed=1)
+    assert not failures, failures[:3]
+    assert stats["match"] == 200, stats
+    assert stats["rewrite_fired"] >= 120, stats
+
+
 def test_traceql_fuzz_engine_matches_referee(spark):
     from tools.traceql_fuzz import run_traceql_fuzz
 

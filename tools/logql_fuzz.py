@@ -116,6 +116,94 @@ def gen_case(rng: random.Random) -> str:
     return q
 
 
+# the grouping-pushdown rewrite's exact trigger shape: a distributive
+# vector agg with by() directly over a matching range agg, with parser
+# pipelines / unwrap below (compiler._push_grouping_down +
+# _DISTRIBUTIVE).  Generated separately from gen_case so a sweep can
+# target the rewrite rather than hit it by chance.
+_PUSHDOWN_PAIRS = [
+    ("sum", "count_over_time"),
+    ("sum", "rate"),
+    ("sum", "bytes_over_time"),
+    ("sum", "bytes_rate"),
+    ("sum", "sum_over_time"),
+    ("min", "min_over_time"),
+    ("max", "max_over_time"),
+]
+_PUSH_GROUPS = [
+    " by (service)", " by (level)", " by (service, level)", " by (env)",
+    " by (k)",  # parser-extracted label
+]
+
+
+def gen_pushdown_case(rng: random.Random) -> str:
+    vec, ragg = rng.choice(_PUSHDOWN_PAIRS)
+    r = rng.choice(_RANGES)
+    off = rng.choice(["", "", " offset 30m"])
+    if ragg in ("sum_over_time", "min_over_time", "max_over_time"):
+        pipe = gen_pipeline(rng, need_json=True)
+        # grouping by the unwrap label itself must NOT rewrite (it
+        # groups under "" on the unpushed path) — emit it sometimes so
+        # the bail-out is fuzzed too
+        grp = rng.choice(_PUSH_GROUPS + [" by (k)"])
+        q = f"{ragg}({pipe} | unwrap k [{r}]{off})"
+    else:
+        pipe = gen_pipeline(rng)
+        grp = rng.choice(_PUSH_GROUPS)
+        if " (k)" in grp and "json" not in pipe:
+            pipe = f"{pipe} | json"
+        q = f"{ragg}({pipe} [{r}]{off})"
+    return f"{vec}{grp} ({q})"
+
+
+def pushdown_fires(q: str) -> bool:
+    """Whether _push_grouping_down rewrites this expression — a plan-
+    level witness that the sweep actually exercises the rewrite."""
+    from oteldb_spark.logql.compiler import _push_grouping_down
+    from oteldb_spark.logql.parser import parse
+
+    node = parse(q)
+    return _push_grouping_down(node) is not None
+
+
+def run_pushdown_fuzz(spark, sf_dir: str, n: int, seed: int,
+                      verbose: bool = False):
+    from oteldb_spark.compliance import END_US, START_US, STEP_US
+    from oteldb_spark.engine import LogQLEngine
+    from oteldb_spark.logql import LogSource
+    from oteldb_spark.logql_referee import (
+        build_logql_referee,
+        compare_logql_entry,
+    )
+    from oteldb_spark.signals import logs_frame
+
+    leng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, sf_dir),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    referee = build_logql_referee(spark, sf_dir)
+    rng = random.Random(seed)
+    stats = {"match": 0, "mismatch": 0, "both_error": 0,
+             "engine_only_error": 0, "referee_only_error": 0,
+             "rewrite_fired": 0}
+    failures = []
+    for _ in range(n):
+        q = gen_pushdown_case(rng)
+        if pushdown_fires(q):
+            stats["rewrite_fired"] += 1
+        cls, detail = compare_logql_entry(
+            leng, referee, q, START_US, END_US, STEP_US
+        )
+        stats[cls] += 1
+        if cls not in ("match", "both_error"):
+            failures.append((q, cls, detail))
+            if verbose:
+                print(f"[{cls}] {q!r}\n    {detail[:300]}")
+    return stats, failures
+
+
 def run_logql_fuzz(spark, sf_dir: str, n: int, seed: int,
                    verbose: bool = False):
     from oteldb_spark.compliance import END_US, START_US, STEP_US
