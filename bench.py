@@ -77,6 +77,9 @@ HEADLINE = [
     "exp_hist_signed_stdvar",
     "docs_gopher_rules",
     "dedup_simhash",
+    # round-5 addition: range>>step at real dashboard ratio (24h/30s,
+    # ratio 2880) through the sliding bucket-merge
+    "logql_count_over_time_ratio2880",
 ]
 
 

@@ -17,6 +17,21 @@ Variant dimensions mirror ``promcompliance/testcases/expand.go`` and
 ``lokicompliance/expand.go``; one representative value is pinned per
 dimension (full cross-products would be ~550 queries — the families
 they vary over are separately oracle-gated in oteldb_spark/queries/).
+
+Truth model (why fingerprints, not recorded Prometheus outputs): the
+reference's harness diffs against a LIVE Prometheus/Loki spun up via
+docker-compose (``dev/local/ch-compliance/run.sh``); it ships NO
+recorded result files, and this environment has neither network nor
+the binaries, so a recorded-output witness cannot be produced here.
+The operative external anchors are instead (a) the pure-Python
+referee transcriptions of the upstream evaluation loops, which
+execute the SAME corpora with required 100% point-level agreement
+(tests/test_referee_corpus.py, test_logql_referee_corpus.py, plus the
+per-gate sweep in tools/referee_gates.py), and (b) the four e2e
+replays against the reference's own checked-in corpora with its exact
+expected counts.  The fingerprints here add drift detection on top —
+a semantic change to any corpus answer fails the diff even when both
+referee and engine move together.
 """
 
 from __future__ import annotations
