@@ -121,17 +121,34 @@ class LogQLEngine:
         return prom_labels(list(self.source.label_cols))
 
     def series(
-        self, match: str | None = None, limit: int | None = None
+        self,
+        match: "str | list[str] | None" = None,
+        limit: int | None = None,
+        start_us: int | None = None,
+        end_us: int | None = None,
     ) -> list[dict]:
         """GET /loki/api/v1/series (lokihandler.go:558-603): distinct
-        label sets of streams matching the selector."""
+        label sets of streams matching ANY of the selectors, within
+        the time range.  High-cardinality per-record labels (trace/span
+        ids, body) are excluded from series identity like the
+        reference's storage Series (integration/lokie2e
+        common_test.go:296-322 re-adds them when comparing against the
+        full label universe)."""
         from pyspark.sql import functions as F
 
         from .logql.parser import parse as parse_logql
 
-        df = self.source.df
-        if match:
-            q = parse_logql(match)
+        base = self.source.df
+        if start_us is not None:
+            base = base.filter(F.col(self.source.ts_col) >= start_us)
+        if end_us is not None:
+            base = base.filter(F.col(self.source.ts_col) <= end_us)
+
+        matches = [match] if isinstance(match, str) else list(match or [])
+
+        def _filtered(sel_str):
+            df = base
+            q = parse_logql(sel_str)
             sel = getattr(q, "selector", q)
             for m in sel.matchers:
                 c = (
@@ -147,12 +164,20 @@ class LogQLEngine:
                         "!~": ~anchored_rlike(c, m.value),
                     }[m.op]
                 )
-        out = df.select(
-            *[
-                F.col(col).alias(lbl)
-                for lbl, col in self.source.label_cols.items()
-            ]
-        ).distinct()
+            return df
+
+        frames = [_filtered(s) for s in matches] or [base]
+        skip = set(self.source.hexid_labels) | {"body"}
+        cols = [
+            F.col(col).alias(lbl)
+            for lbl, col in self.source.label_cols.items()
+            if lbl not in skip
+        ]
+        u = None
+        for f in frames:
+            p = f.select(*cols)
+            u = p if u is None else u.unionByName(p)
+        out = u.distinct()
         if limit is not None:
             out = out.limit(limit)
         return [

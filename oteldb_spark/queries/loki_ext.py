@@ -406,3 +406,29 @@ def logql_token_bloom_prefilter(spark, sf_dir):
         .filter(F.col("nbits") == 2)
         .select("probe", "service")
     )
+
+
+# detected_labels: stream-label cardinalities under a selector
+# (lokihandler.go:165-212; chstorage querier_logs.go:247-340 scans
+# only the deduplicated resource maps — the record-attr long tail is
+# detected_fields' domain).  Empty values don't count (absent attr).
+@register(
+    "logql_detected_labels_selector",
+    with_ctes(
+        LOGS_CTE,
+        f"""m AS (SELECT * FROM logs
+  WHERE env = 'prod' AND ts_us BETWEEN {START_US} AND {END_US})""",
+        """u AS (
+  SELECT 'env' AS label, env AS value FROM m
+  UNION ALL SELECT 'level', level FROM m
+  UNION ALL SELECT 'service', service FROM m
+)""",
+        body="""SELECT label, count(DISTINCT value) AS cardinality
+FROM u WHERE value IS NOT NULL AND value <> ''
+GROUP BY label""",
+    ),
+)
+def logql_detected_labels(spark, sf_dir):
+    return _engine(spark, sf_dir).detected_labels_frame(
+        '{env="prod"}', START_US, END_US
+    )

@@ -24,6 +24,9 @@ RANGE_S = RANGE_US / 1e6
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # a silent overwrite drops a gate from the scoreboard
+            raise ValueError(f"duplicate gate registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

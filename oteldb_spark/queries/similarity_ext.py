@@ -397,3 +397,77 @@ def emb_random_projection(spark, sf_dir):
             for i in range(_RP_DIM)
         ],
     )
+
+
+# SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+# corpus coarsely, then prune within-cluster near-duplicates by
+# embedding cosine, keeping the lowest-id representative.  The
+# clustering bounds the pairwise stage to within-cell pairs — the
+# standard way the quadratic is tamed at 100 TB (cells are the IVF
+# cells; the pair join is a per-cell self-join, never all-pairs).
+# τ=0.3 is tuned DOWN to the synthetic corpus (random embeddings peak
+# at cos≈0.49; a production 0.95+ would prune nothing here) — the
+# machinery, not the constant, is the operator.  All cosines rounded
+# to 6 digits on both engines before comparison or ordering.
+_SEM_TAU = 0.3
+
+
+@register(
+    "dedup_semantic_survivors",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.e, c.ce)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(c.ce, c.ce))), 6) DESC, c.cid) AS rn
+    FROM v, cents c) WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id
+  WHERE round(list_dot_product(x.e, y.e)
+          / (sqrt(list_dot_product(x.e, x.e))
+             * sqrt(list_dot_product(y.e, y.e))), 6) >= {_SEM_TAU!r})
+SELECT vec_id, cid FROM assign
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
+)
+def dedup_semantic_survivors(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cos_c = F.round(
+        dot(F.col("e"), F.col("ce")) / (norm(F.col("e")) * norm(F.col("ce"))), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "e")
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    pair_cos = F.round(
+        dot(F.col("a.e"), F.col("b.e"))
+        / (norm(F.col("a.e")) * norm(F.col("b.e"))),
+        6,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(drops, "vec_id", "left_anti").select("vec_id", "cid")

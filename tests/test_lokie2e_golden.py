@@ -349,3 +349,32 @@ def test_e2e_detected_labels(spark, e2e_source):
         "trace_id"
     ).distinct().count()
     assert card["trace_id"] == n_traces
+
+
+def test_e2e_series_endpoint(spark, e2e_source):
+    """series (lokihandler.go:558-603; common_test.go Series subtests):
+    distinct stream label sets — high-cardinality trace/span ids are
+    NOT part of series identity (the reference re-adds them when
+    comparing against the full label universe); matchers restrict,
+    multiple match[] union."""
+    from oteldb_spark.engine import LogQLEngine
+
+    eng = LogQLEngine(source=e2e_source, spark=spark)
+    allseries = eng.series(start_us=START_US, end_us=END_US)
+    names = {k for s in allseries for k in s}
+    assert names == {"level", "service_name", "service_namespace",
+                     "service_version"}
+    # OneMatcher
+    foo = eng.series(
+        '{service_name="fooService"}', start_us=START_US, end_us=END_US
+    )
+    assert foo and all(s["service_name"] == "fooService" for s in foo)
+    # Matchers: union of two selectors
+    both = eng.series(
+        ['{service_name="testService"}', '{service_name="fooService"}'],
+        start_us=START_US,
+        end_us=END_US,
+    )
+    assert {s["service_name"] for s in both} == {"testService", "fooService"}
+    # out-of-range window yields nothing
+    assert eng.series(start_us=0, end_us=1) == []

@@ -53,6 +53,39 @@ def test_logql_pushdown_fuzz_engine_matches_referee(spark):
     assert stats["rewrite_fired"] >= 120, stats
 
 
+def test_logql_sliding_fuzz_engine_matches_referee(spark):
+    """Random decomposable range aggs at fine step (60s over 1h, range
+    32m-4h: ratio 32-240) — the shapes range_aggregate auto-routes
+    through the sliding bucket-merge — must match the referee's naive
+    per-step evaluation.  Plan witness: the representative shape
+    compiles to the Window merge with no Generate fan-out."""
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.compliance import START_US
+    from oteldb_spark.logql import EvalParams, LogSource, compile_logql
+    from oteldb_spark.plans.audit import audit
+    from oteldb_spark.signals import logs_frame
+    from tools.logql_fuzz import run_sliding_fuzz
+
+    stats, failures = run_sliding_fuzz(spark, SF_DIR, n=100, seed=0)
+    assert not failures, failures[:3]
+    assert stats["match"] == 100, stats
+
+    src = LogSource(
+        df=logs_frame(spark, SF_DIR),
+        label_cols={"service": "service", "env": "env", "level": "level"},
+    )
+    start = START_US + 6 * 3_600_000_000
+    out = compile_logql(
+        'count_over_time({env="prod"}[2h])',
+        src,
+        EvalParams(start, start + 3_600_000_000, 60_000_000),
+        spark,
+    )
+    facts = audit(out)
+    assert "Window" in facts.text and "Generate" not in facts.text
+
+
 def test_traceql_fuzz_engine_matches_referee(spark):
     from tools.traceql_fuzz import run_traceql_fuzz
 

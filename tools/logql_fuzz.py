@@ -204,6 +204,67 @@ def run_pushdown_fuzz(spark, sf_dir: str, n: int, seed: int,
     return stats, failures
 
 
+# shapes that trigger range_aggregate's sliding bucket-merge
+# auto-route (min(ratio, steps+1) >= 32): fine 60s step over a 1h
+# eval window with ranges >= 32m.  The referee fan-outs naively per
+# step, so agreement here is a true cross-check of the merge plan.
+_SLIDING_RANGES = ["32m", "60m", "2h", "4h"]
+_SLIDING_AGGS = ["count_over_time", "rate", "bytes_over_time", "bytes_rate"]
+_SLIDING_UNWRAP_AGGS = ["sum_over_time", "min_over_time", "max_over_time"]
+
+
+def gen_sliding_case(rng: random.Random) -> str:
+    r = rng.choice(_SLIDING_RANGES)
+    if rng.random() < 0.6:
+        agg = rng.choice(_SLIDING_AGGS)
+        q = f"{agg}({gen_pipeline(rng)} [{r}])"
+    else:
+        agg = rng.choice(_SLIDING_UNWRAP_AGGS)
+        q = f"{agg}({gen_pipeline(rng, need_json=True)} | unwrap k [{r}])"
+    out = rng.random()
+    if out < 0.35:
+        return f"{rng.choice(_VEC_AGGS)}{rng.choice(_GROUPS)} ({q})"
+    if out < 0.5:
+        return f"{q} * 2"
+    return q
+
+
+def run_sliding_fuzz(spark, sf_dir: str, n: int, seed: int,
+                     verbose: bool = False):
+    from oteldb_spark.compliance import START_US
+    from oteldb_spark.engine import LogQLEngine
+    from oteldb_spark.logql import LogSource
+    from oteldb_spark.logql_referee import (
+        build_logql_referee,
+        compare_logql_entry,
+    )
+    from oteldb_spark.signals import logs_frame
+
+    leng = LogQLEngine(
+        LogSource(
+            df=logs_frame(spark, sf_dir),
+            label_cols={"service": "service", "env": "env", "level": "level"},
+        )
+    )
+    referee = build_logql_referee(spark, sf_dir)
+    rng = random.Random(seed)
+    start = START_US + 6 * 3_600_000_000
+    end = start + 3_600_000_000  # 1h of steps
+    step = 60_000_000  # 60s → ratio 32..240 on the ranges above
+    stats = {"match": 0, "mismatch": 0, "both_error": 0,
+             "engine_only_error": 0, "referee_only_error": 0}
+    failures = []
+    for _ in range(n):
+        q = gen_sliding_case(rng)
+        cls, detail = compare_logql_entry(leng, referee, q, start, end, step)
+        stats[cls] += 1
+        if cls not in ("match", "both_error"):
+            failures.append((q, cls, detail))
+            if verbose:
+                print(f"[{cls}] {q!r}\n    {detail[:300]}")
+    return stats, failures
+
+
 def run_logql_fuzz(spark, sf_dir: str, n: int, seed: int,
                    verbose: bool = False):
     from oteldb_spark.compliance import END_US, START_US, STEP_US
