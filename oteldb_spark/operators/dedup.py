@@ -220,3 +220,78 @@ fps AS (
            AS BIGINT) AS simhash
   FROM bits GROUP BY doc
 )"""
+
+
+def jaccard_prefix_join(
+    sh: "DataFrame", tau: float, doc_col: str = "doc", gram_col: str = "gram"
+) -> "DataFrame":
+    """EXACT all-pairs Jaccard >= tau via prefix filtering — the
+    AllPairs/PPJoin candidate generation (Bayardo et al. WWW'07,
+    public algorithm): order each doc's grams by ascending global
+    document frequency (rarest first, ties by gram), keep only the
+    first ``n - ceil(tau*n) + 1`` grams as the doc's PREFIX, and join
+    prefixes on shared grams.  Two docs with J >= tau MUST collide on
+    a prefix gram under a shared total order, so the join is lossless;
+    candidate volume scales with rare-gram co-occurrence instead of
+    frequent-gram blowup (a stopword shingle shared by every doc
+    contributes nothing unless it IS someone's prefix).  The length
+    filter |B| >= tau*|A| prunes further.  Verification computes the
+    exact overlap via per-doc sorted gram arrays (bounded by document
+    length, Arrow-free `array_intersect` in codegen).
+
+    Input: distinct (doc, gram) rows.  Output: (doc_a, doc_b, jaccard)
+    for every pair with jaccard >= tau, doc_a < doc_b.
+    """
+    from pyspark.sql import Window
+
+    doc = F.col(doc_col)
+    sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy(gram_col).agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(freq, gram_col)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(doc_col).orderBy("df", gram_col)
+            ),
+        )
+        .join(sizes, doc_col)
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    ).select(doc_col, gram_col, "n")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.{gram_col}") == F.col(f"b.{gram_col}"))
+            & (F.col(f"a.{doc_col}") < F.col(f"b.{doc_col}"))
+            # J >= tau implies tau*|A| <= |B| and tau*|B| <= |A|
+            & (F.col("b.n") >= F.lit(tau) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(tau) * F.col("b.n")),
+        )
+        .select(
+            F.col(f"a.{doc_col}").alias("doc_a"),
+            F.col(f"b.{doc_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    arrays = sh.groupBy(doc_col).agg(
+        F.sort_array(F.collect_list(gram_col)).alias("grams")
+    )
+    ga = arrays.select(
+        F.col(doc_col).alias("doc_a"), F.col("grams").alias("ga")
+    )
+    gb = arrays.select(
+        F.col(doc_col).alias("doc_b"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )

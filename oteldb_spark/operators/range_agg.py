@@ -215,6 +215,8 @@ def range_aggregate_sliding(
     )
     from .stepfanout import prebucket
 
+    from pyspark.storagelevel import StorageLevel
+
     buckets = prebucket(
         windowed,
         start_us,
@@ -222,7 +224,12 @@ def range_aggregate_sliding(
         by,
         [partial_fn(arg).alias("__partial")],
         ts_col=ts_col,
-    )
+    # the bucket partials feed BOTH the merge join and the distinct-
+    # series spine; without pinning, Catalyst re-expands the lineage
+    # and the raw data is scanned+shuffled twice.  The partials are
+    # output-sized (series × buckets), so the cache is tiny; the
+    # ContextCleaner reclaims it once the plan is dropped driver-side.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # dense spine: every bucket a window can draw from (1-ratio .. n)
     # for every observed series — nulls where the bucket is empty so
     # the ordered window sees a complete, gap-free frame

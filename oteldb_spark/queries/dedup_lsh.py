@@ -84,3 +84,52 @@ def dedup_simhash_pairs(spark, sf_dir):
             "hamming",
         )
     )
+
+
+# EXACT Jaccard >= tau via AllPairs prefix filtering — same answer as
+# the brute-force inverted join (the oracle below IS the brute force)
+# but candidate volume scales with rare-gram co-occurrence, not with
+# frequent-gram blowup: the 100 TB-safe exact tier that retires the
+# "quadratic by contract" caveat on dedup_ngram_jaccard.
+@register(
+    "dedup_jaccard_prefix",
+    """WITH shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2]))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(count(*) AS DOUBLE) /
+             (any_value(sa.n) + any_value(sb.n) - count(*)), 6) AS jaccard
+FROM shingled a
+JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(count(*) AS DOUBLE) /
+       (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.2""",
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    from ..operators.dedup import jaccard_prefix_join
+
+    docs = load(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text,' ')) >= 3 THEN"
+            " transform(sequence(0, size(split(text,' ')) - 3),"
+            " i -> concat_ws(' ', split(text,' ')[i],"
+            " split(text,' ')[i+1], split(text,' ')[i+2]))"
+            " ELSE array() END"
+        )
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(shingles).alias("gram")
+    )
+    out = jaccard_prefix_join(sh, 0.2)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -56,9 +56,11 @@ def dedup_exact_content(spark, sf_dir):
 
 
 # n-gram Jaccard near-dup pairs: 3-word shingles, pairwise Jaccard via
-# a shingle-join (the exact version of what MinHash-LSH approximates;
-# at 100 TB the LSH path in operators/dedup.py replaces the quadratic
-# candidate space with banded buckets)
+# a plain shingle-join — the didactic exact tier.  Its candidate space
+# blows up on frequent shingles; the SCALE-SAFE exact tier is the
+# AllPairs prefix-filter join (operators/dedup.py jaccard_prefix_join,
+# gate dedup_jaccard_prefix — identical output, candidates bounded by
+# rare-gram co-occurrence), and the approximate tier is MinHash-LSH.
 _SHINGLE_SQL = """shingled AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, len(string_split(text, ' ')) - 2),

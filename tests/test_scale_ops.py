@@ -233,3 +233,43 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert all(
         v["files_before"] == v["files_after"] for v in report2.values()
     )
+
+
+def test_jaccard_prefix_join_equals_brute_force(spark):
+    """AllPairs prefix filtering is LOSSLESS: on a random corpus with
+    planted near-duplicates and heavy stopword grams, the prefix join
+    returns exactly the brute-force pair set at every tau."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.operators.dedup import jaccard_prefix_join
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(30):
+        n = rng.randrange(4, 15)
+        docs.append((d, ["stop", "common"] + rng.sample(vocab, n)))
+    # planted near-dup: copy with one substitution
+    twin = list(docs[3][1])
+    twin[-1] = "w999"
+    docs.append((30, twin))
+    rows = [(d, g) for d, grams in docs for g in set(grams)]
+    sh = spark.createDataFrame(rows, "doc long, gram string")
+
+    gram_sets = {d: set(g) for d, g in docs}
+    for tau in (0.2, 0.5, 0.8):
+        want = {}
+        ids = sorted(gram_sets)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                A, B = gram_sets[ids[i]], gram_sets[ids[j]]
+                jac = len(A & B) / len(A | B)
+                if jac >= tau:
+                    want[(ids[i], ids[j])] = round(jac, 9)
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in jaccard_prefix_join(sh, tau).collect()
+        }
+        assert got == want, tau
