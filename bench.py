@@ -77,9 +77,12 @@ HEADLINE = [
     "exp_hist_signed_stdvar",
     "docs_gopher_rules",
     "dedup_simhash",
-    # round-5 addition: range>>step at real dashboard ratio (24h/30s,
-    # ratio 2880) through the sliding bucket-merge
+    # round-5 additions: range>>step at real dashboard ratio (24h/30s,
+    # ratio 2880) through the sliding bucket-merge; exact Jaccard via
+    # AllPairs prefix filtering; SemDeDup within-cell cosine prune
     "logql_count_over_time_ratio2880",
+    "dedup_jaccard_prefix",
+    "dedup_semantic_survivors",
 ]
 
 

@@ -244,6 +244,11 @@ def jaccard_prefix_join(
     """
     from pyspark.sql import Window
 
+    from .pin import pin
+
+    # the gram table feeds four branches (sizes, freq, rank, arrays) —
+    # pin it so the upstream tokenize/explode runs once
+    sh = pin(sh)
     doc = F.col(doc_col)
     sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy(gram_col).agg(F.count(F.lit(1)).alias("df"))

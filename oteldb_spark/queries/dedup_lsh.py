@@ -111,7 +111,7 @@ JOIN sizes sa ON sa.doc_id = a.doc_id
 JOIN sizes sb ON sb.doc_id = b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING CAST(count(*) AS DOUBLE) /
-       (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.2""",
+       (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.8""",
 )
 def dedup_jaccard_prefix(spark, sf_dir):
     from ..operators.dedup import jaccard_prefix_join
@@ -129,7 +129,11 @@ def dedup_jaccard_prefix(spark, sf_dir):
     sh = docs.select(
         F.col("doc_id").alias("doc"), F.explode(shingles).alias("gram")
     )
-    out = jaccard_prefix_join(sh, 0.2)
+    # tau=0.8: the near-duplicate regime prefix filtering is FOR — the
+    # per-doc prefix shrinks to ~n/5 rarest grams, so candidates are a
+    # sliver of the inverted join (at tau->0 everything is a candidate
+    # and no exact algorithm beats the plain join)
+    out = jaccard_prefix_join(sh, 0.8)
     return out.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
