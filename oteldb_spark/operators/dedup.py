@@ -262,19 +262,37 @@ def jaccard_prefix_join(
         )
         .join(sizes, doc_col)
     )
+    # all ceil/threshold expressions subtract a tiny epsilon first:
+    # tau*n is computed in binary floating point, and at exact
+    # boundaries (tau=0.2, n=30 -> 6.000000000000001) a raw ceil
+    # overshoots and wrongly prunes true pairs.  The epsilon only ever
+    # ADMITS borderline candidates (the exact verify still decides).
+    eps = F.lit(1e-6)
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
-    ).select(doc_col, gram_col, "n")
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.lit(tau) * F.col("n") - eps) + 1
+    ).select(doc_col, gram_col, "n", "rk")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # positional filter (PPJoin): a shared gram at positions rk_a/rk_b
+    # bounds the possible overlap by 1 + min(remaining grams on each
+    # side); pairs that cannot reach the required overlap
+    # ceil(tau*(n_a+n_b)/(1+tau)) are pruned before the distinct
+    overlap_bound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.rk"), F.col("b.n") - F.col("b.rk")
+    )
+    required = F.ceil(
+        F.lit(tau) * (F.col("a.n") + F.col("b.n")) / F.lit(1.0 + tau) - eps
+    )
     cand = (
         a.join(
             b,
             (F.col(f"a.{gram_col}") == F.col(f"b.{gram_col}"))
             & (F.col(f"a.{doc_col}") < F.col(f"b.{doc_col}"))
             # J >= tau implies tau*|A| <= |B| and tau*|B| <= |A|
-            & (F.col("b.n") >= F.lit(tau) * F.col("a.n"))
-            & (F.col("a.n") >= F.lit(tau) * F.col("b.n")),
+            & (F.col("b.n") >= F.lit(tau) * F.col("a.n") - eps)
+            & (F.col("a.n") >= F.lit(tau) * F.col("b.n") - eps)
+            & (overlap_bound >= required),
         )
         .select(
             F.col(f"a.{doc_col}").alias("doc_a"),

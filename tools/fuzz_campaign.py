@@ -22,7 +22,11 @@ def main() -> int:
     seeds = [int(s) for s in sys.argv[2:]] or [0, 1, 2]
 
     from oteldb_spark.session import get_spark
-    from tools.logql_fuzz import run_logql_fuzz
+    from tools.logql_fuzz import (
+        run_logql_fuzz,
+        run_pushdown_fuzz,
+        run_sliding_fuzz,
+    )
     from tools.pprof_fuzz import run_pprof_fuzz
     from tools.referee_fuzz import run_fuzz
     from tools.traceql_fuzz import run_traceql_fuzz, run_traceql_metrics_fuzz
@@ -31,6 +35,8 @@ def main() -> int:
     runs = [
         ("promql", lambda s: run_fuzz(spark, SF_DIR, n, s)),
         ("logql", lambda s: run_logql_fuzz(spark, SF_DIR, n, s)),
+        ("logql_pushdown", lambda s: run_pushdown_fuzz(spark, SF_DIR, n, s)),
+        ("logql_sliding", lambda s: run_sliding_fuzz(spark, SF_DIR, n, s)),
         ("traceql", lambda s: run_traceql_fuzz(spark, n, s)),
         ("traceql_metrics", lambda s: run_traceql_metrics_fuzz(spark, n, s)),
         ("pprof", lambda s: run_pprof_fuzz(spark, max(10, n // 4), s)),
