@@ -155,3 +155,23 @@ def test_sliding_merge_matches_fanout(spark):
             ).collect()
         }
         assert sliding == naive, op
+
+
+def test_jaccard_prefix_no_cartesian(spark):
+    """The prefix join must stay an equi-join on gram (plus residual
+    filters) — no cartesian/nested-loop anywhere, scan pruned to
+    doc_id+text."""
+    df = QUERIES["dedup_jaccard_prefix"](spark, SF)
+    facts = audit(df)
+    assert "CartesianProduct" not in facts.text
+    assert "BroadcastNestedLoop" not in facts.text
+    assert all("lang" not in s for s in facts.read_schemas)
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """SemDeDup: centroid assignment broadcasts the 8-row centroid
+    side; the within-cell pair join is an equi-join on cid."""
+    df = QUERIES["dedup_semantic_survivors"](spark, SF)
+    facts = audit(df)
+    assert facts.n_broadcasts >= 1
+    assert "CartesianProduct" not in facts.text
