@@ -222,6 +222,49 @@ fps AS (
 )"""
 
 
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """All pairs within ``max_hamming`` of the 60-bit fingerprint via
+    pigeonhole band blocking — EXACT, no cross join.
+
+    Split the fingerprint into ``max_hamming + 1`` bands of 12 bits:
+    a pair that differs in at most ``max_hamming`` bits cannot differ
+    in every band, so it agrees EXACTLY on >= 1 band and surfaces in
+    an equi-join on (band, band_bits).  Candidate volume scales with
+    band collisions (true near-dups + a thin random-collision tail at
+    2^-12 per band), not with n^2; the exact hamming filter then
+    removes false positives and ``distinct`` folds multi-band
+    collisions.  Same answer as the brute-force pair join the oracle
+    runs.
+    """
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    banded = fps.select(
+        "doc",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_prefix_join(
     sh: "DataFrame", tau: float, doc_col: str = "doc", gram_col: str = "gram"
 ) -> "DataFrame":

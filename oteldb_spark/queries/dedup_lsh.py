@@ -12,6 +12,7 @@ from ..operators.dedup import (
     minhash_signatures,
     minhash_vector,
     simhash64,
+    simhash_near_pairs,
 )
 from ..tables import load
 from .registry import register
@@ -69,21 +70,12 @@ FROM fps a JOIN fps b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
 )
 def dedup_simhash_pairs(spark, sf_dir):
+    # Banded pigeonhole join (5 x 12-bit bands), not the brute-force
+    # pair join the oracle runs — same answer, candidates scale with
+    # band collisions instead of n^2.
     docs = load(spark, sf_dir, "documents")
     fps = simhash64(docs, "doc_id", "text")
-    a = fps.alias("a")
-    b = fps.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
-        .withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= 4)
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            "hamming",
-        )
-    )
+    return simhash_near_pairs(fps, max_hamming=4)
 
 
 # EXACT Jaccard >= tau via AllPairs prefix filtering — same answer as
