@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.pin import pin
 from ..operators.similarity import (
     dot,
     hyperplane_lsh_bands,
@@ -446,18 +447,22 @@ def dedup_semantic_survivors(spark, sf_dir):
         dot(F.col("e"), F.col("ce")) / (norm(F.col("e")) * norm(F.col("ce"))), 6
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
-    assign = (
+    # The assignment subtree feeds THREE branches (both pair-join
+    # sides and the survivor anti-join): pin it so the 8x crossjoin +
+    # window run once, and hoist the per-vector norm into it so the
+    # pair cosine below multiplies two cached scalars instead of
+    # re-reducing both 64-dim arrays per candidate pair.
+    assign = pin(
         emb.crossJoin(F.broadcast(cents))
         .withColumn("cos", cos_c)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "e")
+        .select("vec_id", "cid", "e", norm(F.col("e")).alias("nrm"))
     )
     a = assign.alias("a")
     b = assign.alias("b")
     pair_cos = F.round(
-        dot(F.col("a.e"), F.col("b.e"))
-        / (norm(F.col("a.e")) * norm(F.col("b.e"))),
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     drops = (
