@@ -311,10 +311,14 @@ def jaccard_prefix_join(
     # overshoots and wrongly prunes true pairs.  The epsilon only ever
     # ADMITS borderline candidates (the exact verify still decides).
     eps = F.lit(1e-6)
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("n") - F.ceil(F.lit(tau) * F.col("n") - eps) + 1
-    ).select(doc_col, gram_col, "n", "rk")
+    # both join sides read the same ranked-prefix table — pin it so
+    # the df join + per-doc window rank run once, not per side
+    prefix = pin(
+        ranked.filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(tau) * F.col("n") - eps) + 1
+        ).select(doc_col, gram_col, "n", "rk")
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
     # positional filter (PPJoin): a shared gram at positions rk_a/rk_b
