@@ -287,3 +287,70 @@ def stream_hll_windowed(spark, sf_dir):
         rows,
         "event_type string, window_start_ms long, bucket int, rank int",
     )
+
+
+def _hdr_window_oracle() -> str:
+    from ..operators.hdr_sketch import _bucket_sql
+
+    _, _, bucket = _bucket_sql("v")
+    return f"""WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS v,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+         epoch_us(ts) AS ts_us
+  FROM events
+), mx AS (SELECT max(ts_us) AS m FROM e)
+SELECT event_type,
+       CAST(ws / 1000 AS BIGINT) AS window_start_ms,
+       CAST({bucket} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM e CROSS JOIN mx
+WHERE v > 0 AND ws + 3600000000 <= m - 7200000000
+GROUP BY event_type, ws, {bucket}"""
+
+
+# Streaming quantile-sketch maintenance: tumbling-window HDR bucket
+# counts (the mergeable partial state of sketch_hdr_buckets) kept
+# incrementally under a watermark — counts sum, so state merges are
+# exact and the closed-window output replays the batch oracle.
+@register("stream_hdr_windowed", _hdr_window_oracle())
+def stream_hdr_windowed(spark, sf_dir):
+    from ..streaming.rollup import windowed_hdr_buckets
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    work = tempfile.mkdtemp(prefix="hdr_gate_")
+    try:
+        src = f"{work}/in"
+        out_dir = f"{work}/out"
+        ckpt = f"{work}/ckpt"
+        ev.coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        _run_to_parquet(
+            spark,
+            windowed_hdr_buckets(
+                stream,
+                value_sql="floor(value * 1000)",
+                by=["event_type"],
+                window="1 hour",
+                watermark="2 hours",
+            ),
+            out_dir,
+            ckpt,
+        )
+        out = spark.read.parquet(out_dir).select(
+            "event_type",
+            F.unix_millis(F.col("window_start")).alias("window_start_ms"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, window_start_ms long, bucket long, cnt long",
+    )

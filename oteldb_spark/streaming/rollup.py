@@ -71,3 +71,33 @@ def windowed_hll_registers(
             *by, F.col("w.start").alias("window_start"), "bucket", "rank"
         )
     )
+
+
+def windowed_hdr_buckets(
+    events: DataFrame,
+    *,
+    value_sql: str,
+    by: list[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Streaming quantile-sketch maintenance: per tumbling window, the
+    HDR bucket state (by..., window_start, bucket, cnt).  Bucket
+    counts are plain sums — associative, so incremental state merges
+    exactly; the streaming form of ``operators/hdr_sketch.py``, folded
+    with ``hdr_quantiles`` downstream."""
+    from ..operators.hdr_sketch import _bucket_sql
+
+    _, _, bucket = _bucket_sql("v")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("v", F.expr(value_sql).cast("long"))
+        .filter(F.col("v") > 0)
+        .withColumn("bucket", F.expr(bucket))
+        .groupBy(*by, F.window(ts_col, window).alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *by, F.col("w.start").alias("window_start"), "bucket", "cnt"
+        )
+    )
