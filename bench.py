@@ -83,6 +83,9 @@ HEADLINE = [
     "logql_count_over_time_ratio2880",
     "dedup_jaccard_prefix",
     "dedup_semantic_survivors",
+    # round-5 additions: mergeable HDR quantile sketch (shard-merged
+    # p50/p95/p99 walk over integer log buckets)
+    "sketch_hdr_quantiles",
 ]
 
 

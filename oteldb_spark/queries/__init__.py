@@ -58,6 +58,7 @@ from . import streaming_gates  # noqa: F401
 # round-5 additions register LAST so they append to the tail of the
 # never-certified half without displacing the driver's grading prefix
 from . import sketch_quantile  # noqa: F401
+from . import bloom_gate  # noqa: F401
 
 # The driver grades a fixed-size prefix of this dict each round, so
 # order it never-driver-certified-first: gates absent from every

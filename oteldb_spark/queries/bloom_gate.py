@@ -1,0 +1,66 @@
+"""Driver-gated Bloom-filter decontamination (operators/bloom.py).
+
+Companion to the exact broadcast-join decontamination in
+pipeline2.py: same corpus, same 4-gram split, but membership is
+tested against a FIXED-SIZE bitmap instead of a broadcast hash join —
+the shape that still works when the eval-gram set is itself too big
+to broadcast as a join table.  Both engines replay the identical
+bitmap, so the (rare, by construction) false positives match too —
+the gate pins the sketch semantics, not an approximation band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_oracle_ctes,
+    bloom_oracle_member,
+)
+from ..tables import load
+from .pipeline2 import _GRAMS_SQL, _NGRAM_W
+from .registry import register
+
+
+@register(
+    "decontam_bloom_flags",
+    f"""WITH {_GRAMS_SQL},
+{bloom_oracle_ctes("SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0")}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_grams
+FROM grams
+WHERE doc_id % 50 != 0 AND {bloom_oracle_member("gram")}
+GROUP BY doc_id""",
+)
+def decontam_bloom_flags(spark, sf_dir):
+    """Train docs with >= 1 word 4-gram hitting the eval Bloom filter.
+
+    Plan: the eval side folds to a 2048-word bitmap (bounded collect —
+    sketch extraction, not data movement); the train side tests 2 bit
+    positions per gram in codegen and aggregates per doc.  One shuffle
+    total (the final groupBy); the probe never joins.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(w) >= {_NGRAM_W} THEN"
+                    f" transform(sequence(1, size(w) - {_NGRAM_W - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {_NGRAM_W})))"
+                    " ELSE array() END"
+                )
+            )
+        ).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    bitmap = bloom_build(ev, "gram")
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .filter(bloom_contains(bitmap, "gram"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_grams"))
+    )
