@@ -59,6 +59,7 @@ from . import streaming_gates  # noqa: F401
 # never-certified half without displacing the driver's grading prefix
 from . import sketch_quantile  # noqa: F401
 from . import bloom_gate  # noqa: F401
+from . import ann_eval  # noqa: F401
 
 # The driver grades a fixed-size prefix of this dict each round, so
 # order it never-driver-certified-first: gates absent from every

@@ -1,0 +1,170 @@
+"""ANN quality evaluation: IVF recall@k against exact ground truth.
+
+A production ANN deployment is tuned by measuring recall of the
+approximate index against brute-force top-k on a bounded query
+sample — this gate IS that harness, run over 20 query points with
+the same fixed-8-centroid IVF (probe 2 cells) the ann_ivf_top5 gate
+pins.  Everything is deterministic (rounded cosine, vec_id
+tie-breaks), so the DuckDB oracle reproduces the exact recall
+numbers, false-negatives included.
+
+Scale shape: the query set is the BOUNDED side everywhere (20 rows
+broadcast against the corpus for ground truth; at 100 TB the eval
+sample stays O(100) however big the corpus grows).  The IVF side
+reuses the cell-assignment plan (8-row codebook broadcast + per-doc
+top-1 window); candidates are an equi-join on cell id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.pin import pin
+from ..operators.similarity import dot, norm
+from ..tables import load
+from .registry import register
+
+_K = 10  # recall@k
+_NPROBE = 2  # probed cells per query
+_Q_LO, _Q_HI = 8, 28  # query sample: vec_ids 8..27 (disjoint from centroids)
+
+_COS = """round(list_dot_product({a}, {b}) /
+        (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"""
+
+
+def _cos(a: str, b: str) -> str:
+    return _COS.format(a=a, b=b)
+
+
+@register(
+    "ann_ivf_recall10",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+qs AS (SELECT vec_id AS qid, e AS qe FROM v
+       WHERE vec_id >= {_Q_LO} AND vec_id < {_Q_HI}),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos("v.e", "q.qe")} DESC, v.vec_id) AS rn
+    FROM v JOIN qs q ON v.vec_id <> q.qid
+  ) WHERE rn <= {_K}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_cos("v.e", "c.ce")} DESC, c.cid) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos("q.qe", "c.ce")} DESC, c.cid) AS rn
+    FROM qs q, cents c
+  ) WHERE rn <= {_NPROBE}
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY {_cos("v.e", "q.qe")} DESC, a.vec_id) AS rn
+    FROM assign a JOIN probes p USING (cid)
+    JOIN v ON v.vec_id = a.vec_id JOIN qs q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+  ) WHERE rn <= {_K}
+)
+SELECT q.qid,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {_K} AS recall
+FROM qs q LEFT JOIN (
+  SELECT e.qid, count(*) AS n
+  FROM exact e JOIN ivf USING (qid, vec_id) GROUP BY e.qid
+) h ON h.qid = q.qid""",
+)
+def ann_ivf_recall10(spark, sf_dir):
+    emb = pin(
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", norm(F.col("e")))
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    qs = emb.filter(
+        (F.col("vec_id") >= _Q_LO) & (F.col("vec_id") < _Q_HI)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+    cos_q = F.round(
+        dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm")), 6
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+
+    # ground truth: brute-force top-k per query (bounded 20-row
+    # broadcast; the corpus side streams once)
+    exact = (
+        emb.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", cos_q)
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _K)
+        .select("qid", "vec_id")
+    )
+
+    # IVF: cell assignment (8-row codebook), top-NPROBE cells per
+    # query, candidates by cell equi-join, rank within candidates
+    cos_c = F.round(
+        dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cos_c)
+        .withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    cos_qc = F.round(
+        dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
+    w_p = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("cos", cos_qc)
+        .withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("qid", "cid")
+    )
+    ivf = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(qs.select("qid", "qe", "qnrm")), "qid")
+        .withColumn("cos", cos_q)
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _K)
+        .select("qid", "vec_id")
+    )
+
+    hits = exact.join(ivf, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / _K).alias(
+                "recall"
+            ),
+        )
+    )

@@ -44,6 +44,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ann_ivf_kmeans_top5": "1-row query vector + fixed-k codebook broadcast",
     # SemDeDup: the centroid side is a fixed 8-row codebook.
     "dedup_semantic_survivors": "fixed 8-row centroid codebook broadcast",
+    "ann_ivf_recall10": "bounded 20-row query sample + 8-row codebook broadcast",
     "dedup_simhash_pairs": "fixed 5-row band index broadcast",
     # Single-row scalar aggregates joined to every row (normalizing
     # constants, split boundaries, min-class targets, time bounds):
