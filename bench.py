@@ -84,8 +84,10 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "dedup_semantic_survivors",
     # round-5 additions: mergeable HDR quantile sketch (shard-merged
-    # p50/p95/p99 walk over integer log buckets)
+    # p50/p95/p99 walk over integer log buckets); Bloom-bitmap
+    # decontamination (build + codegen probe, no join on train side)
     "sketch_hdr_quantiles",
+    "decontam_bloom_flags",
 ]
 
 
