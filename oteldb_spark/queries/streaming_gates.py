@@ -354,3 +354,73 @@ def stream_hdr_windowed(spark, sf_dir):
         rows,
         "event_type string, window_start_ms long, bucket long, cnt long",
     )
+
+
+# Stream-stream event-time interval join: live trace assembly — root
+# spans (orders) correlate with child spans (lineitems) of the same
+# trace landing within 60 days of the root, both sides watermarked so
+# join state is bounded by the event-time window, not the stream
+# length.  Inner-join append emits each match exactly once; the batch
+# oracle is the identical equi+range join.
+@register(
+    "stream_span_interval_join",
+    """SELECT o_orderkey AS trace_id,
+       CAST(l_linenumber AS BIGINT) AS line_no,
+       epoch_us(o_orderdate) AS root_start_us,
+       epoch_us(l_shipdate) AS child_start_us,
+       epoch_us(l_shipdate) - epoch_us(o_orderdate) AS lag_us
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY""",
+)
+def stream_span_interval_join(spark, sf_dir):
+    roots = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("trace_id"),
+        F.col("o_orderdate").cast("timestamp").alias("root_ts"),
+    )
+    children = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("c_trace_id"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.col("l_shipdate").cast("timestamp").alias("child_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="ssj_gate_")
+    try:
+        rdir, cdir = f"{work}/roots", f"{work}/children"
+        out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
+        roots.coalesce(2).write.parquet(rdir)
+        children.coalesce(2).write.parquet(cdir)
+        rs = (
+            spark.readStream.schema(roots.schema)
+            .parquet(rdir)
+            .withWatermark("root_ts", "30 days")
+        )
+        cs = (
+            spark.readStream.schema(children.schema)
+            .parquet(cdir)
+            .withWatermark("child_ts", "30 days")
+        )
+        joined = rs.join(
+            cs,
+            F.expr(
+                "trace_id = c_trace_id"
+                " AND child_ts >= root_ts"
+                " AND child_ts <= root_ts + interval 60 days"
+            ),
+        ).select(
+            "trace_id",
+            "line_no",
+            F.unix_micros("root_ts").alias("root_start_us"),
+            F.unix_micros("child_ts").alias("child_start_us"),
+            (F.unix_micros("child_ts") - F.unix_micros("root_ts")).alias(
+                "lag_us"
+            ),
+        )
+        _run_to_parquet(spark, joined, out_dir, ckpt)
+        rows = spark.read.parquet(out_dir).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "trace_id long, line_no long, root_start_us long,"
+        " child_start_us long, lag_us long",
+    )
