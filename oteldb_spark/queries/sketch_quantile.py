@@ -77,3 +77,54 @@ def sketch_hdr_quantiles(spark, sf_dir):
         F.col("p").cast("long").alias("p"),
         F.col("value").cast("long").alias("value"),
     )
+
+
+# The observability headline for the sketch: per-service latency
+# p50/p95/p99 over span durations (already integer micros), read from
+# HDR bucket partials — what a 1000-executor span store would serve
+# its latency panels from.  Groups merge from per-(service, kind)
+# partials to show the rollup path.
+def _spans_latency_oracle() -> str:
+    from ..operators.hdr_sketch import _bucket_sql, _rep_sql
+    from ..signals import SPANS_CTE
+
+    _, _, bucket = _bucket_sql("duration_us")
+    return f"""WITH {SPANS_CTE},
+bkts AS (
+  SELECT service, kind, {bucket} AS bucket, count(*) AS cnt
+  FROM spans WHERE duration_us > 0
+  GROUP BY service, kind, {bucket}
+),
+merged AS (
+  SELECT service, bucket, sum(cnt) AS cnt FROM bkts
+  GROUP BY service, bucket
+),
+cum AS (
+  SELECT service, bucket,
+         sum(cnt) OVER (PARTITION BY service ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY service) AS total
+  FROM merged
+),
+hit AS (
+  SELECT service, p, min(bucket) AS bucket
+  FROM cum CROSS JOIN (VALUES (50), (95), (99)) AS q(p)
+  WHERE cum >= ((p * total) + 99) // 100
+  GROUP BY service, p
+)
+SELECT service, CAST(p AS BIGINT) AS p,
+       CAST({_rep_sql("bucket")} AS BIGINT) AS latency_us
+FROM hit"""
+
+
+@register("spans_latency_hdr", _spans_latency_oracle())
+def spans_latency_hdr(spark, sf_dir):
+    from ..signals import spans_frame
+
+    spans = spans_frame(spark, sf_dir)
+    parts = hdr_buckets(spans, "duration_us", ["service", "kind"])
+    out = hdr_quantiles(parts, ["service"], [50, 95, 99])
+    return out.select(
+        "service",
+        F.col("p").cast("long").alias("p"),
+        F.col("value").cast("long").alias("latency_us"),
+    )
