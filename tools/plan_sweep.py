@@ -62,7 +62,20 @@ BNLJ_ALLOWED: dict[str, str] = {
 
 # Gates whose construction cannot produce an auditable lazy plan:
 # value is the reason + where their plan discipline IS asserted.
-UNAUDITABLE: dict[str, str] = {}
+# The stream_* gates run a full Structured Streaming job at
+# construction and return a materialized local frame — auditing that
+# residue is meaningless and costs a streaming run per gate; their
+# stateful-plan discipline (bounded state partitions, watermark
+# presence) is asserted in tests/test_streaming*.py and
+# tests/test_stream_*.py.
+UNAUDITABLE: dict[str, str] = {
+    "stream_neardup_pairs": "streaming job at construction; tests/test_stream_neardup.py",
+    "stream_windowed_rollup": "streaming job at construction; tests/test_stream_rollup.py",
+    "stream_sessionize_closed": "streaming job at construction; tests/test_stream_sessionize.py",
+    "stream_hll_windowed": "streaming job at construction; tests/test_stream_rollup.py",
+    "stream_hdr_windowed": "streaming job at construction; tests/test_stream_rollup.py",
+    "stream_span_interval_join": "streaming job at construction; tests/test_streaming.py",
+}
 
 
 VIOLATION_PATTERNS = {
