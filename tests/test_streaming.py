@@ -251,3 +251,43 @@ def test_merge_upsert_prunes_untouched_buckets(spark, tmp_path):
             assert sorted(os.listdir(os.path.join(table, b))) == snap[b]
     rows = {r.k: r.v for r in spark.read.parquet(table).collect()}
     assert rows["key0"] == 11 and rows["key1"] == 1 and len(rows) == 40
+
+
+def test_span_interval_join_is_watermarked_both_sides(spark, tmp_path):
+    """The stream-stream interval join must carry an event-time
+    watermark on BOTH inputs — that is what bounds join state by the
+    60-day window instead of the stream length."""
+    import pyspark.sql.functions as F
+
+    roots = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "trace_id long, rts string"
+    ).select("trace_id", F.col("rts").cast("timestamp").alias("root_ts"))
+    children = spark.createDataFrame(
+        [(1, 1, "2024-01-10 00:00:00")],
+        "c_trace_id long, line_no long, cts string",
+    ).select(
+        "c_trace_id", "line_no", F.col("cts").cast("timestamp").alias("child_ts")
+    )
+    rdir, cdir = str(tmp_path / "r"), str(tmp_path / "c")
+    roots.write.parquet(rdir)
+    children.write.parquet(cdir)
+    rs = (
+        spark.readStream.schema(roots.schema)
+        .parquet(rdir)
+        .withWatermark("root_ts", "30 days")
+    )
+    cs = (
+        spark.readStream.schema(children.schema)
+        .parquet(cdir)
+        .withWatermark("child_ts", "30 days")
+    )
+    joined = rs.join(
+        cs,
+        F.expr(
+            "trace_id = c_trace_id AND child_ts >= root_ts"
+            " AND child_ts <= root_ts + interval 60 days"
+        ),
+    )
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2, plan
