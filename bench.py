@@ -88,6 +88,7 @@ HEADLINE = [
     # decontamination (build + codegen probe, no join on train side)
     "sketch_hdr_quantiles",
     "decontam_bloom_flags",
+    "spans_latency_hdr",
 ]
 
 
