@@ -61,7 +61,7 @@ def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
                 *[F.expr(_pos_sql(key_col, i)) for i in range(K_HASH)]
             )
         ).alias("pos")
-    )
+    ).filter(F.col("pos").isNotNull())  # NULL keys hash to NULL — skip
     words = (
         pos.withColumn("w", (F.col("pos") / WORD).cast("int"))
         .withColumn(
