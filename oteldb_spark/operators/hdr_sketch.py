@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 M_BITS = 5  # sub-bucket mantissa bits -> 32..63 sub-buckets, ~3% rel. error
 
+# the bucket id packs sub into the low 6 bits ((e << 6) | sub); sub
+# reaches 2^(M_BITS+1) - 1, so the packing breaks silently past 5
+assert M_BITS <= 5, "bucket packing allots 6 bits to the sub-bucket"
+
 
 def _bucket_sql(v: str) -> tuple[str, str, str]:
     """(e, sub, bucket) integer expressions — valid in BOTH Spark SQL
