@@ -365,3 +365,78 @@ def jaccard_prefix_join(
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def containment_prefix_join(
+    sh: "DataFrame", tau: float, doc_col: str = "doc", gram_col: str = "gram"
+) -> "DataFrame":
+    """EXACT asymmetric containment join: pairs (a, b) with
+    ``|A ∩ B| / |A| >= tau`` — "doc a is (near-)contained in doc b".
+    The quote/boilerplate/superset detector that Jaccard misses when
+    the containing doc is much larger (J shrinks with |B|, containment
+    does not).
+
+    Prefix theorem, containment form: if C(A,B) >= tau then A shares
+    >= ceil(tau*|A|) grams with B, so among A's first
+    ``|A| - ceil(tau*|A|) + 1`` grams under ANY fixed total order at
+    least one is in B — joining A's rarest-first PREFIX against B's
+    FULL posting list is lossless.  Only the probe side is pruned
+    (unlike the symmetric AllPairs join); candidate volume scales with
+    rare-gram posting length.  The size filter |B| >= tau*|A| prunes
+    further (the intersection cannot exceed |B|).
+    """
+    from pyspark.sql import Window
+
+    from .pin import pin
+
+    sh = pin(sh)
+    sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
+    freq = sh.groupBy(gram_col).agg(F.count(F.lit(1)).alias("df"))
+    eps = F.lit(1e-6)
+    prefix_a = (
+        sh.join(freq, gram_col)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(doc_col).orderBy("df", gram_col)
+            ),
+        )
+        .join(sizes, doc_col)
+        .filter(
+            F.col("rk")
+            <= F.col("n") - F.ceil(F.lit(tau) * F.col("n") - eps) + 1
+        )
+        .select(
+            F.col(doc_col).alias("doc_a"),
+            F.col(gram_col).alias("gram"),
+            F.col("n").alias("n_a"),
+        )
+    )
+    full_b = sh.join(sizes, doc_col).select(
+        F.col(doc_col).alias("doc_b"),
+        F.col(gram_col).alias("gram"),
+        F.col("n").alias("n_b"),
+    )
+    cand = (
+        prefix_a.join(
+            full_b,
+            (prefix_a.gram == full_b.gram)
+            & (prefix_a.doc_a != full_b.doc_b)
+            & (F.col("n_b") >= F.lit(tau) * F.col("n_a") - eps),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrays = sh.groupBy(doc_col).agg(
+        F.sort_array(F.collect_list(gram_col)).alias("grams")
+    )
+    ga = arrays.select(F.col(doc_col).alias("doc_a"), F.col("grams").alias("ga"))
+    gb = arrays.select(F.col(doc_col).alias("doc_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("containment", inter / F.size("ga").cast("double"))
+        .filter(F.col("containment") >= tau)
+        .select("doc_a", "doc_b", "containment")
+    )

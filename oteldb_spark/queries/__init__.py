@@ -60,6 +60,7 @@ from . import streaming_gates  # noqa: F401
 from . import sketch_quantile  # noqa: F401
 from . import bloom_gate  # noqa: F401
 from . import ann_eval  # noqa: F401
+from . import dedup_containment  # noqa: F401
 
 # The driver grades a fixed-size prefix of this dict each round, so
 # order it never-driver-certified-first: gates absent from every
