@@ -89,6 +89,7 @@ HEADLINE = [
     "sketch_hdr_quantiles",
     "decontam_bloom_flags",
     "spans_latency_hdr",
+    "dedup_containment_pairs",
 ]
 
 
