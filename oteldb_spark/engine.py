@@ -286,7 +286,15 @@ class LogQLEngine:
 
         params = EvalParams(start_us, end_us, max(end_us - start_us, 1))
         df = compile_logql(query, self.source, params, self._spark())
-        labels = [l for l in self.source.label_cols if l in df.columns]
+        # same skip set as series(): hex record ids and the log body are
+        # record-level, unbounded-cardinality columns — the reference's
+        # detected_labels scans only deduplicated stream/resource attrs
+        skip = set(self.source.hexid_labels) | {"body"}
+        labels = [
+            l
+            for l in self.source.label_cols
+            if l in df.columns and l not in skip
+        ]
         if not labels:
             return df.sparkSession.createDataFrame(
                 [], "label string, cardinality long"

@@ -213,23 +213,25 @@ def range_aggregate_sliding(
     windowed = samples.filter(
         (ts > F.lit(start_us - range_us)) & (ts <= F.lit(end_us))
     )
+    from .pin import pin
     from .stepfanout import prebucket
 
-    from pyspark.storagelevel import StorageLevel
-
-    buckets = prebucket(
-        windowed,
-        start_us,
-        step_us,
-        by,
-        [partial_fn(arg).alias("__partial")],
-        ts_col=ts_col,
     # the bucket partials feed BOTH the merge join and the distinct-
     # series spine; without pinning, Catalyst re-expands the lineage
     # and the raw data is scanned+shuffled twice.  The partials are
-    # output-sized (series × buckets), so the cache is tiny; the
-    # ContextCleaner reclaims it once the plan is dropped driver-side.
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # output-sized (series × buckets), so the pin is tiny; pin()
+    # honors SPARK_GRAFT_PIN so long-lived sessions can opt into
+    # checkpoint modes whose storage is reclaimed deterministically.
+    buckets = pin(
+        prebucket(
+            windowed,
+            start_us,
+            step_us,
+            by,
+            [partial_fn(arg).alias("__partial")],
+            ts_col=ts_col,
+        )
+    )
     # dense spine: every bucket a window can draw from (1-ratio .. n)
     # for every observed series — nulls where the bucket is empty so
     # the ordered window sees a complete, gap-free frame

@@ -5,88 +5,79 @@ SQL) pairs via ``registry.register``.  ``__spark_entry__.py`` re-exports
 the populated dicts.  Every entry corresponds to an operator row in
 SURVEY.md §2 (or a training-data-pipeline operator); the oracle SQL is
 the ANSI/DuckDB re-statement of the same semantics.
+
+Module import order below is purely organizational — it mirrors the
+SURVEY.md §2 section order (sources → LogQL → PromQL → TraceQL →
+profiles → cross-cutting → training-data pipeline) so a reader can walk
+the registry top-to-bottom against the survey.  The registry is exposed
+exactly as registered: deterministic, independent of any local state,
+and identical across checkouts.  Which gates an external grader samples
+is the grader's choice; every gate stays eligible every round.
 """
 
-# Registration order is driver-grading order: the driver certifies a
-# prefix of the registry each round, so the newest / least-certified
-# gate families are imported first and the round-1-certified LogQL /
-# TPC-H families last.
 from . import registry  # noqa: F401
-# round-3 additions first…
-from . import promql_fns3  # noqa: F401
-from . import traceql_intrinsics  # noqa: F401
-from . import pipeline3  # noqa: F401
+
+# §2.1 sources / ingestion
 from . import otlp_pb_ingest  # noqa: F401
-from . import exp_native  # noqa: F401
-from . import pprof_ingest  # noqa: F401
-from . import traceql_metrics2  # noqa: F401
-from . import skew_gate  # noqa: F401
-# …then the never-driver-graded round-1/2 middle rotated forward
-# (TraceQL structural v1, profiles, dedup/ANN)
-from . import traceql  # noqa: F401
-from . import profiles  # noqa: F401
-from . import dedup_lsh  # noqa: F401
-from . import similarity_ext  # noqa: F401
 from . import prw_ingest  # noqa: F401
-from . import result_cache_gate  # noqa: F401
-from . import pipeline2  # noqa: F401
+from . import pprof_ingest  # noqa: F401
 from . import otlp_hist  # noqa: F401
-from . import traceql_events  # noqa: F401
-from . import traceql_structural2  # noqa: F401
-from . import promql_fns2  # noqa: F401
-from . import histograms  # noqa: F401
+from . import streaming_gates  # noqa: F401
+
+# §2.2 LogQL log pipeline
+from . import logql_log  # noqa: F401
+from . import logql_parsers  # noqa: F401
+from . import logql_parsed  # noqa: F401
 from . import loki_ext  # noqa: F401
-from . import corpus_stats  # noqa: F401
-from . import pipeline  # noqa: F401
-from . import traceql_ext  # noqa: F401
-from . import traceql_parsed  # noqa: F401
+
+# §2.3 LogQL metric layer
+from . import logql_metric  # noqa: F401
+
+# §2.4 PromQL
+from . import promql  # noqa: F401
+from . import promql_parsed  # noqa: F401
 from . import promql_ext  # noqa: F401
 from . import promql_fns  # noqa: F401
-from . import promql_parsed  # noqa: F401
+from . import promql_fns2  # noqa: F401
+from . import promql_fns3  # noqa: F401
+from . import exp_native  # noqa: F401
+from . import histograms  # noqa: F401
+from . import result_cache_gate  # noqa: F401
+
+# §2.5 TraceQL
+from . import traceql  # noqa: F401
+from . import traceql_parsed  # noqa: F401
+from . import traceql_intrinsics  # noqa: F401
+from . import traceql_structural2  # noqa: F401
+from . import traceql_events  # noqa: F401
+from . import traceql_ext  # noqa: F401
+from . import traceql_metrics2  # noqa: F401
+
+# §2.6 profiles
+from . import profiles  # noqa: F401
+
+# §2.7/§2.8 cross-cutting: relational core, labels, skew, sketches
+from . import tpch  # noqa: F401
+from . import otel_labels_gates  # noqa: F401
+from . import skew_gate  # noqa: F401
+from . import sketch_quantile  # noqa: F401
 from . import sessions  # noqa: F401
+from . import corpus_stats  # noqa: F401
+
+# training-data pipeline: dedup, similarity/ANN, text, packing
+from . import dedup_lsh  # noqa: F401
+from . import dedup_containment  # noqa: F401
+from . import similarity_ext  # noqa: F401
+from . import ann_eval  # noqa: F401
+from . import bloom_gate  # noqa: F401
+from . import pipeline  # noqa: F401
+from . import pipeline2  # noqa: F401
+from . import pipeline3  # noqa: F401
+
+# long-tail coverage sweeps
 from . import misc_ext  # noqa: F401
 from . import final_ext  # noqa: F401
 from . import coverage_ext  # noqa: F401
-from . import promql  # noqa: F401
-from . import logql_metric  # noqa: F401
-from . import logql_parsers  # noqa: F401
-from . import logql_parsed  # noqa: F401
-from . import logql_log  # noqa: F401
-from . import tpch  # noqa: F401
-from . import otel_labels_gates  # noqa: F401
-from . import streaming_gates  # noqa: F401
-# round-5 additions register LAST so they append to the tail of the
-# never-certified half without displacing the driver's grading prefix
-from . import sketch_quantile  # noqa: F401
-from . import bloom_gate  # noqa: F401
-from . import ann_eval  # noqa: F401
-from . import dedup_containment  # noqa: F401
 
-# The driver grades a fixed-size prefix of this dict each round, so
-# order it never-driver-certified-first: gates absent from every
-# CORRECTNESS_r0N.json (union snapshotted in tools/certified_gates.json)
-# lead, already-certified gates trail.  Relative registration order is
-# preserved within each half, keeping the order deterministic.
-def _certification_order(queries, oracles):
-    import json
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[2]
-    certified = set()
-    for rec in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            certified |= set(json.loads(rec.read_text()))
-        except (OSError, ValueError):
-            pass
-    if not certified:  # repo checked out without the driver's records
-        try:
-            certified = set(json.loads((root / "tools" / "certified_gates.json").read_text()))
-        except OSError:
-            pass
-    names = sorted(queries, key=lambda n: (n in certified,))
-    ordered_q = {n: queries[n] for n in names}
-    ordered_o = {n: oracles[n] for n in names if n in oracles}
-    return ordered_q, ordered_o
-
-
-QUERIES, ORACLES = _certification_order(registry.QUERIES, registry.ORACLES)
+QUERIES = registry.QUERIES
+ORACLES = registry.ORACLES

@@ -330,8 +330,10 @@ def test_e2e_detected_labels(spark, e2e_source):
     cardinalities under the full-range selector.  Reference-derived
     expectations: level 2 (INFO, FATAL), service_name 2,
     service_namespace 2, service_version 1 (common_test.go:360-392
-    comments); trace/span ids are per-record-unique resource-side here
-    so their cardinality equals the corpus row count."""
+    comments); per-record hex ids (trace_id/span_id) and the body are
+    unbounded-cardinality record-level columns and are excluded, same
+    skip set as series() — the reference scans only the deduplicated
+    resource attrs."""
     from oteldb_spark.engine import LogQLEngine
 
     eng = LogQLEngine(source=e2e_source, spark=spark)
@@ -345,10 +347,11 @@ def test_e2e_detected_labels(spark, e2e_source):
     # label — detected_fields' domain, mirroring the reference's
     # resource-map-only scan
     assert "http_method" not in card
-    n_traces = e2e_source.df.filter("trace_id <> ''").select(
-        "trace_id"
-    ).distinct().count()
-    assert card["trace_id"] == n_traces
+    # hexid/body skip set (matches series()): no unbounded-cardinality
+    # record-level labels in the response
+    assert "trace_id" not in card
+    assert "span_id" not in card
+    assert "body" not in card
 
 
 def test_e2e_series_endpoint(spark, e2e_source):
