@@ -17,15 +17,46 @@ import os
 
 from pyspark.sql import DataFrame
 
+# Live pins, so a long-lived session (the engine facade, bench.py) can
+# release cached blocks between queries instead of accumulating them in
+# the CacheManager until the session dies.  persist() entries are keyed
+# by logical plan JVM-side, not by this wrapper, so GC of the wrapper
+# does NOT reclaim the blocks — an explicit release hook is required.
+_LIVE_PINS: list[DataFrame] = []
 
-def pin(df: DataFrame) -> DataFrame:
+
+def release_pins() -> int:
+    """Unpersist every pin issued since the last release; returns the
+    number released.  No-op for localCheckpoint / reliable-checkpoint
+    modes (nothing held in the block-manager cache to drop)."""
+    n = len(_LIVE_PINS)
+    for df in _LIVE_PINS:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+    _LIVE_PINS.clear()
+    return n
+
+
+def pin(df: DataFrame, *, small: bool = False) -> DataFrame:
+    """``small=True`` marks a frame known to be output-sized (partial
+    aggregates, spine tables) rather than data-sized: those persist
+    MEMORY_AND_DISK, since re-reading them from disk every branch costs
+    more than the few MB of executor memory they occupy.  Data-sized
+    pins stay DISK_ONLY — at 100 TB an in-memory pin of a shingle or
+    signature table would evict the working set."""
     mode = os.environ.get("SPARK_GRAFT_PIN", "disk")
     if mode == "local":
         return df.localCheckpoint(eager=False)
     if mode == "disk":
         from pyspark.storagelevel import StorageLevel
 
-        return df.persist(StorageLevel.DISK_ONLY)
+        out = df.persist(
+            StorageLevel.MEMORY_AND_DISK if small else StorageLevel.DISK_ONLY
+        )
+        _LIVE_PINS.append(out)
+        return out
     # a path: reliable checkpoint directory
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:

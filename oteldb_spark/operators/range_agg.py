@@ -230,7 +230,8 @@ def range_aggregate_sliding(
             by,
             [partial_fn(arg).alias("__partial")],
             ts_col=ts_col,
-        )
+        ),
+        small=True,
     )
     # dense spine: every bucket a window can draw from (1-ratio .. n)
     # for every observed series — nulls where the bucket is empty so

@@ -73,6 +73,7 @@ from . import bloom_gate  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import pipeline2  # noqa: F401
 from . import pipeline3  # noqa: F401
+from . import pipeline4  # noqa: F401
 
 # long-tail coverage sweeps
 from . import misc_ext  # noqa: F401

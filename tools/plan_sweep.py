@@ -84,14 +84,14 @@ VIOLATION_PATTERNS = {
 }
 
 
-def sweep(spark, sf_dir: str) -> dict[str, list[str]]:
+def sweep(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, list[str]]:
     """Return {gate: [violation, ...]} for gates with findings."""
     from oteldb_spark.plans.audit import audit
     from oteldb_spark.queries import QUERIES
 
     findings: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
-        if name in UNAUDITABLE:
+        if name in UNAUDITABLE or (only and name not in only):
             continue
         df = fn(spark, sf_dir)
         text = audit(df).text
@@ -107,14 +107,18 @@ def sweep(spark, sf_dir: str) -> dict[str, list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.001"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    only = set(args) or None
     from oteldb_spark.session import get_spark
 
     spark = get_spark()
     from oteldb_spark.queries import QUERIES
 
-    findings = sweep(spark, sf_dir)
-    total = len(QUERIES) - len(UNAUDITABLE)
+    findings = sweep(spark, sf_dir, only)
+    total = len(only) if only else len(QUERIES) - len(UNAUDITABLE)
     for name, hits in sorted(findings.items()):
         print(f"VIOLATION  {name}: {', '.join(hits)}")
     print(
