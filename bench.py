@@ -93,6 +93,11 @@ HEADLINE = [
     # round-6 addition: the full curation funnel (quality → exact →
     # near-dup → decontaminate) fused into one composed query
     "corpus_build_survivors",
+    # round-6 addition: Gopher repetition filters (top-n-gram char
+    # fraction + duplicate-n-gram interval-union coverage); real-BPE
+    # token counting (ordered merge table as codegen replace chain)
+    "docs_repetition_rules",
+    "text_bpe_tokens",
 ]
 
 

@@ -347,8 +347,12 @@ def jaccard_prefix_join(
         )
         .distinct()
     )
-    arrays = sh.groupBy(doc_col).agg(
-        F.sort_array(F.collect_list(gram_col)).alias("grams")
+    # the verify stage reads this from BOTH pair sides (ga and gb):
+    # pin so the collect_list aggregation over the gram set runs once
+    arrays = pin(
+        sh.groupBy(doc_col).agg(
+            F.sort_array(F.collect_list(gram_col)).alias("grams")
+        )
     )
     ga = arrays.select(
         F.col(doc_col).alias("doc_a"), F.col("grams").alias("ga")
@@ -390,6 +394,9 @@ def containment_prefix_join(
     from .pin import pin
 
     sh = pin(sh)
+    # NOT pinned: sizes is broadcast into both join sides, and an
+    # InMemoryRelation's unknown stats would demote those to
+    # sort-merge joins (measured 2x slower than re-aggregating)
     sizes = sh.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n"))
     freq = sh.groupBy(gram_col).agg(F.count(F.lit(1)).alias("df"))
     eps = F.lit(1e-6)
@@ -427,8 +434,12 @@ def containment_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arrays = sh.groupBy(doc_col).agg(
-        F.sort_array(F.collect_list(gram_col)).alias("grams")
+    # the verify stage reads this from BOTH pair sides (ga and gb):
+    # pin so the collect_list aggregation over the gram set runs once
+    arrays = pin(
+        sh.groupBy(doc_col).agg(
+            F.sort_array(F.collect_list(gram_col)).alias("grams")
+        )
     )
     ga = arrays.select(F.col(doc_col).alias("doc_a"), F.col("grams").alias("ga"))
     gb = arrays.select(F.col(doc_col).alias("doc_b"), F.col("grams").alias("gb"))

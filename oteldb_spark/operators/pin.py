@@ -39,6 +39,25 @@ def release_pins() -> int:
     return n
 
 
+def repin(df: DataFrame, *, small: bool = False) -> DataFrame:
+    """Revive a memoized pin after :func:`release_pins` dropped its
+    blocks: re-persists iff running in persist mode and the frame's
+    storage level has been cleared.  Callers that memoize pinned
+    frames across queries MUST route the memo hit through this, or a
+    release leaves them silently recomputing the subtree per branch."""
+    if os.environ.get("SPARK_GRAFT_PIN", "disk") != "disk":
+        return df  # checkpoint modes don't live in the block cache
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        from pyspark.storagelevel import StorageLevel
+
+        df.persist(
+            StorageLevel.MEMORY_AND_DISK if small else StorageLevel.DISK_ONLY
+        )
+        _LIVE_PINS.append(df)
+    return df
+
+
 def pin(df: DataFrame, *, small: bool = False) -> DataFrame:
     """``small=True`` marks a frame known to be output-sized (partial
     aggregates, spine tables) rather than data-sized: those persist

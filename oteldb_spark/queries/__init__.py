@@ -74,6 +74,7 @@ from . import pipeline  # noqa: F401
 from . import pipeline2  # noqa: F401
 from . import pipeline3  # noqa: F401
 from . import pipeline4  # noqa: F401
+from . import pipeline5  # noqa: F401
 
 # long-tail coverage sweeps
 from . import misc_ext  # noqa: F401

@@ -87,7 +87,7 @@ FROM qs q LEFT JOIN (
 )
 def ann_ivf_recall10(spark, sf_dir):
     emb = pin(
-        load(spark, sf_dir, "embeddings")
+        load(spark, sf_dir, "embeddings", spread=True)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", norm(F.col("e")))
     )

@@ -38,7 +38,7 @@ FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT 20""",
 )
 def text_top_bigrams(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     bigrams = docs.select(
         F.explode(
             F.expr(
@@ -73,7 +73,7 @@ SELECT doc_id,
 FROM w GROUP BY doc_id""",
 )
 def text_ttr(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -119,7 +119,7 @@ SELECT doc_id, tok AS keyword, score FROM (
 ) WHERE rn = 1""",
 )
 def text_keyword_top1(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     n_docs = docs.count()  # scalar corpus size (one job, not a join)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -189,7 +189,7 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
 FROM final GROUP BY lang, source""",
 )
 def pipeline_curation(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     words = F.split("text", " ")
     n_words = F.size(words)
     uniq = F.size(F.array_distinct(words)).cast("double") / n_words
@@ -258,7 +258,7 @@ WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= 0.1""",
 def dedup_ngram_jaccard_capped(spark, sf_dir):
     from ..operators.dedup import shingles as shingle_expr
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     par = spark.sparkContext.defaultParallelism
     sh = (
         docs.repartition(par)
@@ -427,7 +427,7 @@ SELECT bigram FROM new_v
 WHERE bigram NOT IN (SELECT bigram FROM old_v)""",
 )
 def corpus_new_terms(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     bigrams = F.array_distinct(
         F.expr(
             "CASE WHEN size(split(text,' ')) >= 2 THEN"

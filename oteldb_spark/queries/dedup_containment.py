@@ -39,7 +39,7 @@ GROUP BY a.doc_id, b.doc_id
 HAVING CAST(count(*) AS DOUBLE) / any_value(sa.n) >= {_TAU!r}""",
 )
 def dedup_containment_pairs(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     shingles = F.array_distinct(
         F.expr(
             "CASE WHEN size(split(text,' ')) >= 3 THEN"

@@ -56,7 +56,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 SELECT doc, simhash FROM fps""",
 )
 def dedup_simhash(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash64(docs, "doc_id", "text")
 
 
@@ -73,7 +73,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     # Banded pigeonhole join (5 x 12-bit bands), not the brute-force
     # pair join the oracle runs — same answer, candidates scale with
     # band collisions instead of n^2.
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     fps = simhash64(docs, "doc_id", "text")
     return simhash_near_pairs(fps, max_hamming=4)
 
@@ -108,7 +108,7 @@ HAVING CAST(count(*) AS DOUBLE) /
 def dedup_jaccard_prefix(spark, sf_dir):
     from ..operators.dedup import jaccard_prefix_join
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     shingles = F.array_distinct(
         F.expr(
             "CASE WHEN size(split(text,' ')) >= 3 THEN"

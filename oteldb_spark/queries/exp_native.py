@@ -388,7 +388,12 @@ def _signed_buckets(spark, sf_dir):
 
     memo = _SIGNED_MEMO.get((spark, sf_dir))
     if memo is not None:
-        return memo
+        # a release_pins() between queries may have dropped the blocks;
+        # revive both pins or every sibling branch re-runs the decode
+        from ..operators.pin import repin
+
+        repin(_SIGNED_MEMO[("state", spark, sf_dir)])
+        return repin(memo)
     rows = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_id") < _LIMIT)

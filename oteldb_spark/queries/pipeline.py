@@ -86,7 +86,7 @@ HAVING CAST(count(*) AS DOUBLE) /
        (any_value(sa.n) + any_value(sb.n) - count(*)) >= 0.2""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     words = F.split("text", " ")
     shingles = F.array_distinct(
         F.expr(
@@ -163,7 +163,7 @@ SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id LIMIT 10""",
 )
 def ann_cosine_top10(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
@@ -202,7 +202,7 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""",
 def ann_near_dup_pairs(spark, sf_dir):
     from ..operators.similarity import near_dup_pairs_blocked
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # small block size so the multi-block (off-diagonal GEMM) path is

@@ -60,7 +60,7 @@ edges AS (
 
 def _jaccard_edges(spark, sf_dir):
     """Symmetric near-dup edge list (v, w) at Jaccard ≥ 0.5."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     shingles = F.array_distinct(
         F.expr(
             "CASE WHEN size(split(text,' ')) >= 3 THEN"
@@ -191,7 +191,7 @@ def pipeline_decontaminate(spark, sf_dir):
     suite in production) is orders of magnitude smaller than the
     corpus, so it broadcasts and the train side never shuffles.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     # split once per doc: the gram expression references the word
     # array four times, and Generate input is not CSE'd — inlining
     # split(text) would tokenize every document 4×
@@ -327,7 +327,7 @@ FROM (
 )""",
 )
 def text_repetition(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     grams = F.expr(
         "transform(sequence(0, size(split(text,' ')) - 3),"
         " i -> concat_ws(' ', split(text,' ')[i],"

@@ -127,7 +127,7 @@ SELECT t.doc_id,
 FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id""",
 )
 def dedup_repeated_windows(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     wins = docs.select(
         "doc_id",
         F.explode(
@@ -219,7 +219,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id""",
 )
 def text_bigram_xent(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     # split ONCE per row into a projected column — referencing
     # split(text) inside the transform lambda re-tokenizes per
     # element (no CSE across lambda invocations), turning the explode
@@ -368,7 +368,7 @@ FROM chunks c LEFT JOIN dup ON c.h = dup.h
 GROUP BY c.doc_id""",
 )
 def chunk_cdc_dedup(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     w, b, m, div = _CDC_W, _CDC_B, _CDC_M, _CDC_DIV
 
     # Rolling hashes over every W-char window via Arrow-batched numpy
@@ -515,7 +515,7 @@ FROM (
 def text_langid_trigram(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     tri = docs.select(
         "doc_id",
         "lang",

@@ -128,7 +128,7 @@ funnel AS (
 
 
 def _funnel_frame(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     words = F.split("text", " ")
     n_words = F.size(words)

@@ -76,7 +76,7 @@ def ann_lsh_pairs(spark, sf_dir):
     # the arithmetic is codegen'd column math, cheaper than the extra
     # joins it replaces at any scale where banding keeps candidates
     # sparse (which is the regime LSH is for).
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
     )
@@ -85,7 +85,12 @@ def ann_lsh_pairs(spark, sf_dir):
     # pair per shared band; the value (same expression, same row) is
     # bit-identical either way
     emb = emb.withColumn("nrm", norm(F.col("e")))
-    bb = hyperplane_lsh_bands(emb, "e", N_PLANES, N_BANDS, DIM)
+    # pin the banded frame: it feeds BOTH sides of the self-join, and
+    # the 24 plane projections are the expensive part (higher-order-fn
+    # dot per plane per vector) — unpinned, the join re-projects every
+    # vector twice; pinned, signatures are computed once and the join
+    # reads them back (the same discipline the MinHash banding uses)
+    bb = pin(hyperplane_lsh_bands(emb, "e", N_PLANES, N_BANDS, DIM))
     a = bb.alias("a")
     b = bb.alias("b")
     cos = F.round(
@@ -148,7 +153,7 @@ FROM v JOIN cand USING (vec_id), (SELECT e FROM v WHERE vec_id = 1) q
 ORDER BY cosine DESC, vec_id LIMIT 5""",
 )
 def ann_ivf_top5(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cents = emb.filter(F.col("vec_id") < 8).select(
@@ -243,7 +248,7 @@ FROM v JOIN cand USING (vec_id), (SELECT e FROM v WHERE vec_id = 1) q
 ORDER BY cosine DESC, vec_id LIMIT 5""",
 )
 def ann_ivf_kmeans_top5(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     v = emb.withColumn(
@@ -354,7 +359,7 @@ LIMIT 5""",
 def ann_ivf_pq_top5(spark, sf_dir):
     from ..operators.similarity import pq_adc_topk, pq_encode, pq_subvectors
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     sub = pq_subvectors(emb, _PQ_M, _PQ_D)
@@ -388,7 +393,7 @@ def _rp_sql(i: int) -> str:
 def emb_random_projection(spark, sf_dir):
     from ..operators.similarity import _dot_with_literal
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return emb.select(
@@ -437,7 +442,7 @@ SELECT vec_id, cid FROM assign
 WHERE vec_id NOT IN (SELECT vec_id FROM drops)""",
 )
 def dedup_semantic_survivors(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cents = emb.filter(F.col("vec_id") < 8).select(

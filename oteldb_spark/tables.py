@@ -28,7 +28,9 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     # nanosAsLong must be set BEFORE the first read: a timestamp[ns]
     # parquet column otherwise throws PARQUET_TYPE_ILLEGAL during
     # schema inference (so a read-then-retry never runs).  The session
@@ -52,6 +54,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
             )
+    if spread:
+        # Caller declares heavy PER-ROW compute downstream (gram
+        # explodes, md5 sketches, 64-dim dot products); small scale
+        # factors arrive as a single parquet file → one scan partition
+        # → one core does all of it.  Spread only when the scan is
+        # narrower than the cluster: at production scale the file
+        # layout already yields thousands of splits and this is a
+        # no-op, so no shuffle is added where the data is already
+        # parallel.  Off by default — map-only gates (pii_redact,
+        # text_quality) keep their zero-exchange plans.
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < min(par, 8):
+            df = df.repartition(par)
     return df
 
 
