@@ -305,3 +305,80 @@ def text_bpe_tokens(spark, sf_dir):
             6,
         ).alias("chars_per_token"),
     )
+
+
+# ------------------------------------------- temperature mixture sampling
+# Dataset mixing for training runs: sources are sampled proportionally
+# to count^(1/T) — T=1 is natural proportions, T→∞ uniform; T=2 (the
+# common "sqrt sampling") upweights small sources.  Everything is
+# deterministic and integer-exact so the DuckDB oracle replays it:
+# per-source weight = floor(sqrt(count) * 2^20) as BIGINT (integer
+# sums are order-independent; a float Σ of per-source doubles could
+# flip a floor at quota boundaries), quota_s = N * w_s / W (integer
+# div), and the quota is filled by md5(doc_id) rank — a deterministic
+# "random" order shared by both engines.  At 100 TB: one count
+# aggregate, one broadcast of a 5-row quota table, one per-source
+# window rank — no global sort.
+_MIX_N = 200  # target sample size (a strict subset at every test SF)
+_MIX_SRC_SQL = """CASE
+  WHEN doc_id % 100 < 50 THEN 'web'
+  WHEN doc_id % 100 < 75 THEN 'books'
+  WHEN doc_id % 100 < 90 THEN 'code'
+  WHEN doc_id % 100 < 97 THEN 'wiki'
+  ELSE 'math' END"""
+
+
+@register(
+    "docs_mixture_sample",
+    f"""WITH d AS (
+  SELECT doc_id, {_MIX_SRC_SQL} AS source, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+w AS (
+  SELECT source, count(*) AS n,
+         CAST(floor(sqrt(count(*)) * 1048576) AS BIGINT) AS wq
+  FROM d GROUP BY source
+),
+q AS (
+  SELECT source, n, ({_MIX_N} * wq) // (SELECT sum(wq) FROM w) AS quota
+  FROM w
+),
+ranked AS (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id)
+           AS rk
+  FROM d JOIN q USING (source)
+)
+SELECT doc_id, source, CAST(quota AS BIGINT) AS source_quota
+FROM ranked WHERE rk <= quota""",
+)
+def docs_mixture_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(_MIX_SRC_SQL).alias("source"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = d.groupBy("source").agg(
+        F.floor(F.sqrt(F.count(F.lit(1))) * 1048576)
+        .cast("long")
+        .alias("wq")
+    )
+    total = w.agg(F.sum("wq").alias("tw"))
+    q = w.crossJoin(F.broadcast(total)).select(
+        "source",
+        ((F.lit(_MIX_N) * F.col("wq")) / F.col("tw"))
+        .cast("long")
+        .alias("quota"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy("h", "doc_id")
+    )
+    return (
+        d.join(F.broadcast(q), "source")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id", "source", F.col("quota").cast("long").alias("source_quota")
+        )
+    )

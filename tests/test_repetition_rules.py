@@ -83,3 +83,36 @@ def test_bpe_adjacent_repeat_two_pass(spark):
     with mock.patch.object(p5, "load", lambda s, d, n, **kw: docs):
         r = p5.text_bpe_tokens(spark, "unused").collect()[0]
     assert r["bpe_tokens"] == 2
+
+
+def test_mixture_sample_temperature(spark):
+    """T=2 mixing: quotas respected per source, and the sampled
+    FRACTION of a small source exceeds that of a large one."""
+    import oteldb_spark.queries.pipeline5 as p5
+
+    sf = "/root/testdata/sf0.001"
+    rows = p5.docs_mixture_sample(spark, sf).collect()
+    assert rows
+    by_src: dict[str, int] = {}
+    quota: dict[str, int] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        quota[r["source"]] = r["source_quota"]
+    for s, n in by_src.items():
+        assert n <= quota[s], (s, n, quota[s])
+    # source sizes from the raw table
+    from oteldb_spark.tables import load
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in load(spark, sf, "documents")
+        .groupBy(F.expr(p5._MIX_SRC_SQL).alias("source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    frac = {s: by_src.get(s, 0) / sizes[s] for s in sizes}
+    # sqrt-temperature upweights the smallest source vs the largest
+    small = min(sizes, key=sizes.get)
+    large = max(sizes, key=sizes.get)
+    assert frac[small] > frac[large], frac

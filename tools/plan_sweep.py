@@ -57,6 +57,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ppql_parsed_at_start": "single-row @start scalar",
     "ppql_parsed_count_at_end": "single-row @end scalar",
     "ppql_parsed_info": "single-row eval-timestamp scalar",
+    "docs_mixture_sample": "single-row weight-normalization scalar",
 }
 
 # Gates whose construction cannot produce an auditable lazy plan:
