@@ -347,12 +347,23 @@ def jaccard_prefix_join(
         )
         .distinct()
     )
-    # the verify stage reads this from BOTH pair sides (ga and gb):
-    # pin so the collect_list aggregation over the gram set runs once
+    # verify only docs that appear in a candidate pair: the pair set is
+    # output-scale while the corpus is data-scale, so the collect_list
+    # shuffle shrinks from |corpus| to |candidate docs| — the move that
+    # keeps the verify stage flat as the corpus grows.  cand is pinned
+    # (it feeds the doc filter AND the final join); arrays is pinned
+    # (read by both pair sides).
+    cand = pin(cand, small=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(doc_col))
+        .union(cand.select(F.col("doc_b").alias(doc_col)))
+        .distinct()
+    )
     arrays = pin(
-        sh.groupBy(doc_col).agg(
-            F.sort_array(F.collect_list(gram_col)).alias("grams")
-        )
+        sh.join(F.broadcast(cand_docs), doc_col, "left_semi")
+        .groupBy(doc_col)
+        .agg(F.sort_array(F.collect_list(gram_col)).alias("grams")),
+        small=True,
     )
     ga = arrays.select(
         F.col(doc_col).alias("doc_a"), F.col("grams").alias("ga")
@@ -363,7 +374,11 @@ def jaccard_prefix_join(
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
-        cand.join(ga, "doc_a")
+        # the pinned pair set loses its size stats behind the
+        # InMemoryRelation — hint the broadcast it would get from a
+        # fresh plan (pairs are output-scale by the prefix filter)
+        F.broadcast(cand)
+        .join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= tau)
@@ -434,18 +449,30 @@ def containment_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # the verify stage reads this from BOTH pair sides (ga and gb):
-    # pin so the collect_list aggregation over the gram set runs once
+    # verify only candidate docs (see jaccard_prefix_join): pair set is
+    # output-scale, so the collect_list shuffle shrinks to the docs the
+    # verify actually reads.
+    cand = pin(cand, small=True)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(doc_col))
+        .union(cand.select(F.col("doc_b").alias(doc_col)))
+        .distinct()
+    )
     arrays = pin(
-        sh.groupBy(doc_col).agg(
-            F.sort_array(F.collect_list(gram_col)).alias("grams")
-        )
+        sh.join(F.broadcast(cand_docs), doc_col, "left_semi")
+        .groupBy(doc_col)
+        .agg(F.sort_array(F.collect_list(gram_col)).alias("grams")),
+        small=True,
     )
     ga = arrays.select(F.col(doc_col).alias("doc_a"), F.col("grams").alias("ga"))
     gb = arrays.select(F.col(doc_col).alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     return (
-        cand.join(ga, "doc_a")
+        # the pinned pair set loses its size stats behind the
+        # InMemoryRelation — hint the broadcast it would get from a
+        # fresh plan (pairs are output-scale by the prefix filter)
+        F.broadcast(cand)
+        .join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn("containment", inter / F.size("ga").cast("double"))
         .filter(F.col("containment") >= tau)

@@ -97,13 +97,26 @@ def _state_payload(spark, sf_dir) -> list[bytes]:
     return out
 
 
+_BUCKETS_MEMO: dict = {}
+
+
 def _buckets(spark, sf_dir):
+    # pinned per session like _signed_buckets: three sibling gates and
+    # the quantile's window branches otherwise re-run the Arrow wire
+    # decode each; repin revives the blocks after a bench release
+    from ..operators.pin import pin, repin
+
+    memo = _BUCKETS_MEMO.get((spark, sf_dir))
+    if memo is not None:
+        return repin(memo, small=True)
     payloads = _state_payload(spark, sf_dir)
     df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
     state = pb.pb_exp_histograms(df).withColumn(
         "etype", F.col("labels")["etype"]
     )
-    return explode_exp_buckets(state, ["name", "etype"])
+    out = pin(explode_exp_buckets(state, ["name", "etype"]), small=True)
+    _BUCKETS_MEMO[(spark, sf_dir)] = out
+    return out
 
 
 _BASE_CTES = f"""WITH e AS (
