@@ -19,11 +19,12 @@ from ..operators.bloom import (
     bloom_oracle_ctes,
     bloom_oracle_member,
 )
+from ..memo import SessionMemo
 from ..tables import load
 from .pipeline2 import _GRAMS_SQL, _NGRAM_W
 from .registry import register
 
-_BITMAP_MEMO: dict = {}
+_BITMAP_MEMO = SessionMemo()
 
 
 @register(
@@ -62,11 +63,10 @@ def decontam_bloom_flags(spark, sf_dir):
     # the sketch is a pure function of the eval set — build it once
     # per (session, sf) the way a production run builds it once per
     # eval corpus; plain ints, so no cache-eviction staleness to guard
-    memo_key = (spark, sf_dir)
-    bitmap = _BITMAP_MEMO.get(memo_key)
+    bitmap = _BITMAP_MEMO.get(spark, sf_dir)
     if bitmap is None:
         bitmap = bloom_build(ev, "gram")
-        _BITMAP_MEMO[memo_key] = bitmap
+        _BITMAP_MEMO.set(spark, sf_dir, bitmap)
     return (
         grams.filter(F.col("doc_id") % 50 != 0)
         .filter(bloom_contains(bitmap, "gram"))

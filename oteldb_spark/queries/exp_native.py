@@ -24,6 +24,7 @@ from ..operators.exp_histogram import (
     exp_histogram_fraction,
     exp_histogram_quantile,
 )
+from ..memo import SessionMemo
 from ..sources import otlp_pb as pb
 from ..tables import load
 from .registry import register
@@ -72,14 +73,14 @@ def _encode_states(rows, limit, time_ns) -> list[bytes]:
     return metrics
 
 
-_PAYLOAD_MEMO: dict = {}
+_PAYLOAD_MEMO = SessionMemo()
 
 
 def _state_payload(spark, sf_dir) -> list[bytes]:
     # fixture encode pinned per (session, sf): five sibling gates call
     # this, and the events collect + driver-side wire encode is
     # identical every time
-    memo = _PAYLOAD_MEMO.get((spark, sf_dir))
+    memo = _PAYLOAD_MEMO.get(spark, sf_dir)
     if memo is not None:
         return memo
     rows = (
@@ -93,11 +94,11 @@ def _state_payload(spark, sf_dir) -> list[bytes]:
             {"service.name": "svc-exp"}, _encode_states(rows, _LIMIT, _T0_NS)
         )
     ]
-    _PAYLOAD_MEMO[(spark, sf_dir)] = out
+    _PAYLOAD_MEMO.set(spark, sf_dir, out)
     return out
 
 
-_BUCKETS_MEMO: dict = {}
+_BUCKETS_MEMO = SessionMemo()
 
 
 def _buckets(spark, sf_dir):
@@ -106,7 +107,7 @@ def _buckets(spark, sf_dir):
     # decode each; repin revives the blocks after a bench release
     from ..operators.pin import pin, repin
 
-    memo = _BUCKETS_MEMO.get((spark, sf_dir))
+    memo = _BUCKETS_MEMO.get(spark, sf_dir)
     if memo is not None:
         return repin(memo, small=True)
     payloads = _state_payload(spark, sf_dir)
@@ -115,7 +116,7 @@ def _buckets(spark, sf_dir):
         "etype", F.col("labels")["etype"]
     )
     out = pin(explode_exp_buckets(state, ["name", "etype"]), small=True)
-    _BUCKETS_MEMO[(spark, sf_dir)] = out
+    _BUCKETS_MEMO.set(spark, sf_dir, out)
     return out
 
 
@@ -390,7 +391,7 @@ def _encode_signed_states(rows, time_ns) -> list[bytes]:
     return metrics
 
 
-_SIGNED_MEMO: dict = {}
+_SIGNED_MEMO = SessionMemo()
 
 
 def _signed_buckets(spark, sf_dir):
@@ -399,13 +400,13 @@ def _signed_buckets(spark, sf_dir):
     the wire decode per branch without the pin; the frame is tiny."""
     from ..operators.exp_histogram import explode_exp_buckets_signed
 
-    memo = _SIGNED_MEMO.get((spark, sf_dir))
+    memo = _SIGNED_MEMO.get(spark, sf_dir)
     if memo is not None:
         # a release_pins() between queries may have dropped the blocks;
         # revive both pins or every sibling branch re-runs the decode
         from ..operators.pin import repin
 
-        repin(_SIGNED_MEMO[("state", spark, sf_dir)])
+        repin(_SIGNED_MEMO.get(spark, ("state", sf_dir)))
         return repin(memo)
     rows = (
         load(spark, sf_dir, "events")
@@ -426,8 +427,8 @@ def _signed_buckets(spark, sf_dir):
 
     pinned_state = pin(state)
     out = pin(explode_exp_buckets_signed(pinned_state, ["name", "etype"]))
-    _SIGNED_MEMO[(spark, sf_dir)] = out
-    _SIGNED_MEMO[("state", spark, sf_dir)] = pinned_state
+    _SIGNED_MEMO.set(spark, sf_dir, out)
+    _SIGNED_MEMO.set(spark, ("state", sf_dir), pinned_state)
     return out
 
 
@@ -435,7 +436,7 @@ def _signed_state(spark, sf_dir):
     """The pinned native state rows behind :func:`_signed_buckets`
     (count/sum per series — the stddev mean source)."""
     _signed_buckets(spark, sf_dir)
-    return _SIGNED_MEMO[("state", spark, sf_dir)]
+    return _SIGNED_MEMO.get(spark, ("state", sf_dir))
 
 
 _SIGNED_CTES = f"""WITH e AS (

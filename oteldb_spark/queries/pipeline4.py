@@ -153,10 +153,11 @@ def _funnel_frame(spark, sf_dir):
     )
     # one row per corpus doc with the quality verdict; feeds four
     # downstream branches (canon, survivor minhash, grams, final
-    # assembly) — output-sized columns only, so pin small
+    # assembly).  Carries the full text column → data-sized, so the
+    # default DISK_ONLY pin (an in-memory pin of every document would
+    # evict the working set at corpus scale)
     q = pin(
-        corpus.select("doc_id", "text", n_words.alias("n_words"), ok.alias("ok")),
-        small=True,
+        corpus.select("doc_id", "text", n_words.alias("n_words"), ok.alias("ok"))
     )
 
     canon = q.filter("ok").withColumn(

@@ -11,6 +11,7 @@ Usage: python tools/verify_oracles.py [sf_dir] [name_filter...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -51,7 +52,18 @@ def main() -> int:
     from oteldb_spark.session import get_spark
     from oteldb_spark.tables import TABLES
 
-    spark = get_spark("verify-oracles")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # session-independence sweep: a bare session exactly like the
+        # driver's — default shuffle partitions, no AQE/tz/ns configs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify-oracles-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("verify-oracles")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
