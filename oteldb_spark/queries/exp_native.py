@@ -406,7 +406,9 @@ def _signed_buckets(spark, sf_dir):
         # revive both pins or every sibling branch re-runs the decode
         from ..operators.pin import repin
 
-        repin(_SIGNED_MEMO.get(spark, ("state", sf_dir)))
+        state = _SIGNED_MEMO.get(spark, ("state", sf_dir))
+        if state is not None:  # buckets memoized without state: rare
+            repin(state)  # partial-set failure; recompute is still safe
         return repin(memo)
     rows = (
         load(spark, sf_dir, "events")

@@ -367,9 +367,10 @@ def docs_mixture_sample(spark, sf_dir):
     total = w.agg(F.sum("wq").alias("tw"))
     q = w.crossJoin(F.broadcast(total)).select(
         "source",
-        ((F.lit(_MIX_N) * F.col("wq")) / F.col("tw"))
-        .cast("long")
-        .alias("quota"),
+        # integer `div` (long/long is exact), matching the oracle's
+        # `//` — double division can land one ulp below an integer and
+        # truncate to a different quota
+        F.expr(f"({_MIX_N} * wq) div tw").cast("long").alias("quota"),
     )
     rk = F.row_number().over(
         W.partitionBy("source").orderBy("h", "doc_id")

@@ -157,6 +157,65 @@ def test_sliding_merge_matches_fanout(spark):
         assert sliding == naive, op
 
 
+def test_sliding_max_spine_boundary(spark):
+    """Route selection straddling SLIDING_MAX_SPINE: ratio + n_steps
+    exactly AT the bound takes the sliding merge (Window, no explode);
+    one step past it bails to the fan-out (Generate).  Both routes
+    collected and compared against an independent Python evaluation of
+    the same windows — route flip must not change values."""
+    from pyspark.sql import functions as F  # noqa: F401 (plan imports)
+
+    from oteldb_spark.operators.range_agg import (
+        SLIDING_MAX_SPINE,
+        SLIDING_MIN_RATIO,
+        range_aggregate,
+    )
+
+    step = 1_000_000
+    ratio = SLIDING_MIN_RATIO  # smallest frame the sliding route takes
+    start = 1_000_000_000_000
+    rng_us = ratio * step
+    rows = [
+        ("a", start + i * 700_000, float(i % 9)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "svc string, ts_us long, sample double")
+
+    def run(n_steps):
+        out = range_aggregate(
+            df,
+            "count_over_time",
+            start_us=start,
+            end_us=start + n_steps * step,
+            step_us=step,
+            range_us=rng_us,
+            by=["svc"],
+        )
+        return out, {(r.svc, r.step_us): r.value for r in out.collect()}
+
+    def expected(n_steps):
+        exp = {}
+        for k in range(n_steps + 1):
+            t = start + k * step
+            n = sum(1 for _, ts, _ in rows if t - rng_us < ts <= t)
+            if n:
+                exp[("a", t)] = float(n)
+        return exp
+
+    under_steps = SLIDING_MAX_SPINE - ratio  # ratio + n_steps == bound
+    over_steps = under_steps + 1  # one past: fan-out
+    under_df, under_vals = run(under_steps)
+    over_df, over_vals = run(over_steps)
+    under_plan = audit(under_df).text
+    over_plan = audit(over_df).text
+    assert "Window" in under_plan and "Generate" not in under_plan
+    assert "Generate" in over_plan
+    assert under_vals == expected(under_steps)
+    assert over_vals == expected(over_steps)
+    # the extra step at the end is empty, so the two routes evaluated
+    # identical windows — values must agree exactly across the flip
+    assert under_vals == over_vals
+
+
 def test_jaccard_prefix_no_cartesian(spark):
     """The prefix join must stay an equi-join on gram (plus residual
     filters) — no cartesian/nested-loop anywhere, scan pruned to
