@@ -83,19 +83,60 @@ def child_join(spans: DataFrame, parent_pred, child_pred) -> DataFrame:
     )
 
 
+def _structural_route() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_STRUCTURAL", "nested")
+
+
 def descendants(
-    spans: DataFrame, ancestor_pred, descendant_pred, max_depth: int | None = None
+    spans: DataFrame,
+    ancestor_pred,
+    descendant_pred,
+    max_depth: int | None = None,
+    route: str | None = None,
 ) -> DataFrame:
     """Spans matching ``descendant_pred`` with ANY ancestor matching
     ``ancestor_pred`` (TraceQL ``{anc} >> {desc}``).
+
+    Default route is the NESTED-SET encoding computed per trace in one
+    ``applyInPandas`` pass (:func:`trace_coords`): descendant(a, d) ⇔
+    ``a.ns_left < d.ns_left <= a.ns_right`` — one shuffle regardless of
+    tree depth, the plan a 100 TB trace store wants.  ``route=
+    "frontier"`` (or env ``SPARK_GRAFT_STRUCTURAL=frontier``) keeps the
+    pure-DataFrame iterative loop: no Python workers, but D shuffle
+    rounds for depth-D traces."""
+    if (route or _structural_route()) == "frontier":
+        return descendants_frontier(spans, ancestor_pred, descendant_pred)
+    return descendants_nested(spans, ancestor_pred, descendant_pred)
+
+
+def ancestors_of(
+    spans: DataFrame,
+    descendant_pred,
+    ancestor_pred,
+    max_depth: int | None = None,
+    route: str | None = None,
+) -> DataFrame:
+    """Spans matching ``ancestor_pred`` with ANY descendant matching
+    ``descendant_pred`` (TraceQL ``{desc} << {anc}``) — the upward
+    mirror of :func:`descendants`, same route switch."""
+    if (route or _structural_route()) == "frontier":
+        return ancestors_frontier(spans, descendant_pred, ancestor_pred)
+    return ancestors_nested(spans, descendant_pred, ancestor_pred)
+
+
+def descendants_frontier(
+    spans: DataFrame, ancestor_pred, descendant_pred
+) -> DataFrame:
+    """Frontier-loop route for ``>>``.
 
     Iterative frontier expansion to fixpoint: frontier holds the
     (trace_id, span_id) discovered last round; each round joins the
     frontier to its children and keeps only never-seen spans.  Rounds
     = tree depth, each a hash join on (trace_id, parent_span_id) —
     the loop is driver-side control flow only; data never leaves the
-    cluster.  ``max_depth`` is accepted for backwards compatibility
-    and ignored: traversal always runs until the frontier drains
+    cluster.  Traversal always runs until the frontier drains
     (raising :class:`StructuralDepthError` past ``HARD_CAP``).
     """
     edges = spans.select("trace_id", "span_id", "parent_span_id")
@@ -149,15 +190,12 @@ def parent_join(spans: DataFrame, child_pred, parent_pred) -> DataFrame:
     )
 
 
-def ancestors_of(
-    spans: DataFrame, descendant_pred, ancestor_pred, max_depth: int | None = None
+def ancestors_frontier(
+    spans: DataFrame, descendant_pred, ancestor_pred
 ) -> DataFrame:
-    """Spans matching ``ancestor_pred`` with ANY descendant matching
-    ``descendant_pred`` (TraceQL ``{desc} << {anc}``) — the upward
-    mirror of ``descendants``: the frontier climbs parent pointers to
-    fixpoint, each round one hash join on (trace_id, span_id).
-    ``max_depth`` is accepted for backwards compatibility and ignored
-    (see :func:`descendants`)."""
+    """Frontier-loop route for ``<<`` — the upward mirror of
+    :func:`descendants_frontier`: the frontier climbs parent pointers
+    to fixpoint, each round one hash join on (trace_id, span_id)."""
     edges = spans.select("trace_id", "span_id", "parent_span_id")
     frontier = (
         spans.filter(descendant_pred)
@@ -194,6 +232,202 @@ def ancestors_of(
     return spans.filter(ancestor_pred).join(
         covered, ["trace_id", "span_id"], "left_semi"
     )
+
+
+def trace_coords(
+    spans: DataFrame, trace_keys: DataFrame | None = None
+) -> DataFrame:
+    """Nested-set (ns_left, ns_right) per span, computed PER TRACE in
+    one ``applyInPandas`` pass — the query-time route for ``>>``/``<<``.
+
+    A trace is small (spans-per-trace bounded, kilobytes of ids), so
+    the DFS numbering that is inherently sequential in depth runs
+    in-memory per group: ONE shuffle on trace_id regardless of tree
+    depth, where the frontier loop pays one shuffle round per level.
+    This is the nested-set strategy the reference reserves intrinsics
+    for but never computes (``traceql/attribute.go:60-65``).
+
+    Invariant (same convention as :func:`nested_sets`):
+    descendant(a, d) ⇔ ``a.ns_left < d.ns_left <= a.ns_right``, with
+    ``ns_left`` the 1-based DFS preorder index within the trace and
+    ``ns_right`` the max ``ns_left`` in the subtree (incl. self).
+    Spans whose parent id is absent from the trace act as roots
+    (matching the frontier loop: a join can't cross a missing span
+    either); cycle remnants are broken at their smallest span_id.
+
+    ``trace_keys``: optional (trace_id) frame — restrict numbering to
+    those traces (the predicate-relevant subset), keeping the Python
+    stage output-scale instead of store-scale.
+
+    Grouping is by ``hash(trace_id) % buckets`` — NOT by trace_id —
+    so one Arrow exchange carries thousands of traces per Python call
+    (per-group applyInPandas overhead on tiny trace groups measured
+    35× slower at sf0.1).  Inside a bucket, traces are split by run
+    boundaries after a local sort; numbering is globally unique within
+    the bucket but contiguous per trace, which is all the containment
+    predicate needs (it only ever compares coords within one trace).
+    Bucket count scales with the session's parallelism, like any
+    shuffle; a bucket holds entire traces, never a partial one."""
+    edges = spans.select("trace_id", "span_id", "parent_span_id")
+    if trace_keys is not None:
+        edges = edges.join(
+            F.broadcast(trace_keys.select("trace_id").distinct()),
+            "trace_id",
+            "left_semi",
+        )
+    fields = {f.name: f.dataType.simpleString() for f in edges.schema.fields}
+    out_schema = (
+        f"trace_id {fields['trace_id']}, span_id {fields['span_id']}, "
+        "ns_left long, ns_right long"
+    )
+    buckets = edges.sparkSession.sparkContext.defaultParallelism * 4
+
+    def number_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("span_id", kind="stable").sort_values(
+            "trace_id", kind="stable"
+        )
+        tid_arr = pdf["trace_id"].to_numpy()
+        sid_list = pdf["span_id"].tolist()
+        pid_list = [
+            None if pd.isna(p) else (int(p) if isinstance(p, float) else p)
+            for p in pdf["parent_span_id"].tolist()
+        ]
+        out_tid: list = []
+        out_sid: list = []
+        out_l: list = []
+        out_r: list = []
+        counter = 0  # bucket-global: per-trace contiguity is enough
+
+        def one_trace(tid, sids, pids):
+            nonlocal counter
+            idset = set(sids)
+            children: dict = {}
+            roots = []
+            seen: set = set()
+            for s, p in zip(sids, pids):
+                if s in seen:
+                    continue  # duplicate span row: first one wins
+                seen.add(s)
+                if p is None or p == s or p not in idset:
+                    roots.append(s)
+                else:
+                    children.setdefault(p, []).append(s)
+            left: dict = {}
+            right: dict = {}
+            visited: set = set()
+
+            def walk(starts):
+                nonlocal counter
+                stack = [(r, False) for r in reversed(starts)]
+                while stack:
+                    node, done = stack.pop()
+                    if done:
+                        right[node] = max(
+                            [left[node]]
+                            + [
+                                right[c]
+                                for c in children.get(node, ())
+                                if c in right
+                            ]
+                        )
+                        continue
+                    if node in visited:
+                        continue
+                    visited.add(node)
+                    counter += 1
+                    left[node] = counter
+                    stack.append((node, True))
+                    for c in reversed(children.get(node, ())):
+                        if c not in visited:
+                            stack.append((c, False))
+
+            walk(roots)  # sids pre-sorted → roots and children sorted
+            # cycle remnants are unreachable from any root: break each
+            # cycle at its smallest id so every span still gets coords
+            remaining = sorted(s for s in seen if s not in visited)
+            while remaining:
+                walk([remaining[0]])
+                remaining = sorted(s for s in seen if s not in visited)
+            for s in seen:
+                out_tid.append(tid)
+                out_sid.append(s)
+                out_l.append(left[s])
+                out_r.append(right[s])
+
+        n = len(sid_list)
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or tid_arr[i] != tid_arr[start]:
+                one_trace(
+                    tid_arr[start], sid_list[start:i], pid_list[start:i]
+                )
+                start = i
+        return pd.DataFrame(
+            {
+                "trace_id": out_tid,
+                "span_id": out_sid,
+                "ns_left": out_l,
+                "ns_right": out_r,
+            }
+        )
+
+    return (
+        edges.withColumn("__b", F.pmod(F.hash("trace_id"), F.lit(buckets)))
+        .groupBy("__b")
+        .applyInPandas(
+            lambda pdf: number_bucket(pdf.drop(columns="__b")), out_schema
+        )
+    )
+
+
+def descendants_nested(
+    spans: DataFrame, ancestor_pred, descendant_pred
+) -> DataFrame:
+    """Nested-set route for ``>>``: number candidate traces once
+    (:func:`trace_coords`), then ONE range-predicate semi-join —
+    ``a.ns_left < d.ns_left <= a.ns_right`` hash-joined on trace_id
+    with the range as residual.  No iteration, depth-independent."""
+    anc = spans.filter(ancestor_pred).select("trace_id", "span_id")
+    coords = trace_coords(spans, trace_keys=anc)
+    a = anc.join(coords, ["trace_id", "span_id"]).select(
+        F.col("trace_id").alias("a_tid"),
+        F.col("ns_left").alias("a_left"),
+        F.col("ns_right").alias("a_right"),
+    )
+    d = spans.filter(descendant_pred).join(coords, ["trace_id", "span_id"])
+    out = d.join(
+        a,
+        (d.trace_id == F.col("a_tid"))
+        & (F.col("ns_left") > F.col("a_left"))
+        & (F.col("ns_left") <= F.col("a_right")),
+        "left_semi",
+    )
+    return out.drop("ns_left", "ns_right")
+
+
+def ancestors_nested(
+    spans: DataFrame, descendant_pred, ancestor_pred
+) -> DataFrame:
+    """Nested-set route for ``<<``: ancestor-matching spans whose
+    subtree range contains a descendant match — the same single
+    range-predicate semi-join, taken from the ancestor side."""
+    desc = spans.filter(descendant_pred).select("trace_id", "span_id")
+    coords = trace_coords(spans, trace_keys=desc)
+    d = desc.join(coords, ["trace_id", "span_id"]).select(
+        F.col("trace_id").alias("d_tid"),
+        F.col("ns_left").alias("d_left"),
+    )
+    a = spans.filter(ancestor_pred).join(coords, ["trace_id", "span_id"])
+    out = a.join(
+        d,
+        (a.trace_id == F.col("d_tid"))
+        & (F.col("d_left") > F.col("ns_left"))
+        & (F.col("d_left") <= F.col("ns_right")),
+        "left_semi",
+    )
+    return out.drop("ns_left", "ns_right")
 
 
 def nested_sets(spans: DataFrame, max_depth: int | None = None) -> DataFrame:

