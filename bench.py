@@ -98,6 +98,11 @@ HEADLINE = [
     # token counting (ordered merge table as codegen replace chain)
     "docs_repetition_rules",
     "text_bpe_tokens",
+    # round-7 additions: the nested-set >> route (per-trace DFS coords
+    # via bucketed applyInPandas, one shuffle at any depth) and the
+    # Arrow-batched binary feature extraction over multimodal columns
+    "traceql_descendant",
+    "multimodal_feature_extract",
 ]
 
 

@@ -383,3 +383,50 @@ def docs_mixture_sample(spark, sf_dir):
             "doc_id", "source", F.col("quota").cast("long").alias("source_quota")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING step (the other half of text_bpe_tokens, which APPLIES a
+# fixed merge table): count adjacent symbol pairs to pick the next merge.
+# The standard scaling trick: pairs are counted over the DISTINCT-word
+# frequency table, not the raw corpus — the explode is |vocab|-sized
+# while the corpus contribution arrives as an exact integer weight.  At
+# 100 TB the word-frequency aggregate is the only data-scale shuffle;
+# the pair aggregate runs over a vocabulary.
+@register(
+    "text_bpe_train_pairs",
+    """WITH words AS (
+  SELECT lower(unnest(string_split(text, ' '))) AS w FROM documents),
+wf AS (
+  SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+fanned AS (
+  SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i FROM wf),
+pairs AS (
+  SELECT substring(w, i, 2) AS pair, sum(f) AS n
+  FROM fanned GROUP BY 1)
+SELECT pair, CAST(n AS BIGINT) AS n
+FROM pairs ORDER BY n DESC, pair LIMIT 20""",
+)
+def text_bpe_train_pairs(spark, sf_dir):
+    """Top-20 character-pair candidates for the next BPE merge, with
+    exact corpus counts.  Deterministic selection: ties broken on the
+    pair string itself so the LIMIT cuts identically in both engines."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
