@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .memo import SessionMemo
 from .tables import load
 
 # ---------------------------------------------------------------------------
@@ -116,7 +117,10 @@ LOGS_CTE = f"""logs AS (
 COUNTER_RESET_MOD = 5000
 
 
-_COUNTERS_MEMO: dict = {}
+# weak-keyed per-session memos: a plain dict would retain every
+# SparkSession (and its pinned frame) for the process lifetime; repin
+# on hit revives blocks a release_pins() between queries dropped
+_COUNTERS_MEMO = SessionMemo()
 
 
 def counter_points_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,14 +136,16 @@ def counter_points_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-level pruning buys nothing here — a cumsum needs the full
     history regardless of the query's time range.
     """
-    memo = _COUNTERS_MEMO.get((spark, sf_dir))
+    memo = _COUNTERS_MEMO.get(spark, sf_dir)
     if memo is not None:
-        return memo
+        from .operators.pin import repin
+
+        return repin(memo)
     out = _counter_points_uncached(spark, sf_dir)
     from .operators.pin import pin
 
     out = pin(out)
-    _COUNTERS_MEMO[(spark, sf_dir)] = out
+    _COUNTERS_MEMO.set(spark, sf_dir, out)
     return out
 
 
@@ -239,18 +245,20 @@ SPANS_CTE = SPANS_SQL_DUCK
 # plan branch — structural queries reference the frame on both join
 # sides.  Keyed by the session object itself so a stopped session's
 # entry can never leak into a new one.
-_SPANS_MEMO: dict = {}
+_SPANS_MEMO = SessionMemo()
 
 
 def spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    memo = _SPANS_MEMO.get((spark, sf_dir))
+    memo = _SPANS_MEMO.get(spark, sf_dir)
     if memo is not None:
-        return memo
+        from .operators.pin import repin
+
+        return repin(memo)
     out = _spans_frame_uncached(spark, sf_dir)
     from .operators.pin import pin
 
     out = pin(out)
-    _SPANS_MEMO[(spark, sf_dir)] = out
+    _SPANS_MEMO.set(spark, sf_dir, out)
     return out
 
 
@@ -299,7 +307,7 @@ _EVENT_T = "array<struct<name:string,ts_us:bigint,attrs:map<string,string>>>"
 _LINK_T = "array<struct<trace_id:bigint,span_id:bigint,attrs:map<string,string>>>"
 
 
-_SPANS_EVENTS_MEMO: dict = {}
+_SPANS_EVENTS_MEMO = SessionMemo()
 
 
 def spans_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,14 +320,16 @@ def spans_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Memoized + pinned per session like ``spans_frame`` (same
     rationale: this is the materialized-store stand-in)."""
-    memo = _SPANS_EVENTS_MEMO.get((spark, sf_dir))
+    memo = _SPANS_EVENTS_MEMO.get(spark, sf_dir)
     if memo is not None:
-        return memo
+        from .operators.pin import repin
+
+        return repin(memo)
     out = _spans_events_uncached(spark, sf_dir)
     from .operators.pin import pin
 
     out = pin(out)
-    _SPANS_EVENTS_MEMO[(spark, sf_dir)] = out
+    _SPANS_EVENTS_MEMO.set(spark, sf_dir, out)
     return out
 
 
