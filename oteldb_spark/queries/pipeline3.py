@@ -627,3 +627,93 @@ def docs_gopher_rules(spark, sf_dir):
         stop_hits.cast("long").alias("stop_hits"),
         keep.cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The REMOVAL step of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): dedup_repeated_windows
+# counts cross-document duplicated K-token windows; this gate emits the
+# actionable output — per doc, the MERGED token intervals covered by any
+# such window (classic gaps-and-islands interval union), i.e. exactly
+# the spans a curation run cuts.  Plan shape: the window explode and
+# dup-hash groupBy from the detection gate, one window function per doc
+# for the island ids, one final groupBy — all data-scale work is the
+# same two shuffles the detection pays; the interval merge is
+# output-scale (flagged windows only).
+@register(
+    "dedup_exact_substr_cuts",
+    f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, i, md5(array_to_string(tk[i:i+{_K - 1}], ' ')) AS h
+  FROM t, UNNEST(CASE WHEN len(tk) < {_K} THEN CAST([] AS BIGINT[])
+                 ELSE range(1, len(tk) - {_K - 2}) END) AS u(i)
+),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT w.doc_id, w.i AS s, w.i + {_K} AS e
+  FROM w JOIN dup USING (h)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS brk
+  FROM flagged
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS cut_start,
+       CAST(max(e) AS BIGINT) AS cut_end,
+       CAST(max(e) - min(s) AS BIGINT) AS n_tokens_cut
+FROM grp GROUP BY doc_id, island""",
+)
+def dedup_exact_substr_cuts(spark, sf_dir):
+    """Merged cut intervals: [cut_start, cut_end) in 1-based token
+    positions; overlapping or touching flagged windows coalesce."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) < {_K}"
+                f" THEN array()"
+                f" ELSE transform(sequence(1, size(split(text, ' ')) - {_K - 1}),"
+                f"      i -> struct(i AS i,"
+                f"        md5(array_join(slice(split(text, ' '), i, {_K}), ' ')) AS h))"
+                f" END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("s"), F.col("g.h").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    flagged = wins.join(dup, "h").select(
+        "doc_id", "s", (F.col("s") + F.lit(_K)).alias("e")
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w_doc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(prev_max_e >= F.col("s"), F.lit(0)).otherwise(F.lit(1))
+    grp = flagged.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w_doc.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("s").cast("long").alias("cut_start"),
+        F.max("e").cast("long").alias("cut_end"),
+        (F.max("e") - F.min("s")).cast("long").alias("n_tokens_cut"),
+    ).select("doc_id", "cut_start", "cut_end", "n_tokens_cut")

@@ -112,3 +112,29 @@ def test_funnel_every_stage_fires_on_engineered_corpus(spark, tmp_path):
     assert flags[6]["near_dup_dropped"] and not flags[4]["near_dup_dropped"]
     assert flags[7]["contaminated"] and flags[7]["is_canonical"]
     assert sorted(k for k, r in flags.items() if r["survives"]) == [2, 4]
+
+
+def test_exact_substr_cuts_merge_windows(spark, tmp_path):
+    """A 10-token run shared across two docs flags 3 overlapping
+    8-token windows per doc; the gate must emit ONE merged interval
+    per doc covering exactly the shared run."""
+    from oteldb_spark.queries.pipeline3 import dedup_exact_substr_cuts
+
+    shared = [f"shared{i:02d}" for i in range(10)]
+    d1 = [f"a{i:02d}" for i in range(20)] + shared + ["b1", "b2", "b3"]
+    d2 = [f"c{i:02d}" for i in range(5)] + shared + ["d1"]
+    df = spark.createDataFrame(
+        [(1, " ".join(d1), "en", "fix", 0), (2, " ".join(d2), "en", "fix", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_exact_substr_cuts(spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 2  # one merged island per doc, not 3 windows
+    # doc 1: shared run at 1-based tokens 21..30 -> [21, 31)
+    assert (rows[1]["cut_start"], rows[1]["cut_end"]) == (21, 31)
+    assert rows[1]["n_tokens_cut"] == 10
+    # doc 2: shared run at tokens 6..15 -> [6, 16)
+    assert (rows[2]["cut_start"], rows[2]["cut_end"]) == (6, 16)
