@@ -388,9 +388,13 @@ def descendants_nested(
     """Nested-set route for ``>>``: number candidate traces once
     (:func:`trace_coords`), then ONE range-predicate semi-join —
     ``a.ns_left < d.ns_left <= a.ns_right`` hash-joined on trace_id
-    with the range as residual.  No iteration, depth-independent."""
+    with the range as residual.  No iteration, depth-independent.
+    Coords feed BOTH join sides: pin them, or Catalyst re-runs the
+    whole shuffle+DFS Python stage per side (plan-verified 2×)."""
+    from .pin import pin
+
     anc = spans.filter(ancestor_pred).select("trace_id", "span_id")
-    coords = trace_coords(spans, trace_keys=anc)
+    coords = pin(trace_coords(spans, trace_keys=anc))
     a = anc.join(coords, ["trace_id", "span_id"]).select(
         F.col("trace_id").alias("a_tid"),
         F.col("ns_left").alias("a_left"),
@@ -412,9 +416,12 @@ def ancestors_nested(
 ) -> DataFrame:
     """Nested-set route for ``<<``: ancestor-matching spans whose
     subtree range contains a descendant match — the same single
-    range-predicate semi-join, taken from the ancestor side."""
+    range-predicate semi-join, taken from the ancestor side (same
+    two-sided coords pin as :func:`descendants_nested`)."""
+    from .pin import pin
+
     desc = spans.filter(descendant_pred).select("trace_id", "span_id")
-    coords = trace_coords(spans, trace_keys=desc)
+    coords = pin(trace_coords(spans, trace_keys=desc))
     d = desc.join(coords, ["trace_id", "span_id"]).select(
         F.col("trace_id").alias("d_tid"),
         F.col("ns_left").alias("d_left"),
