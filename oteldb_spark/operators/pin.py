@@ -34,17 +34,49 @@ _LIVE_PINS: list["weakref.ref[DataFrame]"] = []
 def release_pins() -> int:
     """Unpersist every pin issued since the last release; returns the
     number released.  No-op for localCheckpoint / reliable-checkpoint
-    modes (nothing held in the block-manager cache to drop)."""
+    modes (nothing held in the block-manager cache to drop).
+
+    Pins whose Python wrapper was GC'd before release (e.g. the coords
+    pin created inside ``descendants_nested``) cannot be unpersisted
+    individually — persist entries are keyed by logical plan JVM-side.
+    When any dead ref is found, this hook sweeps them itself with
+    ``catalog.clearCache()`` on the sessions still reachable from live
+    refs, so calling ``release_pins()`` alone never leaks cached blocks
+    for the session lifetime.  (clearCache drops the live pins' blocks
+    too; they are being released here anyway.)"""
     n = 0
+    dead = 0
+    sessions = []
     for ref in _LIVE_PINS:
         df = ref()
         if df is None:
-            continue  # wrapper collected; clearCache sweeps its blocks
+            dead += 1
+            continue
         try:
+            sessions.append(df.sparkSession)
             df.unpersist(blocking=False)
             n += 1
         except Exception:
             pass  # session already stopped
+    if dead:
+        if not sessions:  # every wrapper died: fall back to the active session
+            try:
+                from pyspark.sql import SparkSession
+
+                s = SparkSession.getActiveSession()
+                if s is not None:
+                    sessions.append(s)
+            except Exception:
+                pass
+        seen = set()
+        for s in sessions:
+            if id(s) in seen:
+                continue
+            seen.add(id(s))
+            try:
+                s.catalog.clearCache()
+            except Exception:
+                pass
     _LIVE_PINS.clear()
     return n
 

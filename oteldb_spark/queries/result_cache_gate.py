@@ -14,13 +14,13 @@ forward).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..operators.rate import rate_family, rate_family_oracle_sql
 from ..plans.result_cache import StepResultCache
 from ..signals import COUNTERS_CTE, counter_points_frame
+from ..scratch import scratch_dir
 from .registry import END_US, RANGE_US, START_US, STEP_US, register
 
 _SERIES = ["mtype", "instance"]
@@ -62,7 +62,7 @@ def promql_rate_cached(spark, sf_dir):
             range_us=RANGE_US,
         )
 
-    cache = StepResultCache(tempfile.mkdtemp(prefix="oteldb_rc_"))
+    cache = StepResultCache(scratch_dir(prefix="oteldb_rc_"))
     mid = START_US + 15 * 86_400_000_000  # on the 6h step grid
     cache.query_range(spark, "rate", START_US, mid, STEP_US, compute)
     out = cache.query_range(spark, "rate", START_US, END_US, STEP_US, compute)
@@ -89,7 +89,7 @@ def _compute_fn(pts):
 @register("promql_rate_cached_cold", _oracle())
 def promql_rate_cached_cold(spark, sf_dir):
     pts = counter_points_frame(spark, sf_dir)
-    cache = StepResultCache(tempfile.mkdtemp(prefix="oteldb_rc_"))
+    cache = StepResultCache(scratch_dir(prefix="oteldb_rc_"))
     out = cache.query_range(
         spark, "rate", START_US, END_US, STEP_US, _compute_fn(pts)
     )
@@ -108,7 +108,7 @@ _WARM_CACHES: dict[str, StepResultCache] = {}
 def promql_rate_cached_warm(spark, sf_dir):
     pts = counter_points_frame(spark, sf_dir)
     cache = _WARM_CACHES.setdefault(
-        sf_dir, StepResultCache(tempfile.mkdtemp(prefix="oteldb_rcw_"))
+        sf_dir, StepResultCache(scratch_dir(prefix="oteldb_rcw_"))
     )
     out = cache.query_range(
         spark, "rate", START_US, END_US, STEP_US, _compute_fn(pts)

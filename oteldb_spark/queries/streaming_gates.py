@@ -7,13 +7,13 @@ rows-only smoke check.
 from __future__ import annotations
 
 import shutil
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
 from ..operators.dedup import MINHASH_ORACLE_CTES
 from ..tables import load
+from ..scratch import scratch_dir
 from .registry import register
 
 
@@ -68,7 +68,7 @@ def stream_neardup_pairs(spark, sf_dir):
         "text",
         (1_700_000_000_000 + F.col("doc_id") * 1000).alias("ts_ms"),
     )
-    work = tempfile.mkdtemp(prefix="neardup_gate_")
+    work = scratch_dir(prefix="neardup_gate_")
     try:
         src = f"{work}/in"
         out_dir = f"{work}/out"
@@ -121,7 +121,7 @@ def stream_windowed_rollup(spark, sf_dir):
         F.col("value").cast("decimal(18,2)").alias("value"),
         F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
     )
-    work = tempfile.mkdtemp(prefix="rollup_gate_")
+    work = scratch_dir(prefix="rollup_gate_")
     try:
         src = f"{work}/in"
         out_dir = f"{work}/out"
@@ -197,7 +197,7 @@ def stream_sessionize_closed(spark, sf_dir):
     from ..streaming.sessionize import stream_sessionize
 
     ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
-    work = tempfile.mkdtemp(prefix="sess_gate_")
+    work = scratch_dir(prefix="sess_gate_")
     try:
         src = f"{work}/in"
         out_dir = f"{work}/out"
@@ -255,7 +255,7 @@ def stream_hll_windowed(spark, sf_dir):
         "user_id",
         F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
     )
-    work = tempfile.mkdtemp(prefix="hll_gate_")
+    work = scratch_dir(prefix="hll_gate_")
     try:
         src = f"{work}/in"
         out_dir = f"{work}/out"
@@ -322,7 +322,7 @@ def stream_hdr_windowed(spark, sf_dir):
         "value",
         F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
     )
-    work = tempfile.mkdtemp(prefix="hdr_gate_")
+    work = scratch_dir(prefix="hdr_gate_")
     try:
         src = f"{work}/in"
         out_dir = f"{work}/out"
@@ -383,7 +383,7 @@ def stream_span_interval_join(spark, sf_dir):
         F.col("l_linenumber").cast("long").alias("line_no"),
         F.col("l_shipdate").cast("timestamp").alias("child_ts"),
     )
-    work = tempfile.mkdtemp(prefix="ssj_gate_")
+    work = scratch_dir(prefix="ssj_gate_")
     try:
         rdir, cdir = f"{work}/roots", f"{work}/children"
         out_dir, ckpt = f"{work}/out", f"{work}/ckpt"

@@ -5,11 +5,19 @@ DuckDB over the same sf dir, then compares row count, column-name set,
 and an order-insensitive value comparison (rows sorted after
 normalizing).  Exit code 1 if anything mismatches.
 
-Usage: python tools/verify_oracles.py [sf_dir] [name_filter...]
+Usage: python tools/verify_oracles.py [--out=FILE] [--label=KEY] [sf_dir] [name_filter...]
+
+``--out=FILE`` writes a machine-readable verification artifact
+(VERIFY_rN.json): per-gate rows/ok/seconds plus run metadata — sf dir,
+session mode, and whether a name filter was active, so a filtered log
+can never pass for a full sweep.  ``--label=KEY`` merges this run
+under KEY into an existing artifact (e.g. one file holding both the
+sf0.01 and sf0.1 sweeps).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -44,8 +52,18 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = sys.argv[1:]
+    out_path = label = None
+    rest = []
+    for a in args:
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        elif a.startswith("--label="):
+            label = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    name_filter = rest[1:]
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -73,19 +91,27 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: list[dict] = []
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
         t0 = time.time()
+        rec = {"name": name, "ok": False, "rows": None, "seconds": None}
+        records.append(rec)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            rec["error"] = f"spark: {e}"
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        rec["rows"] = len(srows)
+        rec["seconds"] = round(time.time() - t0, 2)
         if name not in oracles:
+            rec["ok"] = True
+            rec["mode"] = "rows-only"
             print(f"weak  {name}: rows={len(srows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -95,6 +121,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
+            rec["error"] = f"oracle: {e}"
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         msgs = []
@@ -108,17 +135,52 @@ def main() -> int:
             if sn != on:
                 diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
                 msgs.append(f"values differ, e.g. {diff}")
+        rec["seconds"] = round(time.time() - t0, 2)
         if msgs:
             failures.append((name, "; ".join(msgs)))
+            rec["error"] = "; ".join(msgs)
             print(f"FAIL  {name}: {'; '.join(msgs)}")
         elif not srows:
             # both sides empty: a hash match over nothing certifies
             # nothing — surface it so thresholds/fixtures get fixed
+            rec["ok"] = True
+            rec["vacuous"] = True
             print(f"ok    {name}: rows=0 VACUOUS [{time.time()-t0:.1f}s]")
         else:
+            rec["ok"] = True
             print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    # count only gates actually EXECUTED — a name-filtered run must be
+    # visibly partial, never indistinguishable from a full sweep
+    n_exec = len(records)
+    scope = "FULL" if not name_filter else f"FILTERED({' '.join(name_filter)})"
+    print(f"\n{n_exec - len(failures)}/{n_exec} executed gates passed "
+          f"[{scope} sweep; registry has {len(qs)} gates]")
+    if out_path:
+        run = {
+            "sf_dir": sf_dir,
+            "session": "plain" if os.environ.get("SPARK_GRAFT_PLAIN") else "tuned",
+            "name_filter": name_filter,
+            "full_sweep": not name_filter,
+            "registry_size": len(qs),
+            "executed": n_exec,
+            "passed": n_exec - len(failures),
+            "gates": records,
+        }
+        doc: dict = {}
+        if label and os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    doc = json.load(f)
+            except Exception:
+                doc = {}
+        if label:
+            doc[label] = run
+        else:
+            doc = run
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {out_path}")
     return 1 if failures else 0
 
 
