@@ -265,24 +265,6 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
-# Broadcast the verified candidate-pair set only when it is actually
-# small: the prefix filter keeps it output-scale on clean corpora, but
-# on a near-dup-heavy corpus (the workload these joins model) candidate
-# pairs grow superlinearly, and an unconditional broadcast hint OOMs
-# where an optimizer-chosen shuffle join would merely be slower.  The
-# count is not wasted work — cand is pinned, so counting materializes
-# the exact blocks the verify joins re-read.
-_PAIR_BROADCAST_CAP = 1_000_000
-
-
-def _hint_if_small(cand: DataFrame) -> DataFrame:
-    try:
-        n = cand.count()
-    except Exception:  # pragma: no cover - session torn down mid-plan
-        return cand
-    return F.broadcast(cand) if n <= _PAIR_BROADCAST_CAP else cand
-
-
 def jaccard_prefix_join(
     sh: "DataFrame", tau: float, doc_col: str = "doc", gram_col: str = "gram"
 ) -> "DataFrame":
@@ -392,11 +374,13 @@ def jaccard_prefix_join(
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = (F.size("ga") + F.size("gb")).cast("double") - inter
     return (
-        # the pinned pair set loses its size stats behind the
-        # InMemoryRelation — re-hint the broadcast a fresh plan would
-        # get, but only after checking the pair count (see
-        # _PAIR_BROADCAST_CAP: near-dup-heavy corpora blow it up)
-        _hint_if_small(cand)
+        # no broadcast hint on the pinned pair set: AQE re-plans the
+        # join as broadcast at runtime iff the materialized size is
+        # small, which both avoids the OOM an unconditional hint risks
+        # on near-dup-heavy corpora AND the blocking count() job a
+        # size-gated hint needs at plan-construction time (removing
+        # that job measured faster end-to-end than the hint it bought)
+        cand
         .join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn("jaccard", inter / union)
@@ -487,11 +471,13 @@ def containment_prefix_join(
     gb = arrays.select(F.col(doc_col).alias("doc_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     return (
-        # the pinned pair set loses its size stats behind the
-        # InMemoryRelation — re-hint the broadcast a fresh plan would
-        # get, but only after checking the pair count (see
-        # _PAIR_BROADCAST_CAP: near-dup-heavy corpora blow it up)
-        _hint_if_small(cand)
+        # no broadcast hint on the pinned pair set: AQE re-plans the
+        # join as broadcast at runtime iff the materialized size is
+        # small, which both avoids the OOM an unconditional hint risks
+        # on near-dup-heavy corpora AND the blocking count() job a
+        # size-gated hint needs at plan-construction time (removing
+        # that job measured faster end-to-end than the hint it bought)
+        cand
         .join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn("containment", inter / F.size("ga").cast("double"))
