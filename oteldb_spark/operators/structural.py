@@ -105,7 +105,17 @@ def descendants(
     tree depth, the plan a 100 TB trace store wants.  ``route=
     "frontier"`` (or env ``SPARK_GRAFT_STRUCTURAL=frontier``) keeps the
     pure-DataFrame iterative loop: no Python workers, but D shuffle
-    rounds for depth-D traces."""
+    rounds for depth-D traces.
+
+    Cyclic-input semantics (corrupt parent pointers only — OTLP traces
+    are trees): the two routes DIVERGE, deliberately.  The frontier
+    loop walks the whole cycle, so every cycle member is a descendant
+    of every other; the nested route breaks each cycle at its smallest
+    span_id, so members preceding the break point are not descendants
+    of members after it.  Pinned by
+    ``test_structural_fuzz.py::test_routes_documented_cycle_semantics``;
+    on tree-shaped input (all fuzz seeds, all e2e corpora) the routes
+    agree exactly."""
     if (route or _structural_route()) == "frontier":
         return descendants_frontier(spans, ancestor_pred, descendant_pred)
     return descendants_nested(spans, ancestor_pred, descendant_pred)
@@ -235,7 +245,9 @@ def ancestors_frontier(
 
 
 def trace_coords(
-    spans: DataFrame, trace_keys: DataFrame | None = None
+    spans: DataFrame,
+    trace_keys: DataFrame | None = None,
+    with_parent: bool = False,
 ) -> DataFrame:
     """Nested-set (ns_left, ns_right) per span, computed PER TRACE in
     one ``applyInPandas`` pass — the query-time route for ``>>``/``<<``.
@@ -259,15 +271,25 @@ def trace_coords(
     those traces (the predicate-relevant subset), keeping the Python
     stage output-scale instead of store-scale.
 
+    ``with_parent``: also emit ``ns_parent`` — the parent's ``ns_left``,
+    or ``-1`` for roots (Tempo's NestedSetParent convention; the
+    reference reserves the intrinsic at ``traceql/attribute.go:60-65``).
+    Spans acting as roots for numbering purposes (true roots, missing
+    parents, cycle break points) all carry ``-1``, keeping the
+    invariant that ``ns_parent`` is the ``ns_left`` of the node whose
+    range immediately encloses this one in the numbering tree.
+
     Grouping is by ``hash(trace_id) % buckets`` — NOT by trace_id —
     so one Arrow exchange carries thousands of traces per Python call
     (per-group applyInPandas overhead on tiny trace groups measured
     35× slower at sf0.1).  Inside a bucket, traces are split by run
-    boundaries after a local sort; numbering is globally unique within
-    the bucket but contiguous per trace, which is all the containment
-    predicate needs (it only ever compares coords within one trace).
-    Bucket count scales with the session's parallelism, like any
-    shuffle; a bucket holds entire traces, never a partial one."""
+    boundaries after a local sort; numbering is 1-based PER TRACE
+    (deterministic regardless of how traces land in buckets — the
+    property that lets coords be stored at ingest and exposed as the
+    nestedSet* intrinsics), and the containment predicate only ever
+    compares coords within one trace.  Bucket count scales with the
+    session's parallelism, like any shuffle; a bucket holds entire
+    traces, never a partial one."""
     edges = spans.select("trace_id", "span_id", "parent_span_id")
     if trace_keys is not None:
         edges = edges.join(
@@ -280,6 +302,8 @@ def trace_coords(
         f"trace_id {fields['trace_id']}, span_id {fields['span_id']}, "
         "ns_left long, ns_right long"
     )
+    if with_parent:
+        out_schema += ", ns_parent long"
     buckets = edges.sparkSession.sparkContext.defaultParallelism * 4
 
     def number_bucket(pdf):
@@ -298,12 +322,19 @@ def trace_coords(
         out_sid: list = []
         out_l: list = []
         out_r: list = []
-        counter = 0  # bucket-global: per-trace contiguity is enough
+        out_p: list = []
+        counter = 0
 
         def one_trace(tid, sids, pids):
+            # 1-based PER TRACE: containment only compares coords within
+            # one trace, and a per-trace origin makes the numbers
+            # deterministic however traces land in buckets — required
+            # once coords are stored at ingest / exposed as intrinsics
             nonlocal counter
+            counter = 0
             idset = set(sids)
             children: dict = {}
+            parent_of: dict = {}
             roots = []
             seen: set = set()
             for s, p in zip(sids, pids):
@@ -314,8 +345,10 @@ def trace_coords(
                     roots.append(s)
                 else:
                     children.setdefault(p, []).append(s)
+                    parent_of[s] = p
             left: dict = {}
             right: dict = {}
+            eff_parent: dict = {}  # parent in the NUMBERING tree
             visited: set = set()
 
             def walk(starts):
@@ -341,6 +374,7 @@ def trace_coords(
                     stack.append((node, True))
                     for c in reversed(children.get(node, ())):
                         if c not in visited:
+                            eff_parent[c] = node
                             stack.append((c, False))
 
             walk(roots)  # sids pre-sorted → roots and children sorted
@@ -355,6 +389,8 @@ def trace_coords(
                 out_sid.append(s)
                 out_l.append(left[s])
                 out_r.append(right[s])
+                p = eff_parent.get(s)
+                out_p.append(-1 if p is None else left[p])
 
         n = len(sid_list)
         start = 0
@@ -364,14 +400,15 @@ def trace_coords(
                     tid_arr[start], sid_list[start:i], pid_list[start:i]
                 )
                 start = i
-        return pd.DataFrame(
-            {
-                "trace_id": out_tid,
-                "span_id": out_sid,
-                "ns_left": out_l,
-                "ns_right": out_r,
-            }
-        )
+        cols = {
+            "trace_id": out_tid,
+            "span_id": out_sid,
+            "ns_left": out_l,
+            "ns_right": out_r,
+        }
+        if with_parent:
+            cols["ns_parent"] = out_p
+        return pd.DataFrame(cols)
 
     return (
         edges.withColumn("__b", F.pmod(F.hash("trace_id"), F.lit(buckets)))
@@ -435,6 +472,65 @@ def ancestors_nested(
         "left_semi",
     )
     return out.drop("ns_left", "ns_right")
+
+
+def descendants_stored(
+    spans: DataFrame, ancestor_pred, descendant_pred
+) -> DataFrame:
+    """``>>`` served from INGEST-TIME coords: ``spans`` must already
+    carry ``ns_left``/``ns_right`` columns (written by
+    ``sources.bucketed.write_bucketed_spans(with_coords=True)``).
+
+    This is the terminal form of the scale story: the DFS numbering's
+    Python stage is paid ONCE at ingest, and the query is a single
+    range-predicate semi-join on trace_id — over the bucketed table,
+    ZERO exchange and zero Python (plan-asserted in test_plans.py).
+    The reference reserves exactly these columns as intrinsics without
+    computing them (``traceql/attribute.go:60-65``)."""
+    for c in ("ns_left", "ns_right"):
+        if c not in spans.columns:
+            raise ValueError(
+                f"descendants_stored needs stored coords column {c}; "
+                "write the table with with_coords=True or use descendants()"
+            )
+    a = spans.filter(ancestor_pred).select(
+        F.col("trace_id").alias("a_tid"),
+        F.col("ns_left").alias("a_left"),
+        F.col("ns_right").alias("a_right"),
+    )
+    d = spans.filter(descendant_pred)
+    return d.join(
+        a,
+        (d.trace_id == F.col("a_tid"))
+        & (d.ns_left > F.col("a_left"))
+        & (d.ns_left <= F.col("a_right")),
+        "left_semi",
+    )
+
+
+def ancestors_stored(
+    spans: DataFrame, descendant_pred, ancestor_pred
+) -> DataFrame:
+    """``<<`` from ingest-time coords — mirror of
+    :func:`descendants_stored`."""
+    for c in ("ns_left", "ns_right"):
+        if c not in spans.columns:
+            raise ValueError(
+                f"ancestors_stored needs stored coords column {c}; "
+                "write the table with with_coords=True or use ancestors_of()"
+            )
+    d = spans.filter(descendant_pred).select(
+        F.col("trace_id").alias("d_tid"),
+        F.col("ns_left").alias("d_left"),
+    )
+    a = spans.filter(ancestor_pred)
+    return a.join(
+        d,
+        (a.trace_id == F.col("d_tid"))
+        & (F.col("d_left") > a.ns_left)
+        & (F.col("d_left") <= a.ns_right),
+        "left_semi",
+    )
 
 
 def nested_sets(spans: DataFrame, max_depth: int | None = None) -> DataFrame:

@@ -82,6 +82,7 @@ from . import final_ext  # noqa: F401
 from . import coverage_ext  # noqa: F401
 from . import maintain_gates  # noqa: F401
 from . import multimodal_gates  # noqa: F401
+from . import structural_stored  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -33,10 +33,30 @@ def write_bucketed(
 
 
 def write_bucketed_spans(
-    spans: DataFrame, table: str = "spans_bucketed", n_buckets: int = 64
+    spans: DataFrame,
+    table: str = "spans_bucketed",
+    n_buckets: int = 64,
+    with_coords: bool = False,
 ) -> None:
     """Span store bucketed by trace_id, sorted (trace_id, start_us) —
-    the layout under every structural operator."""
+    the layout under every structural operator.
+
+    ``with_coords=True`` additionally materializes the nested-set
+    columns ``ns_left``/``ns_right``/``ns_parent`` (per-trace DFS
+    numbering, ``operators.structural.trace_coords``) at WRITE time:
+    the one Python stage in the ``>>``/``<<`` story is paid once per
+    ingest batch instead of once per query, and structural queries
+    over the stored table become a single zero-exchange range
+    semi-join (``descendants_stored``).  The reference schema reserves
+    these columns as intrinsics without computing them
+    (``traceql/attribute.go:60-65``).  The coords join shuffles on
+    trace_id — the same key the bucketed write shuffles on anyway, so
+    the materialization adds no extra data-scale exchange."""
+    if with_coords:
+        from ..operators.structural import trace_coords
+
+        coords = trace_coords(spans, with_parent=True)
+        spans = spans.join(coords, ["trace_id", "span_id"])
     write_bucketed(
         spans, table, ["trace_id"], ["trace_id", "start_us"], n_buckets
     )

@@ -70,6 +70,10 @@ def _attr_col(src: SpanSource, a: P.Attr) -> Column:
         if a.name in _TRACE_INTRINSICS:
             # materialized by _with_trace_columns before compilation
             return F.col(f"__trace_{a.name}")
+        if a.name in _NS_INTRINSICS:
+            # stored at ingest, or materialized by
+            # _with_nested_set_columns before compilation
+            return F.col(_NS_INTRINSICS[a.name])
         c = _scoped_intrinsic(src, a.name)
         if c is not None:
             return c
@@ -200,6 +204,16 @@ def _collect_attrs(node, out: list) -> None:
 
 _TRACE_INTRINSICS = {"rootName", "rootServiceName", "traceDuration", "childCount"}
 
+# nested-set coordinates (attribute.go:60-65 — reserved by the
+# reference, computed here): ns_left/ns_right/ns_parent, either stored
+# at ingest (write_bucketed_spans(with_coords=True)) or materialized
+# per query by _with_nested_set_columns
+_NS_INTRINSICS = {
+    "nestedSetLeft": "ns_left",
+    "nestedSetRight": "ns_right",
+    "nestedSetParent": "ns_parent",
+}
+
 
 def _query_attrs(query) -> list:
     attrs: list[P.Attr] = []
@@ -294,6 +308,45 @@ def _with_trace_columns(source: SpanSource, query) -> SpanSource:
         df = df.withColumn(
             "__trace_childCount", F.coalesce("__trace_childCount", F.lit(0))
         )
+    return dataclasses.replace(source, df=df)
+
+
+def _with_nested_set_columns(source: SpanSource, query) -> SpanSource:
+    """Make the nestedSet* intrinsics queryable: a span store written
+    with ``with_coords=True`` already carries ns_left/ns_right/
+    ns_parent (zero query-time cost — the ingest path paid the DFS
+    once); otherwise compute them for this query via
+    :func:`operators.structural.trace_coords` — one bucketed
+    applyInPandas pass + one per-trace join, the same shape the
+    nested-set ``>>`` route uses."""
+    import dataclasses
+
+    names = {
+        a.name
+        for a in _query_attrs(query)
+        if a.scope == "intrinsic" and a.name in _NS_INTRINSICS
+    }
+    if not names:
+        return source
+    needed = {_NS_INTRINSICS[n] for n in names}
+    if needed <= set(source.df.columns):
+        return source  # stored at ingest
+    from ..operators.structural import trace_coords
+
+    coords = trace_coords(
+        source.df.select(
+            F.col(source.trace_col).alias("trace_id"),
+            F.col(source.span_col).alias("span_id"),
+            F.col(source.parent_col).alias("parent_span_id"),
+        ),
+        with_parent=True,
+    )
+    df = source.df.join(
+        coords.withColumnRenamed("trace_id", source.trace_col)
+        .withColumnRenamed("span_id", source.span_col)
+        .drop("parent_span_id"),
+        [source.trace_col, source.span_col],
+    )
     return dataclasses.replace(source, df=df)
 
 
@@ -441,8 +494,10 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
     if isinstance(query, str):
         query = P.parse(query)
 
+    orig_cols = set(source.df.columns)
     source = _with_parent_columns(source, query)
     source = _with_trace_columns(source, query)
+    source = _with_nested_set_columns(source, query)
     out = _compile_structural(query.root, source)
 
     # spanset identity: trace_id, split further by any active by()
@@ -566,6 +621,9 @@ def compile_traceql(query, source: SpanSource) -> DataFrame:
         if c.startswith("__parent_")
         or c.startswith("__group_")
         or c.startswith("__trace_")
+        # query-time-materialized nested-set coords; STORED coords
+        # (already in the source table) stay in the output schema
+        or (c in ("ns_left", "ns_right", "ns_parent") and c not in orig_cols)
     ]
     if internal:
         out = out.drop(*internal)
@@ -810,9 +868,17 @@ def _compile_structural(node, source: SpanSource) -> DataFrame:
         # structural child/descendant/sibling: rhs spans related to lhs
         lp = _node_pred(node.lhs, source)
         rp = _node_pred(node.rhs, source)
+        # ingest-time nested-set coords in the source table (bucketed
+        # store written with_coords=True): serve >>/<< as a single
+        # zero-Python range semi-join instead of recomputing the DFS
+        stored = {"ns_left", "ns_right"} <= set(spans.columns)
         if node.op == ">":
             return child_join(spans, lp, rp)
         if node.op == ">>":
+            if stored:
+                from ..operators.structural import descendants_stored
+
+                return descendants_stored(spans, lp, rp)
             return descendants(spans, lp, rp)
         def siblings():
             a = spans.filter(lp).select(
@@ -841,11 +907,22 @@ def _compile_structural(node, source: SpanSource) -> DataFrame:
         if node.op == "<":
             return parent_join(spans, lp, rp)
         if node.op == "<<":
+            if stored:
+                from ..operators.structural import ancestors_stored
+
+                return ancestors_stored(spans, lp, rp)
             return ancestors_of(spans, lp, rp)
         if node.op in ("!>", "!>>", "!~"):
+            def _desc():
+                if stored:
+                    from ..operators.structural import descendants_stored
+
+                    return descendants_stored(spans, lp, rp)
+                return descendants(spans, lp, rp)
+
             pos = {
                 "!>": lambda: child_join(spans, lp, rp),
-                "!>>": lambda: descendants(spans, lp, rp),
+                "!>>": _desc,
                 "!~": siblings,
             }[node.op]()
             return spans.filter(rp).join(

@@ -24,6 +24,11 @@ INTRINSICS = {
     "rootName",
     "rootServiceName",
     "traceDuration",
+    # nested-set coords (attribute.go:60-65; reserved by the reference,
+    # computed here — at ingest or per query)
+    "nestedSetLeft",
+    "nestedSetRight",
+    "nestedSetParent",
 }
 
 STATUS_VALUES = {"error": 2, "ok": 1, "unset": 0}

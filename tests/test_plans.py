@@ -247,3 +247,37 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     facts = audit(df)
     assert facts.n_broadcasts >= 1
     assert "CartesianProduct" not in facts.text
+
+
+def test_stored_descendant_zero_python_zero_exchange(spark):
+    """`>>` over the ingest-time-coords bucketed table: the plan must
+    contain NO Python stage (the DFS was paid at write time) and, with
+    the broadcast path disabled to make the assertion about layout,
+    NO Exchange — both semi-join sides read the table already
+    co-partitioned by trace_id."""
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.operators.structural import descendants_stored
+    from oteldb_spark.queries.structural_stored import stored_spans
+
+    t = stored_spans(spark, SF)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = descendants_stored(
+            t,
+            (F.col("service") == "frontend") & (F.col("status_code") == 2),
+            F.col("duration_us") > 100000,
+        )
+        facts = audit(out)
+        assert "FlatMapGroupsInPandas" not in facts.text
+        assert "InPandas" not in facts.text  # no Python stage of any kind
+        assert facts.n_exchanges == 0, facts.text
+        assert out.count() > 0
+        # the full front-end over the same table routes identically
+        full = QUERIES["tql_parsed_stored_descendant"](spark, SF)
+        ffacts = audit(full)
+        assert "InPandas" not in ffacts.text
+        assert ffacts.n_exchanges == 0, ffacts.text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -162,3 +162,101 @@ def test_nested_sets_deep_chain(spark):
     l1, r1 = by_id[1]
     ld, _ = by_id[depth]
     assert l1 < ld <= r1
+
+
+def test_trace_coords_parent_values(spark):
+    """with_parent=True emits ns_parent = parent's ns_left (−1 for
+    roots), per-trace 1-based — the stored-intrinsics contract."""
+    from oteldb_spark.operators.structural import trace_coords
+
+    got = {
+        (r.trace_id, r.span_id): (r.ns_left, r.ns_right, r.ns_parent)
+        for r in trace_coords(_tree(spark), with_parent=True).collect()
+    }
+    assert got[(1, 1)] == (1, 5, -1)
+    assert got[(1, 2)] == (2, 4, 1)
+    assert got[(1, 3)] == (3, 4, 2)
+    assert got[(1, 4)] == (4, 4, 3)
+    assert got[(1, 5)] == (5, 5, 1)
+    assert got[(2, 1)] == (1, 2, -1)
+    assert got[(2, 2)] == (2, 2, 1)
+
+
+def test_stored_route_agrees_on_random_forest(spark):
+    """descendants_stored over ingest-materialized coords returns the
+    same span set as both query-time routes."""
+    import random
+
+    from oteldb_spark.operators.structural import (
+        ancestors_stored,
+        descendants_stored,
+        trace_coords,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for tid in range(1, 6):
+        n = rng.randrange(5, 30)
+        for sid in range(1, n + 1):
+            if sid == 1 or rng.random() < 0.1:
+                pid = None
+            else:
+                pid = rng.randrange(1, sid)
+            rows.append((tid, sid, pid))
+    spans = spark.createDataFrame(
+        rows, "trace_id long, span_id long, parent_span_id long"
+    )
+    stored = spans.join(
+        trace_coords(spans, with_parent=True), ["trace_id", "span_id"]
+    )
+    anc_pred = F.col("span_id") % 3 == 1
+    desc_pred = F.col("span_id") % 2 == 0
+    want_desc = {
+        (r.trace_id, r.span_id)
+        for r in descendants(spans, anc_pred, desc_pred).collect()
+    }
+    got_desc = {
+        (r.trace_id, r.span_id)
+        for r in descendants_stored(stored, anc_pred, desc_pred).collect()
+    }
+    assert got_desc == want_desc
+    want_anc = {
+        (r.trace_id, r.span_id)
+        for r in ancestors_of(spans, desc_pred, anc_pred).collect()
+    }
+    got_anc = {
+        (r.trace_id, r.span_id)
+        for r in ancestors_stored(stored, desc_pred, anc_pred).collect()
+    }
+    assert got_anc == want_anc
+
+
+def test_routes_documented_cycle_semantics(spark):
+    """Cyclic parent pointers (corrupt input only): the routes DIVERGE
+    as documented in descendants() — the frontier loop walks the whole
+    cycle (every member reachable from any member, including the start
+    span itself), while the nested route breaks the cycle at its
+    smallest span_id, so members 'before' the break are not
+    descendants of members 'after' it.  This test PINS both behaviors
+    so a change to either is a deliberate decision."""
+    rows = [(1, 1, 3), (1, 2, 1), (1, 3, 2)]  # 1 -> 2 -> 3 -> 1
+    spans = spark.createDataFrame(
+        rows, "trace_id long, span_id long, parent_span_id long"
+    )
+    anc = F.col("span_id") == 2
+    everything = F.lit(True)
+    nested = {
+        r.span_id
+        for r in descendants(spans, anc, everything, route="nested").collect()
+    }
+    frontier = {
+        r.span_id
+        for r in descendants(
+            spans, anc, everything, route="frontier"
+        ).collect()
+    }
+    # nested: DFS from the break point 1 gives 1(1,3) 2(2,3) 3(3,3);
+    # descendants of 2 = spans with 2 < left <= 3 = {3}
+    assert nested == {3}
+    # frontier: the cycle walk covers every member, including span 2
+    assert frontier == {1, 2, 3}
