@@ -640,9 +640,9 @@ def docs_gopher_rules(spark, sf_dir):
 # for the island ids, one final groupBy — all data-scale work is the
 # same two shuffles the detection pays; the interval merge is
 # output-scale (flagged windows only).
-@register(
-    "dedup_exact_substr_cuts",
-    f"""WITH t AS (
+# shared oracle CTEs: tokenized docs -> duplicated K-windows ->
+# per-doc merged islands (grp carries the island id per flagged window)
+_EXACT_SUBSTR_GRP_CTES = f"""t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
 ),
 w AS (
@@ -669,18 +669,15 @@ grp AS (
          sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM isl
-)
-SELECT doc_id, CAST(min(s) AS BIGINT) AS cut_start,
-       CAST(max(e) AS BIGINT) AS cut_end,
-       CAST(max(e) - min(s) AS BIGINT) AS n_tokens_cut
-FROM grp GROUP BY doc_id, island""",
-)
-def dedup_exact_substr_cuts(spark, sf_dir):
-    """Merged cut intervals: [cut_start, cut_end) in 1-based token
-    positions; overlapping or touching flagged windows coalesce."""
+)"""
+
+
+def exact_substr_cut_intervals(docs):
+    """Merged [cut_start, cut_end) token intervals (1-based) covered by
+    any cross-document duplicated K-window in ``docs`` (doc_id, text) —
+    the shared core of the cuts report and the removal gate."""
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents", spread=True)
     wins = docs.select(
         "doc_id",
         F.explode(
@@ -715,5 +712,91 @@ def dedup_exact_substr_cuts(spark, sf_dir):
     return grp.groupBy("doc_id", "island").agg(
         F.min("s").cast("long").alias("cut_start"),
         F.max("e").cast("long").alias("cut_end"),
-        (F.max("e") - F.min("s")).cast("long").alias("n_tokens_cut"),
-    ).select("doc_id", "cut_start", "cut_end", "n_tokens_cut")
+    ).select("doc_id", "cut_start", "cut_end")
+
+
+@register(
+    "dedup_exact_substr_cuts",
+    f"""WITH {_EXACT_SUBSTR_GRP_CTES}
+SELECT doc_id, CAST(min(s) AS BIGINT) AS cut_start,
+       CAST(max(e) AS BIGINT) AS cut_end,
+       CAST(max(e) - min(s) AS BIGINT) AS n_tokens_cut
+FROM grp GROUP BY doc_id, island""",
+)
+def dedup_exact_substr_cuts(spark, sf_dir):
+    """Merged cut intervals: [cut_start, cut_end) in 1-based token
+    positions; overlapping or touching flagged windows coalesce."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return exact_substr_cut_intervals(docs).select(
+        "doc_id",
+        "cut_start",
+        "cut_end",
+        (F.col("cut_end") - F.col("cut_start")).cast("long").alias("n_tokens_cut"),
+    )
+
+
+def exact_substr_apply(docs):
+    """The REMOVAL step applied as data (Lee et al. 2022 §4: drop the
+    duplicated spans, keep the rest): re-emit every document with the
+    tokens inside any merged cut interval removed and the survivors
+    re-joined.  Detection pays the same two data-scale shuffles as the
+    cuts report; the apply side is one left join of the corpus against
+    the OUTPUT-SCALE per-doc interval lists (collect_list over merged
+    islands — bounded by tokens/K per doc) and a codegen'd HOF filter,
+    so the reassembly adds no new data-scale shuffle."""
+    ivs = (
+        exact_substr_cut_intervals(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("cut_start", "cut_end")).alias("__ivs")
+        )
+    )
+    kept = F.expr(
+        "filter(transform(split(text, ' '), (w, i) ->"
+        " struct(i + 1 AS pos, w AS w)),"
+        " s -> __ivs IS NULL OR NOT exists(__ivs,"
+        " v -> s.pos >= v.cut_start AND s.pos < v.cut_end))"
+    )
+    return (
+        docs.join(ivs, "doc_id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            "doc_id",
+            F.array_join(F.expr("transform(__kept, s -> s.w)"), " ").alias(
+                "cleaned_text"
+            ),
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_substr_apply",
+    f"""WITH {_EXACT_SUBSTR_GRP_CTES},
+cuts AS (
+  SELECT doc_id, min(s) AS cs, max(e) AS ce
+  FROM grp GROUP BY doc_id, island
+),
+tok AS (
+  SELECT doc_id, i, tk[i] AS tok
+  FROM t, UNNEST(generate_series(1, len(tk))) AS u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.i, tok.tok FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c
+    WHERE c.doc_id = tok.doc_id AND tok.i >= c.cs AND tok.i < c.ce)
+)
+SELECT t.doc_id,
+       coalesce(array_to_string(list(k.tok ORDER BY k.i)
+                FILTER (WHERE k.tok IS NOT NULL), ' '), '') AS cleaned_text,
+       CAST(count(k.tok) AS BIGINT) AS n_tokens_kept
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id""",
+)
+def dedup_exact_substr_apply(spark, sf_dir):
+    """detect -> merge -> REMOVE, end to end: the cleaned corpus as
+    data (every doc re-emitted; docs fully covered by cuts come back
+    empty), completing the Lee et al. pipeline."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return exact_substr_apply(docs)
