@@ -247,11 +247,13 @@ _BPE_MERGES = [
 ]
 
 
-def _bpe_chain(inner: str) -> str:
+def _bpe_chain(inner: str, merges=None) -> str:
     """Chained replace() calls applying the merge table in order (two
-    passes per merge) — same text works in Spark SQL and DuckDB."""
+    passes per merge) — same text works in Spark SQL and DuckDB.
+    ``merges`` defaults to the hand-written table; a LEARNED table from
+    ``text_bpe_train_merges`` plugs straight in."""
     s = inner
-    for x, y in _BPE_MERGES:
+    for x, y in merges if merges is not None else _BPE_MERGES:
         for _ in range(2):
             s = f"replace({s}, ' {x} {y} ', ' {x}{y} ')"
     return s
@@ -430,3 +432,108 @@ def text_bpe_train_pairs(spark, sf_dir):
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL BPE TRAINING LOOP (Sennrich et al. 2016): N merge steps, each
+# re-deriving weighted pair counts over the current symbolized
+# word-frequency table and applying the argmax merge before the next
+# count.  Scale shape: the corpus contributes ONE data-scale shuffle
+# (the word-frequency aggregate, shared with text_bpe_train_pairs);
+# every training step after that runs over the |vocab|-sized table —
+# the pinned wf0 is the only frame the 8 per-step argmax jobs rescan,
+# and each step's merge application is two codegen'd replace()
+# projections.  Determinism: ties broken on the pair string, so the
+# DuckDB oracle REPLAYS the whole loop (nested CTEs, one p_k/wf_k pair
+# per step) and must pick the identical merge at every step — a
+# divergence at step 1 cascades, making this a strong cross-engine
+# statement.
+_TRAIN_STEPS = 8
+
+
+def _bpe_train_oracle(n_steps: int) -> str:
+    parts = [
+        """wf0 AS (
+  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, f
+  FROM (SELECT w, count(*) AS f
+        FROM (SELECT lower(unnest(string_split(text, ' '))) AS w
+              FROM documents)
+        WHERE length(w) >= 2 GROUP BY w))"""
+    ]
+    for k in range(1, n_steps + 1):
+        parts.append(
+            f"""p{k} AS (
+  SELECT l[i] || ' ' || l[i+1] AS pair, CAST(sum(f) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS l, f FROM wf{k - 1}) q,
+       UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)"""
+        )
+        parts.append(
+            f"""wf{k} AS (
+  SELECT replace(replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '),
+                 ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, f
+  FROM wf{k - 1} CROSS JOIN p{k})"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, pair, n FROM p{k}"
+        for k in range(1, n_steps + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def bpe_train_merges(spark, docs, n_steps: int = _TRAIN_STEPS):
+    """Learn ``n_steps`` BPE merges from a (doc_id, text) frame;
+    returns [(step, "x y", count)] — the ordered merge table the
+    encoder (``_bpe_chain``) consumes directly."""
+    from ..operators.pin import pin
+
+    wf0 = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            F.concat(
+                F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+            ).alias("s"),
+            "f",
+        )
+    )
+    cur = pin(wf0, small=True)  # vocab-scale; rescanned once per step
+    merges = []
+    pair_expr = F.explode(
+        F.expr(
+            "CASE WHEN size(split(trim(s), ' ')) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(split(trim(s), ' ')) - 1), "
+            "i -> concat(element_at(split(trim(s), ' '), i), ' ', "
+            "element_at(split(trim(s), ' '), i + 1))) END"
+        )
+    ).alias("pair")
+    for k in range(1, n_steps + 1):
+        top = (
+            cur.select("f", pair_expr)
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        merges.append((k, pair, n))
+        merged = pair.replace(" ", "")
+        rep = F.col("s")
+        for _ in range(2):  # two passes, same contract as the encoder
+            rep = F.replace(
+                rep, F.lit(f" {pair} "), F.lit(f" {merged} ")
+            )
+        cur = cur.select(rep.alias("s"), "f")
+    return merges
+
+
+@register("text_bpe_train_merges", _bpe_train_oracle(_TRAIN_STEPS))
+def text_bpe_train_merges(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents", spread=True)
+    merges = bpe_train_merges(spark, docs)
+    return spark.createDataFrame(merges, "step bigint, pair string, n bigint")
