@@ -109,3 +109,55 @@ def multimodal_resize_meta(spark, sf_dir):
     Spark's truncates)."""
     media = synthesize_media(spark, _N_IMG, "image")
     return resize_meta(media, max_side=_MAX_SIDE)
+
+
+# image near-dup via the banded Hamming join, value-level oracle: the
+# near-dup fixture's payloads are md5 streams with ONE deterministic
+# perturbed byte per variant, so DuckDB regenerates every byte with
+# hex arithmetic, replays the 8x16 -> 8x8 block-mean dhash as a bits
+# table, and computes ALL pairs within hamming <= 10 exactly — which is
+# what the pigeonhole banding returns (11 disjoint bands over 64 bits:
+# <= 10 differing bits cannot touch all of them, so the equi-join on
+# (band, band_bits) is lossless and bit_count verification exact)
+_NDG, _NDK = 40, 5  # 40 groups x 5 variants = 200 images, 400 near pairs
+
+
+@register(
+    "multimodal_phash_pairs",
+    f"""WITH ids AS (SELECT range AS i FROM range({_NDG * _NDK})),
+chunks AS (
+  SELECT i, j, md5('image-' || (i // {_NDK}) || '-' || j) AS h
+  FROM ids, range(8) t(j)),
+rawb AS (
+  SELECT i, j*16 + b AS pos, CAST({_HEXVAL} AS BIGINT) AS v
+  FROM chunks, range(16) t2(b)),
+pert AS (
+  SELECT i, pos,
+         CASE WHEN pos = ((i % {_NDK}) * 17) % 128
+              THEN (v + (i % {_NDK}) * 50) % 256 ELSE v END AS v
+  FROM rawb),
+means AS (
+  SELECT i, pos // 16 AS r, (pos % 16) // 2 AS c, sum(v) / 2.0 AS m
+  FROM pert GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.i AS i, a.r * 7 + a.c AS bitpos,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+  FROM means a JOIN means b ON a.i = b.i AND a.r = b.r AND b.c = a.c + 1)
+SELECT x.i AS media_a, y.i AS media_b,
+       CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+         AS hamming
+FROM bits x JOIN bits y ON x.bitpos = y.bitpos AND x.i < y.i
+GROUP BY 1, 2
+HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 10""",
+)
+def multimodal_phash_pairs(spark, sf_dir):
+    """Band-blocked image near-dup: byte-grid dhash (the oracle-
+    replayable tier of the perceptual hash pair) -> pigeonhole-banded
+    equi-join -> exact bit_count verify.  Within-group variants differ
+    by <= 2 perturbed bytes (a handful of hash bits); cross-group
+    hashes are md5-random, so the survivors are exactly the planted
+    near-dup pairs."""
+    from ..sources.multimodal import byte_dhash, phash_near_pairs, synthesize_near_dup_media
+
+    media = synthesize_near_dup_media(spark, _NDG, _NDK)
+    return phash_near_pairs(byte_dhash(media), max_hamming=10)

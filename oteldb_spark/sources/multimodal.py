@@ -175,6 +175,77 @@ def frame_sample(media: DataFrame, fps: float = 1.0) -> DataFrame:
     )
 
 
+def synthesize_near_dup_media(
+    spark, n_groups: int, group_size: int, kind: str = "image"
+) -> DataFrame:
+    """Near-duplicate fixture: ``n_groups`` base payloads (md5 streams,
+    like :func:`synthesize_media`), each emitted ``group_size`` times
+    with variant k perturbing ONE byte — index ``(k*17) % 128`` bumped
+    by ``k*50 mod 256`` (k=0 is the unmodified base).  Within a group,
+    payloads differ in ≤2 bytes ⇒ their byte-grid dhashes differ in a
+    handful of bits (each byte touches one block mean ⇒ ≤2 comparison
+    bits); across groups the hashes are md5-random (~28/56 bits apart).
+    Every byte is recomputable by the DuckDB oracle via hex arithmetic,
+    so the banded Hamming join gets a real value-level oracle."""
+    rows = []
+    for i in range(n_groups * group_size):
+        g, k = divmod(i, group_size)
+        payload = bytearray(
+            b"".join(
+                hashlib.md5(f"{kind}-{g}-{j}".encode()).digest()
+                for j in range(8)
+            )
+        )
+        idx = (k * 17) % 128
+        payload[idx] = (payload[idx] + k * 50) % 256
+        meta = {
+            "width": 64,
+            "height": 64,
+            "sample_rate": None,
+            "duration_ms": None,
+            "codec": "raw",
+        }
+        rows.append((i, kind, bytes(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def byte_dhash(media: DataFrame) -> DataFrame:
+    """Difference-hash over OPAQUE payload bytes — the fallback tier of
+    :func:`image_dhash` for blobs no codec can decode, and the tier a
+    DuckDB oracle can replay byte-for-byte.
+
+    The first 128 bytes form an 8×16 grid (for the synthetic payloads:
+    one md5 digest per row); each row block-means to 8 columns of 2
+    bytes (exact halves in IEEE), one bit per horizontal neighbor
+    comparison ⇒ 8×7 = 56 bits packed MSB-first into a non-negative
+    int64.  Same Arrow-batched mapInPandas shape as the pixel dhash;
+    blobs under 128 bytes yield NULL."""
+    import numpy as np
+    import pandas as pd
+
+    def one(blob: bytes):
+        raw = np.frombuffer(bytes(blob)[:128], dtype=np.uint8)
+        if raw.size < 128:
+            return None
+        m = raw.astype(np.float64).reshape(8, 8, 2).mean(axis=2)
+        bits = (m[:, 1:] > m[:, :-1]).ravel()
+        out = 0
+        for b in bits:
+            out = (out << 1) | int(b)
+        return out
+
+    def fn(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [one(b) for b in pdf["data"]],
+                }
+            )
+
+    return media.mapInPandas(fn, schema="media_id long, dhash long")
+
+
 def image_dhash(media: DataFrame, *, grid: int = 8) -> DataFrame:
     """Perceptual difference-hash per image — Arrow-batched decode.
 
@@ -233,6 +304,8 @@ def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
     the text SimHash/LSH banding in ``operators/dedup.py``; the exact
     ``bit_count`` filter then removes band-collision false positives
     and ``dropDuplicates`` collapses pairs colliding in >1 band."""
+    from ..operators.pin import pin
+
     n_bands = max_hamming + 1
     width = max(1, 64 // n_bands)
     banded = hashes.select(
@@ -247,6 +320,10 @@ def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
             f"ELSE shiftrightunsigned(dhash, band * {width}) END"
         ),
     )
+    # banded feeds BOTH self-join sides; upstream is usually a Python
+    # hash stage (image_dhash / byte_dhash) that would otherwise run
+    # twice — pin so the Arrow stage executes once
+    banded = pin(banded, small=True)
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.expr("bit_count(a.dhash ^ b.dhash)")
