@@ -92,9 +92,24 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     records: list[dict] = []
-    for name, fn in qs.items():
+    # Periodic cache hygiene: pinned frames (DISK_ONLY / MEMORY_AND_DISK)
+    # accumulate across a 300+-gate sweep and can exhaust the PLAIN
+    # session's default 1g driver heap (observed at ~gate 190 in r8).
+    # Release + clearCache every RELEASE_EVERY gates — session memos
+    # revive through pin.repin(), same contract bench.py exercises
+    # per-gate.
+    RELEASE_EVERY = 20
+    from oteldb_spark.operators.pin import release_pins
+
+    for i, (name, fn) in enumerate(qs.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
+        if i % RELEASE_EVERY == 0:
+            release_pins()
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
         t0 = time.time()
         rec = {"name": name, "ok": False, "rows": None, "seconds": None}
         records.append(rec)
