@@ -189,3 +189,57 @@ def tql_parsed_stored_descendant(spark, sf_dir):
         src,
     )
     return out.select("trace_id", "span_id", "name", "duration_us").distinct()
+
+
+# leaves via coordinate arithmetic through the parsed front-end:
+# nestedSetRight == nestedSetLeft ⇔ empty subtree (the coords are
+# materialized for the query; the arithmetic runs as a codegen'd
+# column expression) — restated by the oracle as "no span points here"
+@register(
+    "tql_parsed_nested_leaf",
+    with_ctes(
+        SPANS_CTE,
+        body=f"""SELECT {_ALL} FROM spans s
+WHERE duration_us > 100000 AND NOT EXISTS (
+  SELECT 1 FROM spans c
+  WHERE c.trace_id = s.trace_id AND c.parent_span_id = s.span_id)""",
+    ),
+)
+def tql_parsed_nested_leaf(spark, sf_dir):
+    src = SpanSource(
+        df=spans_frame(spark, sf_dir),
+        attr_cols={"service": "service", "service.name": "service"},
+    )
+    return compile_traceql(
+        "{ nestedSetRight - nestedSetLeft = 0 && duration > 100ms }", src
+    )
+
+
+# << from the STORED coords through the full front-end: ancestors (with
+# status=error) of slow spans — compiler routes to ancestors_stored
+@register(
+    "tql_parsed_stored_ancestor",
+    f"""WITH RECURSIVE {SPANS_CTE},
+slow AS (
+  SELECT trace_id, span_id, parent_span_id FROM spans
+  WHERE duration_us > 100000
+),
+cov AS (
+  SELECT s.trace_id, s.parent_span_id AS span_id FROM slow s
+  UNION
+  SELECT s.trace_id, s.parent_span_id AS span_id FROM spans s
+  JOIN cov c ON s.trace_id = c.trace_id AND s.span_id = c.span_id
+)
+SELECT DISTINCT s.trace_id, s.span_id, s.name, s.duration_us
+FROM spans s JOIN cov c ON s.trace_id = c.trace_id AND s.span_id = c.span_id
+WHERE s.status_code = 2""",
+)
+def tql_parsed_stored_ancestor(spark, sf_dir):
+    src = SpanSource(
+        df=stored_spans(spark, sf_dir),
+        attr_cols={"service": "service", "service.name": "service"},
+    )
+    out = compile_traceql(
+        "{ duration > 100ms } << { status = error }", src
+    )
+    return out.select("trace_id", "span_id", "name", "duration_us").distinct()
