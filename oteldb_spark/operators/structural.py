@@ -118,6 +118,12 @@ def descendants(
     agree exactly."""
     if (route or _structural_route()) == "frontier":
         return descendants_frontier(spans, ancestor_pred, descendant_pred)
+    if {"ns_left", "ns_right"} <= set(spans.columns):
+        # the frame already carries coords (stored at ingest, or
+        # materialized for a nestedSet* intrinsic in the same query):
+        # serve the range join from them — recomputing would both waste
+        # a Python stage and make the coords join ambiguous
+        return descendants_stored(spans, ancestor_pred, descendant_pred)
     return descendants_nested(spans, ancestor_pred, descendant_pred)
 
 
@@ -133,6 +139,8 @@ def ancestors_of(
     mirror of :func:`descendants`, same route switch."""
     if (route or _structural_route()) == "frontier":
         return ancestors_frontier(spans, descendant_pred, ancestor_pred)
+    if {"ns_left", "ns_right"} <= set(spans.columns):
+        return ancestors_stored(spans, descendant_pred, ancestor_pred)
     return ancestors_nested(spans, descendant_pred, ancestor_pred)
 
 

@@ -104,6 +104,76 @@ class TraceQLReferee:
             - min(s["start_us"] for s in spans)
         )
 
+    def _nested_coords(self, trace_id) -> dict:
+        """Per-trace nested-set coords (nestedSetLeft/Right/Parent),
+        computed independently of the engine's pandas DFS: 1-based
+        preorder with children and roots in ascending span_id order;
+        spans whose parent is None/self/absent act as roots; cycle
+        remnants break at their smallest span_id; ns_parent is the
+        numbering-tree parent's left, -1 for roots."""
+        memo = getattr(self, "_ns_memo", None)
+        if memo is None:
+            memo = self._ns_memo = {}
+        if trace_id in memo:
+            return memo[trace_id]
+        rows = [s for s in self.spans if s["trace_id"] == trace_id]
+        sids = sorted({s["span_id"] for s in rows})
+        idset = set(sids)
+        pid = {}
+        for s in sorted(rows, key=lambda r: r["span_id"]):
+            pid.setdefault(s["span_id"], s["parent_span_id"])
+        kids: dict = {}
+        roots = []
+        for sid in sids:
+            p = pid[sid]
+            if p is None or p == sid or p not in idset:
+                roots.append(sid)
+            else:
+                kids.setdefault(p, []).append(sid)
+        left: dict = {}
+        right: dict = {}
+        parent: dict = {}
+        visited: set = set()
+        counter = 0
+
+        def walk(starts):
+            nonlocal counter
+            stack = [(r, False, None) for r in reversed(starts)]
+            while stack:
+                node, done, par = stack.pop()
+                if done:
+                    right[node] = max(
+                        [left[node]]
+                        + [right[c] for c in kids.get(node, ()) if c in right]
+                    )
+                    continue
+                if node in visited:
+                    continue
+                visited.add(node)
+                counter += 1
+                left[node] = counter
+                parent[node] = par
+                stack.append((node, True, par))
+                for c in reversed(kids.get(node, ())):
+                    if c not in visited:
+                        stack.append((c, False, node))
+
+        walk(roots)
+        remaining = sorted(s for s in sids if s not in visited)
+        while remaining:
+            walk([remaining[0]])
+            remaining = sorted(s for s in sids if s not in visited)
+        out = {
+            sid: (
+                left[sid],
+                right[sid],
+                -1 if parent[sid] is None else left[parent[sid]],
+            )
+            for sid in sids
+        }
+        memo[trace_id] = out
+        return out
+
     # ---- field evaluation ------------------------------------------------
 
     def _attr_value(self, span: dict, a: P.Attr):
@@ -133,6 +203,12 @@ class TraceQLReferee:
                 return float(
                     len(self.children.get(
                         (span["trace_id"], span["span_id"]), ()))
+                )
+            if a.name in ("nestedSetLeft", "nestedSetRight", "nestedSetParent"):
+                l, r, p = self._nested_coords(span["trace_id"])[span["span_id"]]
+                return float(
+                    {"nestedSetLeft": l, "nestedSetRight": r,
+                     "nestedSetParent": p}[a.name]
                 )
             # colon-scoped intrinsics: first-match over events/links
             # (attribute.go:67-84 / evaluater.go:562-669)

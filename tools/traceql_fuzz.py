@@ -132,6 +132,14 @@ def gen_pred(rng: random.Random, depth: int = 2) -> str:
                 f'rootServiceName = "{rng.choice(_SERVICES)}"',
                 f"traceDuration > {rng.randint(50_000, 400_000)}",
                 f"childCount {rng.choice(['=', '>', '>='])} {rng.randint(0, 4)}",
+                # nested-set coords (reserved by the reference,
+                # computed here — per-trace 1-based DFS numbering)
+                "nestedSetParent = -1",
+                f"nestedSetParent {rng.choice(['=', '>='])} {rng.randint(1, 6)}",
+                f"nestedSetLeft {rng.choice(['=', '>', '<='])} {rng.randint(1, 10)}",
+                f"nestedSetRight {rng.choice(['>=', '<'])} {rng.randint(1, 12)}",
+                f"nestedSetRight - nestedSetLeft {rng.choice(['=', '>='])} "
+                f"{rng.randint(0, 5)}",
             ]
         )
     if roll < 0.96:
