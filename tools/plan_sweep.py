@@ -76,6 +76,7 @@ UNAUDITABLE: dict[str, str] = {
     "stream_hll_windowed": "streaming job at construction; tests/test_stream_rollup.py",
     "stream_hdr_windowed": "streaming job at construction; tests/test_stream_rollup.py",
     "stream_span_interval_join": "streaming job at construction; tests/test_streaming.py",
+    "stream_trace_coords_closed": "streaming job at construction; tests/test_stream_trace_close.py",
 }
 
 
