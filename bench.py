@@ -155,6 +155,18 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # ingest envelope, tracked per round next to query latency: PRW
+    # wire-decode throughput (BASELINE.md row: ~144,300 points/s)
+    release_pins()
+    spark.catalog.clearCache()
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from bench_ingest import measure_prw
+
+    prw_pps = measure_prw(spark)["value"]
+    print(f"# prw_decode_points_per_sec: {prw_pps}", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -164,6 +176,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "prw_decode_points_per_sec": prw_pps,
             }
         )
     )

@@ -786,7 +786,17 @@ class ProfileQLEngine:
 class TraceQLEngine:
     source: SpanSource
 
-    def search(self, q: str, limit: int = 20) -> dict:
+    def search_frame(self, q: str, limit: int | None = 20):
+        """The DataFrame under GET /api/search: parse → compile →
+        per-trace assembly, one row per matched trace (trace_id,
+        root_name, trace_duration_us, start_us).  ``limit=None`` skips
+        the top-k (export/offline paths; the HTTP facade always
+        bounds).  Over a span store written with ingest-time coords
+        (``write_bucketed_spans(with_coords=True)``), a structural
+        query plans with ZERO Python stages and ZERO Exchange — the
+        compile routes ``>>``/``<<`` to the stored range semi-join and
+        every later key (semi-join, groupBy) is the bucketing key
+        (plan-asserted in tests/test_plans.py)."""
         from pyspark.sql import functions as F
 
         matched = compile_traceql(q, self.source)
@@ -821,10 +831,16 @@ class TraceQLEngine:
                 ).alias("trace_duration_us"),
                 F.min(self.source.start_col).alias("start_us"),
             )
-            .orderBy(F.col("start_us").desc())
-            .limit(limit)
         )
-        return tempo_search(traces)
+        if limit is not None:
+            traces = traces.orderBy(F.col("start_us").desc()).limit(limit)
+        return traces
+
+    def search(self, q: str, limit: int = 20) -> dict:
+        """GET /api/search (tempohandler.go Search): TraceQL in,
+        TraceSearchMetadata JSON out — serialization over
+        :meth:`search_frame`."""
+        return tempo_search(self.search_frame(q, limit))
 
     def search_tags_v2(self) -> dict:
         """GET /api/v2/search/tags shape (tempohandler.go:453-536):

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 _LIVE_PINS: list["weakref.ref[DataFrame]"] = []
 
 
-def release_pins() -> int:
+def release_pins(sweep_dead: bool = True) -> int:
     """Unpersist every pin issued since the last release; returns the
     number released.  No-op for localCheckpoint / reliable-checkpoint
     modes (nothing held in the block-manager cache to drop).
@@ -39,11 +39,16 @@ def release_pins() -> int:
     Pins whose Python wrapper was GC'd before release (e.g. the coords
     pin created inside ``descendants_nested``) cannot be unpersisted
     individually — persist entries are keyed by logical plan JVM-side.
-    When any dead ref is found, this hook sweeps them itself with
-    ``catalog.clearCache()`` on the sessions still reachable from live
-    refs, so calling ``release_pins()`` alone never leaks cached blocks
-    for the session lifetime.  (clearCache drops the live pins' blocks
-    too; they are being released here anyway.)"""
+    With ``sweep_dead=True`` (the default, what the repo's own harness
+    callers want), finding any dead ref triggers a
+    ``catalog.clearCache()`` sweep on the sessions still reachable from
+    live refs, so calling ``release_pins()`` alone never leaks cached
+    blocks for the session lifetime.  The sweep is SESSION-WIDE — it
+    also drops user ``cache()``/``cacheTable`` entries unrelated to
+    pins — so EMBEDDING callers that hold their own cached frames
+    should pass ``sweep_dead=False`` and accept that dead pins' blocks
+    live until the session ends (or clear the cache themselves at a
+    boundary they control)."""
     n = 0
     dead = 0
     sessions = []
@@ -58,7 +63,7 @@ def release_pins() -> int:
             n += 1
         except Exception:
             pass  # session already stopped
-    if dead:
+    if dead and sweep_dead:
         if not sessions:  # every wrapper died: fall back to the active session
             try:
                 from pyspark.sql import SparkSession

@@ -13,9 +13,13 @@ Spark-native strategies:
   reference schema reserves nestedSetLeft/Right intrinsics
   (``traceql/attribute.go:60-65``) without computing them; we do.
 
-``nested_sets`` computes the encoding with two window functions over
-a DFS ordering (no recursion for trees materialized with a
-``depth``/path; for parent-pointer-only input use ``descendants``).
+Numbering convention: Tempo's CLASSIC enter/exit numbering (the
+convention the nestedSetLeft/Right/Parent intrinsics come from) —
+the DFS counter increments on BOTH entry (left) and exit (right), so
+a trace of n spans numbers 1..2n, a leaf satisfies
+``right = left + 1``, and descendant(a, d) ⇔
+``a.left < d.left < a.right``.  TraceQL queries written against
+Tempo's documented coordinate arithmetic port unchanged.
 """
 
 from __future__ import annotations
@@ -101,7 +105,7 @@ def descendants(
 
     Default route is the NESTED-SET encoding computed per trace in one
     ``applyInPandas`` pass (:func:`trace_coords`): descendant(a, d) ⇔
-    ``a.ns_left < d.ns_left <= a.ns_right`` — one shuffle regardless of
+    ``a.ns_left < d.ns_left < a.ns_right`` — one shuffle regardless of
     tree depth, the plan a 100 TB trace store wants.  ``route=
     "frontier"`` (or env ``SPARK_GRAFT_STRUCTURAL=frontier``) keeps the
     pure-DataFrame iterative loop: no Python workers, but D shuffle
@@ -267,10 +271,12 @@ def trace_coords(
     This is the nested-set strategy the reference reserves intrinsics
     for but never computes (``traceql/attribute.go:60-65``).
 
-    Invariant (same convention as :func:`nested_sets`):
-    descendant(a, d) ⇔ ``a.ns_left < d.ns_left <= a.ns_right``, with
-    ``ns_left`` the 1-based DFS preorder index within the trace and
-    ``ns_right`` the max ``ns_left`` in the subtree (incl. self).
+    Invariant (Tempo's classic enter/exit numbering — the convention
+    the nestedSetLeft/Right intrinsics come from): the per-trace DFS
+    counter increments on both entry (``ns_left``) and exit
+    (``ns_right``), so n spans number 1..2n, leaf ⇔
+    ``ns_right = ns_left + 1``, and descendant(a, d) ⇔
+    ``a.ns_left < d.ns_left < a.ns_right``.
     Spans whose parent id is absent from the trace act as roots
     (matching the frontier loop: a join can't cross a missing span
     either); cycle remnants are broken at their smallest span_id.
@@ -365,14 +371,10 @@ def trace_coords(
                 while stack:
                     node, done = stack.pop()
                     if done:
-                        right[node] = max(
-                            [left[node]]
-                            + [
-                                right[c]
-                                for c in children.get(node, ())
-                                if c in right
-                            ]
-                        )
+                        # Tempo enter/exit numbering: right gets its
+                        # own counter tick on subtree exit
+                        counter += 1
+                        right[node] = counter
                         continue
                     if node in visited:
                         continue
@@ -432,7 +434,7 @@ def descendants_nested(
 ) -> DataFrame:
     """Nested-set route for ``>>``: number candidate traces once
     (:func:`trace_coords`), then ONE range-predicate semi-join —
-    ``a.ns_left < d.ns_left <= a.ns_right`` hash-joined on trace_id
+    ``a.ns_left < d.ns_left < a.ns_right`` hash-joined on trace_id
     with the range as residual.  No iteration, depth-independent.
     Coords feed BOTH join sides: pin them, or Catalyst re-runs the
     whole shuffle+DFS Python stage per side (plan-verified 2×)."""
@@ -450,7 +452,7 @@ def descendants_nested(
         a,
         (d.trace_id == F.col("a_tid"))
         & (F.col("ns_left") > F.col("a_left"))
-        & (F.col("ns_left") <= F.col("a_right")),
+        & (F.col("ns_left") < F.col("a_right")),
         "left_semi",
     )
     return out.drop("ns_left", "ns_right")
@@ -476,7 +478,7 @@ def ancestors_nested(
         d,
         (a.trace_id == F.col("d_tid"))
         & (F.col("d_left") > F.col("ns_left"))
-        & (F.col("d_left") <= F.col("ns_right")),
+        & (F.col("d_left") < F.col("ns_right")),
         "left_semi",
     )
     return out.drop("ns_left", "ns_right")
@@ -511,7 +513,7 @@ def descendants_stored(
         a,
         (d.trace_id == F.col("a_tid"))
         & (d.ns_left > F.col("a_left"))
-        & (d.ns_left <= F.col("a_right")),
+        & (d.ns_left < F.col("a_right")),
         "left_semi",
     )
 
@@ -536,88 +538,13 @@ def ancestors_stored(
         d,
         (a.trace_id == F.col("d_tid"))
         & (F.col("d_left") > a.ns_left)
-        & (F.col("d_left") <= a.ns_right),
+        & (F.col("d_left") < a.ns_right),
         "left_semi",
     )
 
 
-def nested_sets(spans: DataFrame, max_depth: int | None = None) -> DataFrame:
-    """Compute nested-set (left, right) numbers per span.
-
-    Strategy: derive each span's root-path by iterative parent joins
-    (depth-bounded), sort spans in DFS order per trace via the path,
-    then: left = DFS row index ×2 spacing; right = max left of the
-    subtree.  For query-time use, descendant(a, b) ⇔
-    a.ns_left < b.ns_left ≤ a.ns_right.
-    """
-    from pyspark.sql import Window
-
-    # root-path as an array of span_ids, built by joining ancestors
-    cur = spans.select(
-        "trace_id",
-        "span_id",
-        "parent_span_id",
-        F.array("span_id").alias("path"),
-        F.col("parent_span_id").alias("cursor"),
-    )
-    for rounds in range(HARD_CAP + 1):
-        if rounds == HARD_CAP:
-            raise StructuralDepthError(
-                f"nested_sets: root paths not complete after {HARD_CAP} rounds "
-                "(cyclic or pathologically deep parent_span_id chain)"
-            )
-        nxt = (
-            cur.alias("c")
-            .join(
-                spans.select(
-                    F.col("trace_id").alias("a_tid"),
-                    F.col("span_id").alias("a_sid"),
-                    F.col("parent_span_id").alias("a_pid"),
-                ),
-                (F.col("c.trace_id") == F.col("a_tid"))
-                & (F.col("c.cursor") == F.col("a_sid")),
-                "left",
-            )
-            .select(
-                "trace_id",
-                "span_id",
-                "parent_span_id",
-                F.when(
-                    F.col("a_sid").isNotNull(),
-                    F.concat(F.array(F.col("a_sid")), F.col("path")),
-                )
-                .otherwise(F.col("path"))
-                .alias("path"),
-                F.col("a_pid").alias("cursor"),
-            )
-        )
-        cur = _materialize(nxt)
-        if cur.filter(F.col("cursor").isNotNull()).isEmpty():
-            break
-    w = Window.partitionBy("trace_id").orderBy("path")
-    dfs = cur.withColumn("ns_left", F.row_number().over(w))
-    # right = max ns_left among spans whose path has this span as prefix
-    me = dfs.select("trace_id", "span_id", "parent_span_id", "path", "ns_left")
-    sub = (
-        me.alias("a")
-        .join(
-            me.select(
-                F.col("trace_id").alias("b_tid"),
-                F.col("path").alias("b_path"),
-                F.col("ns_left").alias("b_left"),
-            ),
-            (F.col("a.trace_id") == F.col("b_tid"))
-            & F.expr("array_position(b_path, a.span_id) > 0"),
-        )
-        .groupBy(
-            F.col("a.trace_id").alias("r_tid"), F.col("a.span_id").alias("r_sid")
-        )
-        .agg(F.max("b_left").alias("ns_right"))
-    )
-    return (
-        me.join(
-            sub,
-            (me.trace_id == sub.r_tid) & (me.span_id == sub.r_sid),
-        )
-        .select("trace_id", "span_id", "parent_span_id", "ns_left", "ns_right")
-    )
+# NOTE: the legacy window-function nested-set encoder (``nested_sets``)
+# lived here through round 8.  Its subtree-max self-join is per-trace
+# QUADRATIC — it exists only to triangulate the DFS implementations in
+# the property tests, so it now lives in tests/nested_sets_legacy.py;
+# this module's public surface contains only linear-shaped routes.

@@ -8,8 +8,9 @@ the trace's nested-set coords.  The oracle mirrors BOTH halves in
 SQL: the close rule (latest span + gap strictly before the final
 watermark = max event ms − 1h delay, the same arithmetic as the
 sessionize gate) and the coordinate values (the synthetic forest is
-two-level, so the DFS restates as window functions — root left=1
-right=n parent=−1, k-th child by span_id left=right=k+1 parent=1).
+two-level, so the Tempo enter/exit DFS restates as window functions —
+root left=1 right=2n parent=−1, k-th child by span_id left=2k
+right=2k+1 parent=1).
 """
 
 from __future__ import annotations
@@ -19,11 +20,18 @@ import shutil
 from pyspark.sql import functions as F
 
 from ..scratch import scratch_dir
+from ..streaming.trace_close import stream_trace_coords
 from ..signals import SPANS_CTE, spans_frame
-from ..streaming.trace_close import GAP_MS, stream_trace_coords
 from .registry import register
 
 _TID_CAP = 4000  # bounded per-trace state groups for the gate
+
+# fixture-tuned close gap: the synthetic span forest spreads a trace
+# over <= ~4 months of event time (children ship within 121 days of
+# the root order date), so 150 days never splits a trace.  A real
+# deployment passes its assembly window (seconds-to-minutes) — the
+# operator's own default is 30s (trace_close.DEFAULT_GAP_MS).
+FIXTURE_GAP_MS = 150 * 86_400_000
 
 
 @register(
@@ -39,17 +47,17 @@ lastt AS (
 mx AS (SELECT max(start_us // 1000) AS m FROM sp),
 closed AS (
   SELECT trace_id FROM lastt CROSS JOIN mx
-  WHERE last_ms + {GAP_MS} < m - 3600000
+  WHERE last_ms + {FIXTURE_GAP_MS} < m - 3600000
 ),
 n AS (SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans
       FROM sp GROUP BY trace_id)
 SELECT s.trace_id, s.span_id,
        CASE WHEN s.parent_span_id IS NULL THEN CAST(1 AS BIGINT)
-            ELSE 1 + row_number() OVER (
+            ELSE 2 * row_number() OVER (
               PARTITION BY s.trace_id, (s.parent_span_id IS NULL)
               ORDER BY s.span_id) END AS ns_left,
-       CASE WHEN s.parent_span_id IS NULL THEN n.n_spans
-            ELSE 1 + row_number() OVER (
+       CASE WHEN s.parent_span_id IS NULL THEN 2 * n.n_spans
+            ELSE 1 + 2 * row_number() OVER (
               PARTITION BY s.trace_id, (s.parent_span_id IS NULL)
               ORDER BY s.span_id) END AS ns_right,
        CASE WHEN s.parent_span_id IS NULL THEN CAST(-1 AS BIGINT)
@@ -69,7 +77,12 @@ def stream_trace_coords_closed(spark, sf_dir):
         src, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
         spans.coalesce(2).write.parquet(src)
         stream = spark.readStream.schema(spans.schema).parquet(src)
-        _run_to_parquet(spark, stream_trace_coords(stream), out_dir, ckpt)
+        _run_to_parquet(
+            spark,
+            stream_trace_coords(stream, gap_ms=FIXTURE_GAP_MS),
+            out_dir,
+            ckpt,
+        )
         rows = spark.read.parquet(out_dir).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -78,3 +91,141 @@ def stream_trace_coords_closed(spark, sf_dir):
         "trace_id long, span_id long, ns_left long, ns_right long,"
         " ns_parent long",
     )
+
+
+def merge_coords_batch(batch_df, table: str) -> None:
+    """foreachBatch sink: MERGE one micro-batch of closed-trace coords
+    into the bucketed coords store.
+
+    MERGE-insert semantics without a transactional format: rows whose
+    (trace_id, span_id) already exist are skipped — foreachBatch can
+    re-deliver a batch after a failure, and the tombstone in
+    ``trace_close`` can re-emit a trace as a new burst; idempotent
+    insert keeps the store consistent under both.  The anti-join keys
+    on trace_id — the store's bucketing key — so at scale it reads
+    only the buckets the batch touches, co-partitioned, no shuffle of
+    the store side."""
+    spark = batch_df.sparkSession
+    exists = any(
+        t.name == table for t in spark.catalog.listTables()
+    )
+    if exists:
+        batch_df = batch_df.join(
+            spark.table(table), ["trace_id", "span_id"], "left_anti"
+        )
+    (
+        batch_df.write.mode("append" if exists else "overwrite")
+        .bucketBy(8, "trace_id")
+        .sortBy("trace_id", "span_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+_COORD_STORE_MEMO = None  # (session id, sf_dir) -> table name
+
+
+# the CLOSED LOOP: spans stream in, the stateful close operator emits
+# nested-set coords, foreachBatch MERGEs them into a bucketed coords
+# store, and ``>>`` is answered from a store populated ONLY by the
+# stream — the three coords implementations (batch ingest, query-time,
+# streaming close) are now one pipeline, not three parallel proofs.
+# Oracle: the recursive-CTE descendant walk restricted to traces the
+# close rule has emitted (same watermark arithmetic as the coords
+# gate above).
+@register(
+    "stream_coords_store_descendant",
+    f"""WITH RECURSIVE {SPANS_CTE},
+sp AS (
+  SELECT trace_id, span_id, parent_span_id, name, start_us, duration_us,
+         service, status_code
+  FROM spans WHERE trace_id < {_TID_CAP}
+),
+lastt AS (
+  SELECT trace_id, max(start_us // 1000) AS last_ms FROM sp GROUP BY 1
+),
+mx AS (SELECT max(start_us // 1000) AS m FROM sp),
+closed AS (
+  SELECT trace_id FROM lastt CROSS JOIN mx
+  WHERE last_ms + {FIXTURE_GAP_MS} < m - 3600000
+),
+csp AS (SELECT sp.* FROM sp JOIN closed USING (trace_id)),
+anc AS (
+  SELECT trace_id, span_id FROM csp
+  WHERE service = 'frontend' AND status_code = 2
+),
+cov AS (
+  SELECT s.trace_id, s.span_id FROM csp s
+  JOIN anc a ON s.trace_id = a.trace_id AND s.parent_span_id = a.span_id
+  UNION
+  SELECT s.trace_id, s.span_id FROM csp s
+  JOIN cov c ON s.trace_id = c.trace_id AND s.parent_span_id = c.span_id
+)
+SELECT DISTINCT s.trace_id, s.span_id, s.name, s.duration_us
+FROM csp s JOIN cov c ON s.trace_id = c.trace_id AND s.span_id = c.span_id
+WHERE s.duration_us > 100000""",
+)
+def stream_coords_store_descendant(spark, sf_dir):
+    import os
+
+    from ..memo import SessionMemo
+    from ..operators.structural import descendants
+    from .structural_stored import _sweep_stale_tables
+
+    global _COORD_STORE_MEMO
+    if _COORD_STORE_MEMO is None:
+        _COORD_STORE_MEMO = SessionMemo()
+
+    spans = (
+        spans_frame(spark, sf_dir)
+        .filter(F.col("trace_id") < _TID_CAP)
+    )
+    table = _COORD_STORE_MEMO.get(spark, sf_dir)
+    if table is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        table = f"stream_coords_{tag}_p{os.getpid()}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _sweep_stale_tables(spark, f"stream_coords_{tag}_p")
+        work = scratch_dir(prefix="tcoord_store_")
+        try:
+            src, ckpt = f"{work}/in", f"{work}/ckpt"
+            (
+                spans.select(
+                    "trace_id", "span_id", "parent_span_id", "start_us"
+                )
+                .coalesce(2)
+                .write.parquet(src)
+            )
+            stream = spark.readStream.schema(
+                "trace_id long, span_id long, parent_span_id long,"
+                " start_us long"
+            ).parquet(src)
+            q = (
+                stream_trace_coords(stream, gap_ms=FIXTURE_GAP_MS)
+                .writeStream.foreachBatch(
+                    lambda bdf, _bid: merge_coords_batch(bdf, table)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        _COORD_STORE_MEMO.set(spark, sf_dir, table)
+    # the query path: only stream-emitted (closed) traces carry coords;
+    # the join restricts the span table to the store's contents and
+    # descendants() auto-routes to the stored range semi-join
+    stored = spans.join(
+        spark.table(table).select(
+            "trace_id", "span_id", "ns_left", "ns_right"
+        ),
+        ["trace_id", "span_id"],
+    )
+    out = descendants(
+        stored,
+        (F.col("service") == "frontend") & (F.col("status_code") == 2),
+        F.col("duration_us") > 100000,
+    )
+    return out.select("trace_id", "span_id", "name", "duration_us").distinct()

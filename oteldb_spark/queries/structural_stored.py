@@ -8,9 +8,12 @@ numbering ONCE at write time; these gates certify, against DuckDB
 oracles over the ORIGINAL tables, that
 
 * the stored coordinate VALUES are exactly the nested-set numbering of
-  the span forest (``traceql_nested_set_coords`` — the synthetic forest
-  is two-level, so the oracle restates the DFS as window functions:
-  root left=1/right=n, k-th child by span_id left=right=k+1),
+  the span forest under Tempo's classic enter/exit convention
+  (``traceql_nested_set_coords`` — the synthetic forest is two-level,
+  so the oracle restates the DFS as window functions: root
+  left=1/right=2n, k-th child by span_id left=2k/right=2k+1; plus
+  full-scale aggregate invariants in
+  ``traceql_nested_set_invariants``),
 * ``>>`` served from the stored columns returns the same spans as the
   recursive-CTE oracle with ZERO query-time Python and zero exchange
   over the bucketed layout (``traceql_structural_stored``;
@@ -41,6 +44,46 @@ from .registry import register
 _STORE_MEMO = SessionMemo()
 
 
+def _sweep_stale_tables(spark, prefix: str) -> None:
+    """Remove warehouse leftovers of DEAD processes that used this
+    gate: directories matching ``<prefix><pid>`` where pid is no longer
+    alive.  Only touches a LOCAL-filesystem warehouse (file:/ scheme or
+    no scheme) — on any other URI this is a no-op rather than a silent
+    partial delete; live processes' tables are never touched."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = None
+    for pfx in ("file://", "file:"):
+        if wh.startswith(pfx):
+            path = wh[len(pfx):]
+            break
+    else:
+        if "://" not in wh and not wh.startswith("file:"):
+            path = wh  # bare local path, no scheme
+    if path is None or not os.path.isdir(path):
+        return
+    import shutil
+
+    base = os.path.basename(prefix)
+    for entry in os.listdir(path):
+        if not entry.startswith(base):
+            continue
+        pid_part = entry[len(base):]
+        if not pid_part.isdigit():
+            continue
+        pid = int(pid_part)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner still alive: leave its table alone
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue  # alive under another uid
+        spark.sql(f"DROP TABLE IF EXISTS {entry}")
+        shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+
 def stored_spans(spark, sf_dir):
     """The bucketed span table WITH ingest-time nested-set coords for
     this sf dir — written once per session (the ingest path), read
@@ -49,19 +92,13 @@ def stored_spans(spark, sf_dir):
     if memo is not None:
         return read_table(spark, memo)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    table = f"gate_spans_coords_{tag}"
-    # a previous PROCESS may have left the managed-table directory in
-    # the warehouse without this session's catalog knowing the table —
-    # saveAsTable then refuses with LOCATION_ALREADY_EXISTS; clear both
+    # per-PROCESS table name: a fixed name would race other live
+    # processes sharing the warehouse (their reads die when we rmtree /
+    # overwrite), and an orphan directory from a crashed process would
+    # fail saveAsTable with LOCATION_ALREADY_EXISTS
+    table = f"gate_spans_coords_{tag}_p{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    import shutil
-
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    for pfx in ("file://", "file:"):
-        if wh.startswith(pfx):
-            wh = wh[len(pfx):]
-            break
-    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    _sweep_stale_tables(spark, f"gate_spans_coords_{tag}_p")
     write_bucketed_spans(
         spans_frame(spark, sf_dir), table, n_buckets=8, with_coords=True
     )
@@ -69,33 +106,86 @@ def stored_spans(spark, sf_dir):
     return read_table(spark, table)
 
 
-# the stored coordinate VALUES: the synthetic forest is two-level
-# (root span_id=0, children parented at the root), so the DFS
-# numbering restates as window functions — root left=1 right=n_spans
-# parent=-1; k-th child in span_id order left=right=k+1 parent=1
+# the stored coordinate VALUES under Tempo enter/exit numbering: the
+# synthetic forest is two-level (root span_id=0, children parented at
+# the root), so the DFS restates as window functions — root left=1
+# right=2·n_spans parent=-1; k-th child in span_id order left=2k
+# right=2k+1 parent=1.
+#
+# Scale-adaptive certification: exhaustive value check up to
+# _EXHAUSTIVE_MAX_ROWS spans (covers sf0.01's 75k), and a DETERMINISTIC
+# trace sample (trace_id % 8 = 3, ~12.5%) above it — the predicate is
+# plain integer arithmetic shared verbatim with the oracle, so the
+# sampled sweep is still a value-level check on ~94k stored coords at
+# sf0.1 instead of a 35s full-store hash.  The whole-store aggregate
+# invariants stay full-scale in traceql_nested_set_invariants below.
+_EXHAUSTIVE_MAX_ROWS = 200_000
+
+
 @register(
     "traceql_nested_set_coords",
     with_ctes(
         SPANS_CTE,
-        body="""SELECT s.trace_id, s.span_id,
+        body=f"""SELECT s.trace_id, s.span_id,
        CASE WHEN s.parent_span_id IS NULL THEN CAST(1 AS BIGINT)
-            ELSE 1 + row_number() OVER (
+            ELSE 2 * row_number() OVER (
               PARTITION BY s.trace_id, (s.parent_span_id IS NULL)
               ORDER BY s.span_id) END AS ns_left,
-       CASE WHEN s.parent_span_id IS NULL THEN n.n_spans
-            ELSE 1 + row_number() OVER (
+       CASE WHEN s.parent_span_id IS NULL THEN 2 * n.n_spans
+            ELSE 1 + 2 * row_number() OVER (
               PARTITION BY s.trace_id, (s.parent_span_id IS NULL)
               ORDER BY s.span_id) END AS ns_right,
        CASE WHEN s.parent_span_id IS NULL THEN CAST(-1 AS BIGINT)
             ELSE CAST(1 AS BIGINT) END AS ns_parent
 FROM spans s
 JOIN (SELECT trace_id, CAST(count(*) AS BIGINT) AS n_spans
-      FROM spans GROUP BY trace_id) n USING (trace_id)""",
+      FROM spans GROUP BY trace_id) n USING (trace_id)
+WHERE (SELECT count(*) FROM spans) <= {_EXHAUSTIVE_MAX_ROWS}
+   OR s.trace_id % 8 = 3""",
     ),
 )
 def traceql_nested_set_coords(spark, sf_dir):
-    return stored_spans(spark, sf_dir).select(
+    t = stored_spans(spark, sf_dir).select(
         "trace_id", "span_id", "ns_left", "ns_right", "ns_parent"
+    )
+    if t.count() > _EXHAUSTIVE_MAX_ROWS:  # metadata-only parquet count
+        t = t.filter(F.col("trace_id") % 8 == 3)
+    return t
+
+
+# whole-store aggregate invariants of the enter/exit numbering, FULL
+# scale at every sf (one groupBy over the stored table): per trace the
+# lefts and rights together must use each integer 1..2n exactly once —
+# min(left)=1, max(right)=2n, Σ(left)+Σ(right)=n(2n+1) — and the
+# synthetic forest has exactly one root (ns_parent = -1).  The oracle
+# restates the EXPECTED values from the original tables' span counts,
+# so a drifted stored write fails the value hash trace-by-trace.
+@register(
+    "traceql_nested_set_invariants",
+    with_ctes(
+        SPANS_CTE,
+        body="""SELECT trace_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(1 AS BIGINT) AS min_left,
+       CAST(2 * count(*) AS BIGINT) AS max_right,
+       CAST(count(*) * (2 * count(*) + 1) AS BIGINT) AS sum_coords,
+       CAST(1 AS BIGINT) AS n_roots
+FROM spans GROUP BY trace_id""",
+    ),
+)
+def traceql_nested_set_invariants(spark, sf_dir):
+    return (
+        stored_spans(spark, sf_dir)
+        .groupBy("trace_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("ns_left").alias("min_left"),
+            F.max("ns_right").alias("max_right"),
+            (F.sum("ns_left") + F.sum("ns_right")).alias("sum_coords"),
+            F.sum(
+                F.when(F.col("ns_parent") == -1, 1).otherwise(0)
+            ).alias("n_roots"),
+        )
     )
 
 
@@ -192,7 +282,8 @@ def tql_parsed_stored_descendant(spark, sf_dir):
 
 
 # leaves via coordinate arithmetic through the parsed front-end:
-# nestedSetRight == nestedSetLeft ⇔ empty subtree (the coords are
+# nestedSetRight == nestedSetLeft + 1 ⇔ empty subtree — Tempo's
+# documented leaf idiom, which now ports verbatim (the coords are
 # materialized for the query; the arithmetic runs as a codegen'd
 # column expression) — restated by the oracle as "no span points here"
 @register(
@@ -211,7 +302,7 @@ def tql_parsed_nested_leaf(spark, sf_dir):
         attr_cols={"service": "service", "service.name": "service"},
     )
     return compile_traceql(
-        "{ nestedSetRight - nestedSetLeft = 0 && duration > 100ms }", src
+        "{ nestedSetRight - nestedSetLeft = 1 && duration > 100ms }", src
     )
 
 
@@ -243,3 +334,64 @@ def tql_parsed_stored_ancestor(spark, sf_dir):
         "{ duration > 100ms } << { status = error }", src
     )
     return out.select("trace_id", "span_id", "name", "duration_us").distinct()
+
+
+# the FULL HTTP-shaped production path over the materialized store:
+# GET /api/search body → TraceQLEngine.search_frame → parse → compile
+# → STORED-coords structural route → per-trace assembly (root name by
+# Tempo's root-rank, trace duration, start) — every stage keyed on the
+# bucketing key, so the whole facade plans zero-Python / zero-Exchange
+# (asserted in tests/test_plans.py::test_search_facade_stored_plan).
+# limit=None so the oracle comparison is order-insensitive and
+# complete; the HTTP serializer's top-k is exercised in
+# tests/test_engine.py over the same store.
+@register(
+    "traceql_search_stored_facade",
+    f"""WITH RECURSIVE {SPANS_CTE},
+anc AS (
+  SELECT trace_id, span_id FROM spans
+  WHERE service = 'frontend' AND status_code = 2
+),
+cov AS (
+  SELECT s.trace_id, s.span_id FROM spans s
+  JOIN anc a ON s.trace_id = a.trace_id AND s.parent_span_id = a.span_id
+  UNION
+  SELECT s.trace_id, s.span_id FROM spans s
+  JOIN cov c ON s.trace_id = c.trace_id AND s.parent_span_id = c.span_id
+),
+matched AS (
+  SELECT DISTINCT s.trace_id
+  FROM spans s JOIN cov c ON s.trace_id = c.trace_id AND s.span_id = c.span_id
+  WHERE s.duration_us > 100000
+),
+ranked AS (
+  SELECT s.trace_id, s.name,
+         row_number() OVER (
+           PARTITION BY s.trace_id
+           ORDER BY (CASE WHEN s.parent_span_id IS NULL THEN 0 ELSE 1 END),
+                    s.start_us, s.span_id) AS rn
+  FROM spans s JOIN matched USING (trace_id)
+),
+agg AS (
+  SELECT s.trace_id,
+         max(s.start_us + s.duration_us) - min(s.start_us)
+           AS trace_duration_us,
+         min(s.start_us) AS start_us
+  FROM spans s JOIN matched USING (trace_id)
+  GROUP BY s.trace_id
+)
+SELECT a.trace_id, r.name AS root_name, a.trace_duration_us, a.start_us
+FROM agg a JOIN ranked r ON a.trace_id = r.trace_id AND r.rn = 1""",
+)
+def traceql_search_stored_facade(spark, sf_dir):
+    from ..engine import TraceQLEngine
+
+    src = SpanSource(
+        df=stored_spans(spark, sf_dir),
+        attr_cols={"service": "service", "service.name": "service"},
+    )
+    return TraceQLEngine(source=src).search_frame(
+        '{ resource.service.name = "frontend" && status = error }'
+        " >> { duration > 100ms }",
+        limit=None,
+    )

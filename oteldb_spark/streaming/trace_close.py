@@ -3,20 +3,30 @@
 The streaming counterpart of ingest-time coords
 (``sources/bucketed.write_bucketed_spans(with_coords=True)``): spans
 stream in unordered per trace; a trace CLOSES when no span arrives
-within ``GAP_MS`` of its latest span (event-time timeout against the
+within ``gap_ms`` of its latest span (event-time timeout against the
 watermark — the same close rule a streaming span store uses to decide
 a trace is assembled).  On close, the trace's nested-set coords are
 computed from the accumulated parent pointers — the identical DFS
-contract as ``operators.structural.trace_coords`` (1-based per-trace
-preorder, span_id-ordered roots/children, parent-missing ⇒ root,
-cycle break at smallest id, ns_parent = numbering parent's left or
-−1) — and emitted as one row per span.
+contract as ``operators.structural.trace_coords`` (Tempo enter/exit
+numbering, 1..2n per trace, span_id-ordered roots/children,
+parent-missing ⇒ root, cycle break at smallest id, ns_parent =
+numbering parent's left or −1) — and emitted as one row per span.
 
 State per trace is the edge list (span_id, parent_span_id encoded
-−1-for-null) plus the latest event time: kilobytes per open trace,
-dropped at close.  Late spans for an already-closed trace are dropped
-(the batch compaction path re-derives coords if a store ever needs to
-reopen a trace).
+−1-for-null) plus the latest event time: kilobytes per open trace.
+On close the edge list is dropped and replaced by an EMPTY tombstone
+remembering only the close boundary (``last_ms``).  Spans arriving at
+a tombstone are classified by EVENT time: ts ≤ last_ms + gap is a
+LATE arrival for the already-emitted trace — DROPPED, never
+re-emitted; ts beyond the closed window is a genuinely new burst and
+re-opens the trace as an independent partial emission (split
+semantics — each burst's numbering is internally consistent; the
+batch compaction path reconciles if a store needs one tree).  The
+tombstone itself expires one gap after the watermark passes it,
+freeing the state slot; a late span arriving after expiry re-opens —
+the bounded-state tradeoff of any streaming assembler.  Pinned by
+tests/test_stream_trace_close.py::test_late_span_after_close_dropped
+and ::test_short_gap_splits_trace.
 """
 
 from __future__ import annotations
@@ -26,10 +36,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# quiet period that closes a trace.  The synthetic span forest spreads
-# a trace over <= ~4 months of event time (children ship within 121
-# days of the root order date), so 150 days never splits a trace.
-GAP_MS = 150 * 86_400_000
+# Default quiet period that closes a trace: a real deployment assembles
+# a trace after seconds-to-minutes of silence.  The synthetic testdata
+# forest spreads one trace over months of event time, so its gates pass
+# a fixture-tuned value at the call site (queries/stream_coords.py
+# FIXTURE_GAP_MS) — the retention window is ALWAYS the caller's choice,
+# never inherited silently from the fixture.
+DEFAULT_GAP_MS = 30_000
 
 OUTPUT_SCHEMA = (
     "trace_id long, span_id long, ns_left long, ns_right long, ns_parent long"
@@ -39,7 +52,8 @@ STATE_SCHEMA = "sids array<long>, pids array<long>, last_ms long"
 
 def _coords(sids: list, pids: list) -> list:
     """Nested-set numbering of one trace — same contract as
-    trace_coords' per-trace DFS; returns [(sid, left, right, parent)]."""
+    trace_coords' per-trace DFS (Tempo enter/exit numbering);
+    returns [(sid, left, right, parent)]."""
     idset = set()
     kids: dict = {}
     parent_known: dict = {}
@@ -73,10 +87,9 @@ def _coords(sids: list, pids: list) -> list:
         while stack:
             node, done, pr = stack.pop()
             if done:
-                right[node] = max(
-                    [left[node]]
-                    + [right[c] for c in kids.get(node, ()) if c in right]
-                )
+                # enter/exit numbering: right ticks the counter on exit
+                counter += 1
+                right[node] = counter
                 continue
             if node in visited:
                 continue
@@ -100,49 +113,89 @@ def _coords(sids: list, pids: list) -> list:
     ]
 
 
-def _trace_close_fn(key, pdf_iter, state: GroupState):
-    (trace_id,) = key
-    if state.hasTimedOut:
-        sids, pids, _last = state.get
-        state.remove()
-        rows = _coords(
-            [int(s) for s in sids],
-            [None if p is None or p < 0 else int(p) for p in pids],
-        )
-        yield pd.DataFrame(
-            {
-                "trace_id": [trace_id] * len(rows),
-                "span_id": [r[0] for r in rows],
-                "ns_left": [r[1] for r in rows],
-                "ns_right": [r[2] for r in rows],
-                "ns_parent": [r[3] for r in rows],
-            }
-        )
-        return
-    batch = pd.concat(list(pdf_iter))
-    if state.exists:
-        sids, pids, last_ms = state.get
-        sids, pids = list(sids), list(pids)
-    else:
-        sids, pids, last_ms = [], [], None
-    for s, p, t in zip(batch["span_id"], batch["parent_span_id"], batch["ts_ms"]):
-        sids.append(int(s))
-        pids.append(-1 if pd.isna(p) else int(p))
-        t = int(t)
-        last_ms = t if last_ms is None else max(last_ms, t)
-    state.update((sids, pids, last_ms))
-    state.setTimeoutTimestamp(last_ms + GAP_MS)
+def _make_close_fn(gap_ms: int):
+    def _trace_close_fn(key, pdf_iter, state: GroupState):
+        (trace_id,) = key
+        if state.hasTimedOut:
+            sids, pids, last_ms = state.get
+            if not list(sids):
+                # the post-close tombstone went quiet for another gap:
+                # free the state slot
+                state.remove()
+                return
+            rows = _coords(
+                [int(s) for s in sids],
+                [None if p is None or p < 0 else int(p) for p in pids],
+            )
+            # replace the edge list with an EMPTY tombstone so late
+            # spans inside the next gap window are recognized as
+            # post-close and dropped instead of re-opening the trace
+            state.update(([], [], last_ms))
+            state.setTimeoutTimestamp(
+                max(state.getCurrentWatermarkMs(), last_ms) + gap_ms
+            )
+            yield pd.DataFrame(
+                {
+                    "trace_id": [trace_id] * len(rows),
+                    "span_id": [r[0] for r in rows],
+                    "ns_left": [r[1] for r in rows],
+                    "ns_right": [r[2] for r in rows],
+                    "ns_parent": [r[3] for r in rows],
+                }
+            )
+            return
+        batch = pd.concat(list(pdf_iter))
+        if state.exists:
+            sids, pids, last_ms = state.get
+            sids, pids = list(sids), list(pids)
+            if not sids:
+                # tombstone: this trace already closed and emitted.
+                # Classify arrivals by EVENT time against the closed
+                # window: spans at or inside last_ms + gap are LATE
+                # arrivals for the emitted trace — dropped, never
+                # re-emitted; spans beyond it are a genuinely NEW
+                # burst, which re-opens the trace as an independent
+                # partial emission (documented split semantics).
+                fresh = batch[batch["ts_ms"] > last_ms + gap_ms]
+                if fresh.empty:
+                    # keep the tombstone alive one more gap past the
+                    # watermark (the update must stay above it)
+                    state.update(([], [], last_ms))
+                    state.setTimeoutTimestamp(
+                        state.getCurrentWatermarkMs() + gap_ms
+                    )
+                    return
+                batch = fresh
+                sids, pids, last_ms = [], [], None
+        else:
+            sids, pids, last_ms = [], [], None
+        for s, p, t in zip(batch["span_id"], batch["parent_span_id"], batch["ts_ms"]):
+            sids.append(int(s))
+            pids.append(-1 if pd.isna(p) else int(p))
+            t = int(t)
+            last_ms = t if last_ms is None else max(last_ms, t)
+        state.update((sids, pids, last_ms))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return _trace_close_fn
 
 
-def stream_trace_coords(spans: DataFrame) -> DataFrame:
+def stream_trace_coords(
+    spans: DataFrame, gap_ms: int = DEFAULT_GAP_MS
+) -> DataFrame:
     """spans stream (trace_id, span_id, parent_span_id, start_us µs) →
-    per-span nested-set coords of CLOSED traces."""
+    per-span nested-set coords of CLOSED traces.
+
+    ``gap_ms`` is the quiet period that closes a trace AND the
+    post-close tombstone retention (state lives ≤ 2×gap_ms of event
+    time per trace) — always set it to the deployment's assembly
+    window; the testdata gates pass a fixture-tuned value."""
     with_ts = spans.withColumn(
         "ts_ms", F.expr("start_us div 1000")
     ).withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
     watermarked = with_ts.withWatermark("event_time", "1 hour")
     return watermarked.groupBy("trace_id").applyInPandasWithState(
-        _trace_close_fn,
+        _make_close_fn(gap_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

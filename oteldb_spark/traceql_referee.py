@@ -106,11 +106,12 @@ class TraceQLReferee:
 
     def _nested_coords(self, trace_id) -> dict:
         """Per-trace nested-set coords (nestedSetLeft/Right/Parent),
-        computed independently of the engine's pandas DFS: 1-based
-        preorder with children and roots in ascending span_id order;
-        spans whose parent is None/self/absent act as roots; cycle
-        remnants break at their smallest span_id; ns_parent is the
-        numbering-tree parent's left, -1 for roots."""
+        computed independently of the engine's pandas DFS: Tempo
+        enter/exit numbering (counter ticks on entry for left and on
+        exit for right, 1..2n per trace) with children and roots in
+        ascending span_id order; spans whose parent is None/self/absent
+        act as roots; cycle remnants break at their smallest span_id;
+        ns_parent is the numbering-tree parent's left, -1 for roots."""
         memo = getattr(self, "_ns_memo", None)
         if memo is None:
             memo = self._ns_memo = {}
@@ -142,10 +143,9 @@ class TraceQLReferee:
             while stack:
                 node, done, par = stack.pop()
                 if done:
-                    right[node] = max(
-                        [left[node]]
-                        + [right[c] for c in kids.get(node, ()) if c in right]
-                    )
+                    # enter/exit numbering: right ticks on subtree exit
+                    counter += 1
+                    right[node] = counter
                     continue
                 if node in visited:
                     continue

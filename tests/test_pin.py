@@ -45,6 +45,26 @@ def test_collected_wrapper_does_not_block_release(spark):
     assert pinmod._LIVE_PINS == []
 
 
+def test_release_sweep_opt_out_preserves_user_cache(spark):
+    """sweep_dead=False: a dead pinned wrapper must NOT trigger the
+    session-wide clearCache — an embedding caller's own cached frames
+    survive the release (the repo's harness callers keep the default
+    sweep)."""
+    release_pins()
+    user_df = spark.range(64).withColumn("v", F.col("id") * 3).cache()
+    user_df.count()
+    try:
+        df = pin(spark.range(32).withColumn("v", F.col("id") + 7))
+        df.count()
+        del df
+        gc.collect()
+        release_pins(sweep_dead=False)
+        assert _cached(user_df), "opt-out release wiped unrelated cache"
+    finally:
+        user_df.unpersist(blocking=True)
+        spark.catalog.clearCache()  # drop the dead pin's JVM blocks
+
+
 def test_repin_revives_after_release(spark):
     release_pins()
     df = pin(spark.range(10).withColumn("v", F.lit(1)), small=True)

@@ -281,3 +281,77 @@ def test_stored_descendant_zero_python_zero_exchange(spark):
         assert ffacts.n_exchanges == 0, ffacts.text
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_search_facade_stored_plan(spark):
+    """The FULL HTTP-shaped path — TraceQLEngine.search_frame over the
+    materialized coords store — plans zero-Python / zero-Exchange:
+    the compile routes `>>` to the stored range semi-join, and the
+    trace-assembly semi-join + groupBy both key on trace_id, the
+    bucketing key.  This is the production-deployment plan a 100 TB
+    span store serves /api/search from."""
+    from oteldb_spark.engine import TraceQLEngine
+    from oteldb_spark.queries.structural_stored import stored_spans
+    from oteldb_spark.traceql import SpanSource
+
+    src = SpanSource(
+        df=stored_spans(spark, SF),
+        attr_cols={"service": "service", "service.name": "service"},
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        frame = TraceQLEngine(source=src).search_frame(
+            '{ resource.service.name = "frontend" && status = error }'
+            " >> { duration > 100ms }",
+            limit=None,
+        )
+        facts = audit(frame)
+        assert "InPandas" not in facts.text
+        assert facts.n_exchanges == 0, facts.text
+        assert frame.count() > 0
+        # the serializer half of the facade: bounded search() returns
+        # Tempo TraceSearchMetadata over the same store
+        resp = TraceQLEngine(source=src).search(
+            '{ resource.service.name = "frontend" && status = error }'
+            " >> { duration > 100ms }",
+            limit=5,
+        )
+        assert len(resp["traces"]) == 5
+        for t in resp["traces"]:
+            assert set(t) == {
+                "traceID", "rootServiceName", "rootTraceName",
+                "startTimeUnixNano", "durationMs",
+            }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stream_store_query_plan(spark):
+    """The query half of the streaming→store loop: joining the span
+    table to a (fixture) coords store and routing `>>` through
+    descendants() must NOT introduce a Python stage — the coords come
+    from storage, the range semi-join runs on columns."""
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.operators.structural import descendants, trace_coords
+    from oteldb_spark.signals import spans_frame
+
+    spans = spans_frame(spark, SF).filter(F.col("trace_id") < 100)
+    # stand-in for the stream-populated table: materialized coords rows
+    coords = trace_coords(spans, with_parent=True)
+    coords = spark.createDataFrame(
+        coords.collect(), schema=coords.schema
+    )  # severs the Python lineage, like reading the store back
+    stored = spans.join(
+        coords.select("trace_id", "span_id", "ns_left", "ns_right"),
+        ["trace_id", "span_id"],
+    )
+    out = descendants(
+        stored,
+        (F.col("service") == "frontend") & (F.col("status_code") == 2),
+        F.col("duration_us") > 100000,
+    )
+    facts = audit(out)
+    assert "FlatMapGroupsInPandas" not in facts.text
+    assert out.count() >= 0

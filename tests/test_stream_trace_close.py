@@ -1,32 +1,61 @@
 """Streaming trace-close coords: the stateful operator emits nested-set
-coords exactly when a trace goes quiet past the gap, and the DFS helper
-matches trace_coords' contract on forests and cycle remnants."""
+coords exactly when a trace goes quiet past the gap, the DFS helper
+matches trace_coords' contract (Tempo enter/exit numbering) on forests
+and cycle remnants, late spans for a closed trace are DROPPED while the
+tombstone lives, and a short gap splits a trace as documented."""
 
 from __future__ import annotations
 
-from oteldb_spark.streaming.trace_close import GAP_MS, _coords, stream_trace_coords
+from oteldb_spark.streaming.trace_close import _coords, stream_trace_coords
+
+# the fixture-scale gap the gates use (see queries/stream_coords.py)
+GAP_MS = 150 * 86_400_000
 
 
 def test_coords_helper_matches_contract():
     # forest: 1 -> {2 -> 4, 3}; orphan parent 9 makes 5 a root
+    # enter/exit DFS: 1(1, ) 2(2, ) 4(3,4) 2 exit 5; 3(6,7); 1 exit 8;
+    # 5(9,10)
     sids = [1, 2, 3, 4, 5]
     pids = [None, 1, 1, 2, 9]
     got = {s: (l, r, p) for s, l, r, p in _coords(sids, pids)}
     assert got == {
-        1: (1, 4, -1),
-        2: (2, 3, 1),
-        4: (3, 3, 2),
-        3: (4, 4, 1),
-        5: (5, 5, -1),
+        1: (1, 8, -1),
+        2: (2, 5, 1),
+        4: (3, 4, 2),
+        3: (6, 7, 1),
+        5: (9, 10, -1),
     }
+    # leaf idiom under Tempo numbering: right = left + 1
+    for leaf in (4, 3, 5):
+        l, r, _ = got[leaf]
+        assert r == l + 1
     # pure cycle 1 -> 2 -> 3 -> 1: break at smallest id
     got = {s: (l, r, p) for s, l, r, p in _coords([1, 2, 3], [3, 1, 2])}
-    assert got == {1: (1, 3, -1), 2: (2, 3, 1), 3: (3, 3, 2)}
+    assert got == {1: (1, 6, -1), 2: (2, 5, 1), 3: (3, 4, 2)}
+
+
+def _run_stream(spark, df_schema, src, out, ckpt, gap_ms, max_files=None):
+    spark_stream = (
+        spark.readStream.schema(df_schema)
+    )
+    if max_files is not None:
+        spark_stream = spark_stream.option("maxFilesPerTrigger", max_files)
+    stream = spark_stream.parquet(src)
+    q = (
+        stream_trace_coords(stream, gap_ms=gap_ms)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def test_stream_emits_only_closed_traces(spark, tmp_path):
     import pandas  # noqa: F401
-    from pyspark.sql import functions as F
 
     base = 1_700_000_000_000_000  # µs
     rows = [
@@ -49,26 +78,156 @@ def test_stream_emits_only_closed_traces(spark, tmp_path):
         str(tmp_path / "ck"),
     )
     df.coalesce(2).write.parquet(src)
-    stream = spark.readStream.schema(df.schema).parquet(src)
-    q = (
-        stream_trace_coords(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_stream(spark, df.schema, src, out, ckpt, GAP_MS)
     got = {
         (r.trace_id, r.span_id): (r.ns_left, r.ns_right, r.ns_parent)
         for r in spark.read.parquet(out).collect()
     }
+    # enter/exit: 1(1, ) 2(2,3) 3(4,5) 1 exit 6
     assert got == {
-        (1, 1): (1, 3, -1),
-        (1, 2): (2, 2, 1),
-        (1, 3): (3, 3, 1),
+        (1, 1): (1, 6, -1),
+        (1, 2): (2, 3, 1),
+        (1, 3): (4, 5, 1),
     }
+
+
+def _write_one_file(path, rows):
+    """One parquet FILE per phase so maxFilesPerTrigger=1 gives a
+    deterministic file→micro-batch mapping."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf = pd.DataFrame(
+        rows, columns=["trace_id", "span_id", "parent_span_id", "start_us"]
+    )
+    schema = pa.schema(
+        [
+            ("trace_id", pa.int64()),
+            ("span_id", pa.int64()),
+            ("parent_span_id", pa.int64()),
+            ("start_us", pa.int64()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema), path)
+
+
+def test_late_span_after_close_dropped(spark, tmp_path):
+    """The ADVICE-flagged hazard: a span arriving AFTER its trace
+    closed must be dropped (tombstone), not re-open the trace and
+    re-emit a second, partial coordinate set."""
+    import time
+
+    gap = 60_000  # 1 minute close gap
+    wm = 3_600_000  # 1h watermark delay (operator-fixed)
+    base = 1_700_000_000_000_000  # µs
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    # batch 1: trace 1 (two spans) plus a watermark pusher far enough
+    # ahead that trace 1's timeout fires in batch 2
+    _write_one_file(
+        f"{src}/f1.parquet",
+        [
+            (1, 1, None, base),
+            (1, 2, 1, base + 1_000_000),
+            (9, 1, None, base + (gap + wm + 60_000) * 1000),
+        ],
+    )
+    time.sleep(0.05)
+    # batch 2: unrelated data -> trace 1 has NO input rows, watermark
+    # (from batch 1) is past its timeout -> closes and emits here
+    _write_one_file(
+        f"{src}/f2.parquet",
+        [(9, 2, 1, base + (gap + wm + 61_000) * 1000)],
+    )
+    time.sleep(0.05)
+    # batch 3: a LATE span for the already-closed trace 1 -> must be
+    # dropped by the tombstone (previously it re-created state and
+    # re-emitted trace 1 with partial coords at final timeout)
+    _write_one_file(
+        f"{src}/f3.parquet",
+        [(1, 3, 1, base + 2_000_000)],
+    )
+    schema = (
+        "trace_id long, span_id long, parent_span_id long, start_us long"
+    )
+    _run_stream(spark, schema, src, out, ckpt, gap, max_files=1)
+    rows = spark.read.parquet(out).collect()
+    t1 = {(r.span_id): (r.ns_left, r.ns_right, r.ns_parent)
+          for r in rows if r.trace_id == 1}
+    # exactly the two pre-close spans, emitted ONCE, late span absent
+    assert t1 == {1: (1, 4, -1), 2: (2, 3, 1)}
+    n_t1_rows = sum(1 for r in rows if r.trace_id == 1)
+    assert n_t1_rows == 2  # no duplicate / partial re-emission
+
+
+def test_short_gap_splits_trace(spark, tmp_path):
+    """Documented split semantics: with a gap shorter than the quiet
+    period INSIDE a trace, the trace closes at the first silence and
+    the later spans (event time beyond the closed window) form a
+    SECOND, independent emission — consumers see two partial coord
+    sets, each internally consistent."""
+    import time
+
+    gap = 60_000  # 1 minute gap
+    wm = 3_600_000
+    base = 1_700_000_000_000_000
+    # the second burst's EVENT time sits far beyond the closed window,
+    # so the tombstone classifies it as a new burst and re-opens
+    late_off_ms = 10 * (gap + wm)
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    _write_one_file(
+        f"{src}/f1.parquet",
+        [
+            (1, 1, None, base),
+            (1, 2, 1, base + 1_000_000),
+            # pusher advances the watermark past burst 1's timeout
+            (9, 1, None, base + (gap + wm + 60_000) * 1000),
+        ],
+    )
+    time.sleep(0.05)
+    _write_one_file(
+        f"{src}/f2.parquet",
+        [(9, 2, 1, base + (gap + wm + 61_000) * 1000)],
+    )
+    time.sleep(0.05)
+    # burst 2 of trace 1, event time far beyond last_ms + gap
+    _write_one_file(
+        f"{src}/f3.parquet",
+        [(1, 3, 1, base + late_off_ms * 1000),
+         (1, 4, 3, base + late_off_ms * 1000 + 1_000_000)],
+    )
+    time.sleep(0.05)
+    # final pusher: advances the watermark past burst 2's close
+    # boundary so its timeout fires before the stream drains
+    _write_one_file(
+        f"{src}/f4.parquet",
+        [(9, 3, 1, base + (late_off_ms + gap + wm + 60_000) * 1000)],
+    )
+    schema = (
+        "trace_id long, span_id long, parent_span_id long, start_us long"
+    )
+    _run_stream(spark, schema, src, out, ckpt, gap, max_files=1)
+    rows = [r for r in spark.read.parquet(out).collect() if r.trace_id == 1]
+    got = {r.span_id: (r.ns_left, r.ns_right, r.ns_parent) for r in rows}
+    assert len(rows) == 4  # both bursts emitted, no duplicates
+    # burst 1: 1 -> 2 (span 3 absent, so burst 2 numbers independently)
+    assert got[1] == (1, 4, -1)
+    assert got[2] == (2, 3, 1)
+    # burst 2: 3 -> 4, parent 1 is ABSENT from the re-opened state so
+    # span 3 acts as a root — per-trace numbering restarts at 1
+    assert got[3] == (1, 4, -1)
+    assert got[4] == (2, 3, 1)
 
 
 def test_three_coords_implementations_agree_on_random_forests(spark):
@@ -132,3 +291,9 @@ def test_three_coords_implementations_agree_on_random_forests(spark):
         for sid, lrp in referee._nested_coords(tid).items():
             ref_res[(tid, sid)] = lrp
     assert batch == stream_res == ref_res
+    # every trace's coords are a permutation of 1..2n (enter/exit)
+    per_trace: dict = {}
+    for (tid, _sid), (l, r, _p) in batch.items():
+        per_trace.setdefault(tid, []).extend((l, r))
+    for tid, coords in per_trace.items():
+        assert sorted(coords) == list(range(1, len(coords) + 1)), tid

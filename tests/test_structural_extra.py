@@ -5,11 +5,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from oteldb_spark.operators.structural import (
-    ancestors_of,
-    descendants,
-    nested_sets,
-)
+from nested_sets_legacy import nested_sets
+
+from oteldb_spark.operators.structural import ancestors_of, descendants
 
 
 def _tree(spark):
@@ -166,20 +164,27 @@ def test_nested_sets_deep_chain(spark):
 
 def test_trace_coords_parent_values(spark):
     """with_parent=True emits ns_parent = parent's ns_left (−1 for
-    roots), per-trace 1-based — the stored-intrinsics contract."""
+    roots), per-trace Tempo enter/exit numbering (1..2n; leaf ⇔
+    right = left + 1) — the stored-intrinsics contract."""
     from oteldb_spark.operators.structural import trace_coords
 
     got = {
         (r.trace_id, r.span_id): (r.ns_left, r.ns_right, r.ns_parent)
         for r in trace_coords(_tree(spark), with_parent=True).collect()
     }
-    assert got[(1, 1)] == (1, 5, -1)
-    assert got[(1, 2)] == (2, 4, 1)
-    assert got[(1, 3)] == (3, 4, 2)
-    assert got[(1, 4)] == (4, 4, 3)
-    assert got[(1, 5)] == (5, 5, 1)
-    assert got[(2, 1)] == (1, 2, -1)
-    assert got[(2, 2)] == (2, 2, 1)
+    # trace 1 DFS: enter 1,2,3,4; exit 4(5); exit 3(6); exit 2(7);
+    # enter 5(8); exit 5(9); exit 1(10)
+    assert got[(1, 1)] == (1, 10, -1)
+    assert got[(1, 2)] == (2, 7, 1)
+    assert got[(1, 3)] == (3, 6, 2)
+    assert got[(1, 4)] == (4, 5, 3)
+    assert got[(1, 5)] == (8, 9, 1)
+    assert got[(2, 1)] == (1, 4, -1)
+    assert got[(2, 2)] == (2, 3, 1)
+    # leaf idiom under Tempo numbering
+    for key in ((1, 4), (1, 5), (2, 2)):
+        l, r, _ = got[key]
+        assert r == l + 1
 
 
 def test_stored_route_agrees_on_random_forest(spark):

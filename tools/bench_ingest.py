@@ -71,16 +71,12 @@ def _bench_otlp(spark, n_payloads: int, series_per: int, samples_per: int):
     )
 
 
-def main() -> None:
-    n_payloads = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    series_per = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    samples_per = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    mode = sys.argv[4] if len(sys.argv) > 4 else "prw"
-
-    spark = get_spark("bench-ingest")
-    if mode == "otlp":
-        _bench_otlp(spark, n_payloads, series_per, samples_per)
-        return
+def measure_prw(
+    spark, n_payloads: int = 256, series_per: int = 100, samples_per: int = 20
+) -> dict:
+    """Synthesize vmagent-shaped WriteRequests, time the distributed
+    decode, return the throughput record (reused by bench.py so every
+    BENCH_rN.json carries the ingest envelope next to query latency)."""
     base_ms = 1_704_067_200_000
     payloads = []
     for p in range(n_payloads):
@@ -111,19 +107,29 @@ def main() -> None:
     t0 = time.time()
     n = prw.prw_points(df).count()
     dt = time.time() - t0
+    df.unpersist(blocking=False)
     assert n == total_points, (n, total_points)
-    print(
-        json.dumps(
-            {
-                "metric": "prw_ingest_points_per_sec",
-                "value": round(n / dt),
-                "unit": "points/s",
-                "points": n,
-                "seconds": round(dt, 3),
-                "payloads": n_payloads,
-            }
-        )
-    )
+    return {
+        "metric": "prw_ingest_points_per_sec",
+        "value": round(n / dt),
+        "unit": "points/s",
+        "points": n,
+        "seconds": round(dt, 3),
+        "payloads": n_payloads,
+    }
+
+
+def main() -> None:
+    n_payloads = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    series_per = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    samples_per = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    mode = sys.argv[4] if len(sys.argv) > 4 else "prw"
+
+    spark = get_spark("bench-ingest")
+    if mode == "otlp":
+        _bench_otlp(spark, n_payloads, series_per, samples_per)
+        return
+    print(json.dumps(measure_prw(spark, n_payloads, series_per, samples_per)))
 
 
 if __name__ == "__main__":

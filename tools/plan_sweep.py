@@ -77,6 +77,7 @@ UNAUDITABLE: dict[str, str] = {
     "stream_hdr_windowed": "streaming job at construction; tests/test_stream_rollup.py",
     "stream_span_interval_join": "streaming job at construction; tests/test_streaming.py",
     "stream_trace_coords_closed": "streaming job at construction; tests/test_stream_trace_close.py",
+    "stream_coords_store_descendant": "streaming job populates the coords store at construction; the query half's plan (stored-coords range semi-join) is asserted in tests/test_plans.py::test_stream_store_query_plan",
 }
 
 

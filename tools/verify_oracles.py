@@ -189,6 +189,11 @@ def main() -> int:
                     doc = json.load(f)
             except Exception:
                 doc = {}
+            if "gates" in doc:
+                # existing artifact is an UNLABELED single-run schema:
+                # wrap it under a default key instead of grafting the
+                # label into the run dict (mixed-schema JSON)
+                doc = {"unlabeled": doc}
         if label:
             doc[label] = run
         else:
