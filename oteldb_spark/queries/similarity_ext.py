@@ -411,11 +411,27 @@ def emb_random_projection(spark, sf_dir):
 # clustering bounds the pairwise stage to within-cell pairs — the
 # standard way the quadratic is tamed at 100 TB (cells are the IVF
 # cells; the pair join is a per-cell self-join, never all-pairs).
+#
+# CELL SIZE MUST BE BOUNDED (round-9 scaling-curve find): with a FIXED
+# codebook, cells grow linearly with the corpus and the within-cell
+# self-join is O(n²/k) — tools/scaling_curve.py measured exponent 1.7
+# over 500→8000 vectors.  Real SemDeDup scales k with n; here the
+# 8-centroid coarse assignment is refined by deterministic RANK BLOCKS:
+# within each coarse cell, vectors sort by (cos-to-centroid desc,
+# vec_id) and split into blocks of ≤ _SEM_CELL_CAP, and the pair join
+# runs per (cid, block).  Near-duplicates have near-equal cosine to
+# their shared centroid, so they land in the same or adjacent block —
+# the same sorted-projection approximation SemDeDup itself makes by
+# pruning only within IVF cells.  Pair work is now ≤ n·CAP/2 (linear
+# in n), re-measured exponent ~1.0, and the oracle replays the exact
+# blocking (rounded cosine + vec_id tie-break ⇒ identical ranks).
+#
 # τ=0.3 is tuned DOWN to the synthetic corpus (random embeddings peak
 # at cos≈0.49; a production 0.95+ would prune nothing here) — the
 # machinery, not the constant, is the operator.  All cosines rounded
 # to 6 digits on both engines before comparison or ordering.
 _SEM_TAU = 0.3
+_SEM_CELL_CAP = 128
 
 
 @register(
@@ -423,17 +439,27 @@ _SEM_TAU = 0.3
     f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 cents AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
 assign AS (
-  SELECT vec_id, cid FROM (
+  SELECT vec_id, cid, cos FROM (
     SELECT v.vec_id, c.cid,
+           round(list_dot_product(v.e, c.ce)
+             / (sqrt(list_dot_product(v.e, v.e))
+                * sqrt(list_dot_product(c.ce, c.ce))), 6) AS cos,
            row_number() OVER (
              PARTITION BY v.vec_id
              ORDER BY round(list_dot_product(v.e, c.ce)
                / (sqrt(list_dot_product(v.e, v.e))
                   * sqrt(list_dot_product(c.ce, c.ce))), 6) DESC, c.cid) AS rn
     FROM v, cents c) WHERE rn = 1),
+blocked AS (
+  SELECT vec_id, cid,
+         (row_number() OVER (
+            PARTITION BY cid ORDER BY cos DESC, vec_id) - 1)
+           // {_SEM_CELL_CAP} AS blk
+  FROM assign),
 drops AS (
   SELECT DISTINCT b.vec_id
-  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM blocked a JOIN blocked b
+    ON a.cid = b.cid AND a.blk = b.blk AND a.vec_id < b.vec_id
   JOIN v x ON x.vec_id = a.vec_id JOIN v y ON y.vec_id = b.vec_id
   WHERE round(list_dot_product(x.e, y.e)
           / (sqrt(list_dot_product(x.e, x.e))
@@ -452,17 +478,22 @@ def dedup_semantic_survivors(spark, sf_dir):
         dot(F.col("e"), F.col("ce")) / (norm(F.col("e")) * norm(F.col("ce"))), 6
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    wb = Window.partitionBy("cid").orderBy(F.col("cos").desc(), "vec_id")
     # The assignment subtree feeds THREE branches (both pair-join
     # sides and the survivor anti-join): pin it so the 8x crossjoin +
-    # window run once, and hoist the per-vector norm into it so the
-    # pair cosine below multiplies two cached scalars instead of
+    # two windows run once, and hoist the per-vector norm into it so
+    # the pair cosine below multiplies two cached scalars instead of
     # re-reducing both 64-dim arrays per candidate pair.
     assign = pin(
         emb.crossJoin(F.broadcast(cents))
         .withColumn("cos", cos_c)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "e", norm(F.col("e")).alias("nrm"))
+        .withColumn(
+            "blk",
+            ((F.row_number().over(wb) - 1) / _SEM_CELL_CAP).cast("long"),
+        )
+        .select("vec_id", "cid", "blk", "e", norm(F.col("e")).alias("nrm"))
     )
     a = assign.alias("a")
     b = assign.alias("b")
@@ -474,6 +505,7 @@ def dedup_semantic_survivors(spark, sf_dir):
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(pair_cos >= _SEM_TAU)
