@@ -30,6 +30,20 @@ _LOGFMT_TOKEN = r'([^\s="]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)'
 _LOGFMT_BAD = r'(?:^|\s)[^\s="]*="(?:[^"\\]|\\.)*$'
 
 
+def _bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE and pass it to ``fn`` as a bound lambda
+    variable (single-element transform + element_at).
+
+    Why: Catalyst inlines a Column expression at every MENTION, and a
+    higher-order-function lambda re-evaluates every CAPTURED outer
+    expression per array element — an expensive input (a parsed map, a
+    regexp extraction) mentioned 5× inside an expression tree is built
+    5× per row.  Binding turns those mentions into lambda-variable
+    field accesses.  Null-transparent: a null input becomes [null] and
+    ``fn`` sees null, same as direct evaluation."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def logfmt_map(body: Column | str) -> Column:
     """Parse a logfmt line (``k=v`` space-separated) into a
     map<string,string>.  Quoted values (``k="a b"``) are unquoted and
@@ -50,17 +64,42 @@ def logfmt_map(body: Column | str) -> Column:
             ),
         ).otherwise(v),
     )
-    # last-win fold avoids map_from_arrays' EXCEPTION dedup policy (the
-    # driver runs a plain session, so no conf to lean on); token counts
-    # per line are small so the quadratic fold is fine
-    entries = F.arrays_zip(keys.alias("k"), vals.alias("v"))
-    return F.aggregate(
-        entries,
-        F.create_map().cast("map<string,string>"),
-        lambda acc, e: F.map_concat(
-            F.map_filter(acc, lambda k, _: k != e["k"]),
-            F.create_map(e["k"], e["v"]),
-        ),
+    # Last-win dedup WITHOUT per-token map allocation: keep only each
+    # key's LAST occurrence (0-based index i == T − 1-based position of
+    # the key in the REVERSED key array), then build the map once.  The
+    # earlier map_concat/map_filter fold allocated ~2 maps per token
+    # per row.  CRITICAL shape detail: everything runs inside _bind
+    # scopes so keys/vals and the derived reverse/size are LAMBDA
+    # VARIABLES — a Spark HOF re-evaluates any CAPTURED outer
+    # expression per element, so a naive `rev = F.reverse(keys)`
+    # captured in the filter lambda re-runs the regexp per token per
+    # row (measured 3× slower than the fold it replaced; bound, this
+    # is ~10% faster than the fold and allocation-free).  No duplicate
+    # keys survive the filter, so map_from_entries is safe under the
+    # default EXCEPTION dedup policy (the driver runs a plain session,
+    # so no conf to lean on).
+    def with_rev(s):
+        return F.struct(
+            s["ks"].alias("ks"),
+            s["vs"].alias("vs"),
+            F.reverse(s["ks"]).alias("rk"),
+            F.size(s["ks"]).alias("n"),
+        )
+
+    def build(s):
+        return F.map_from_entries(
+            F.transform(
+                F.filter(
+                    F.arrays_zip(s["ks"].alias("k"), s["vs"].alias("v")),
+                    lambda e, i: i == s["n"] - F.array_position(s["rk"], e["k"]),
+                ),
+                lambda e: F.struct(e["k"], e["v"]),
+            )
+        )
+
+    return _bind(
+        F.struct(keys.alias("ks"), vals.alias("vs")),
+        lambda s: _bind(with_rev(s), build),
     )
 
 
@@ -180,14 +219,22 @@ def parse_bytes(col: Column | str) -> Column:
 
 
 def ipv4_to_long(col: Column | str) -> Column:
-    """Dotted-quad IPv4 string → uint32 as long (null if malformed)."""
+    """Dotted-quad IPv4 string → uint32 as long (null if malformed).
+
+    The input is _bind-scoped: it is often an expensive extraction (a
+    parsed-map lookup), and the split/size/element_at tree would
+    otherwise inline it 5×."""
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, r"\.")
-    valid = F.size(parts) == 4
-    total = F.lit(0).cast("long")
-    for i in range(4):
-        total = total * 256 + F.element_at(parts, i + 1).cast("long")
-    return F.when(valid, total)
+
+    def convert(s):
+        parts = F.split(s, r"\.")
+        valid = F.size(parts) == 4
+        total = F.lit(0).cast("long")
+        for i in range(4):
+            total = total * 256 + F.element_at(parts, i + 1).cast("long")
+        return F.when(valid, total)
+
+    return _bind(c, convert)
 
 
 def ip_in_cidr(col: Column | str, cidr: str) -> Column:
@@ -200,9 +247,10 @@ def ip_in_cidr(col: Column | str, cidr: str) -> Column:
         + base_parts[3]
     )
     mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
-    ip = ipv4_to_long(col)
-    return ip.isNotNull() & (
-        ip.bitwiseAND(F.lit(mask)) == F.lit(base_long & mask)
+    return _bind(
+        ipv4_to_long(col),
+        lambda ip: ip.isNotNull()
+        & (ip.bitwiseAND(F.lit(mask)) == F.lit(base_long & mask)),
     )
 
 
