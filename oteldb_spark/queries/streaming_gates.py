@@ -73,7 +73,13 @@ def stream_neardup_pairs(spark, sf_dir):
         src = f"{work}/in"
         out_dir = f"{work}/out"
         ckpt = f"{work}/ckpt"
-        docs.coalesce(1).write.parquet(src)
+        # 8 source files: the per-row signature stage (shingle+md5+K
+        # affine mins) runs in the file-scan stage of the stream — one
+        # file pinned it to one core (measured 4.4 s single-threaded
+        # vs 0.6 s across the session's cores).  Arrival-order
+        # determinism is unaffected: availableNow delivers all files
+        # in one batch and the stateful fn sorts each group by ts_ms.
+        docs.repartition(8).write.parquet(src)
         stream = spark.readStream.schema(docs.schema).parquet(src)
         _run_to_parquet(
             spark, stream_near_dup_pairs(stream, threshold=4), out_dir, ckpt
