@@ -166,12 +166,25 @@ _DURATION_UNITS = [
 
 
 def _duration_component_seconds(x: Column) -> Column:
-    num = F.regexp_extract(x, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
-    unit = F.regexp_extract(x, r"([a-zµ]+)$", 1)
-    expr = F.lit(None).cast("double")
-    for u, mult in _DURATION_UNITS:
-        expr = F.when(unit == u, num * F.lit(mult)).otherwise(expr)
-    return expr
+    # num/unit are _bind-scoped: the unit when-chain mentions each ~7×,
+    # which would otherwise inline both regexps per mention
+    def chain(s):
+        expr = F.lit(None).cast("double")
+        for u, mult in _DURATION_UNITS:
+            expr = F.when(s["unit"] == u, s["num"] * F.lit(mult)).otherwise(
+                expr
+            )
+        return expr
+
+    return _bind(
+        F.struct(
+            F.regexp_extract(x, r"^([0-9]*\.?[0-9]+)", 1)
+            .cast("double")
+            .alias("num"),
+            F.regexp_extract(x, r"([a-zµ]+)$", 1).alias("unit"),
+        ),
+        chain,
+    )
 
 
 def parse_duration_seconds(col: Column | str) -> Column:
@@ -179,19 +192,37 @@ def parse_duration_seconds(col: Column | str) -> Column:
     components like '1h2m3.5s' sum; optional leading '-'; a string
     that is not entirely duration components → null."""
     c = F.col(col) if isinstance(col, str) else col
-    comps = F.regexp_extract_all(
-        c, F.lit(r"([0-9]*\.?[0-9]+(?:ns|us|µs|ms|s|m|h))"), 1
-    )
-    body = F.regexp_replace(c, r"^[+-]", "")
-    total = F.aggregate(
-        comps,
-        F.lit(0.0),
-        lambda acc, x: acc + _duration_component_seconds(x),
-    )
-    sign = F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
-    return F.when(
-        (F.size(comps) > 0) & (F.array_join(comps, "") == body), sign * total
-    )
+
+    # _bind twice: the input (often a parsed-map extraction) is
+    # mentioned 3× and the component array 3× — unbound, each mention
+    # inlines the full upstream expression
+    def compute(s):
+        comps = F.regexp_extract_all(
+            s, F.lit(r"([0-9]*\.?[0-9]+(?:ns|us|µs|ms|s|m|h))"), 1
+        )
+        body = F.regexp_replace(s, r"^[+-]", "")
+        sign = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+
+        def finish(t):
+            total = F.aggregate(
+                t["comps"],
+                F.lit(0.0),
+                lambda acc, x: acc + _duration_component_seconds(x),
+            )
+            return F.when(
+                (F.size(t["comps"]) > 0)
+                & (F.array_join(t["comps"], "") == t["body"]),
+                t["sign"] * total,
+            )
+
+        return _bind(
+            F.struct(
+                comps.alias("comps"), body.alias("body"), sign.alias("sign")
+            ),
+            finish,
+        )
+
+    return _bind(c, compute)
 
 
 _BYTES_UNITS = [
@@ -208,14 +239,27 @@ _BYTES_UNITS = [
 
 
 def parse_bytes(col: Column | str) -> Column:
-    """'1.5KB' → 1500.0 bytes (case-insensitive units, go-humanize)."""
+    """'1.5KB' → 1500.0 bytes (case-insensitive units, go-humanize).
+    num/unit are _bind-scoped — the unit when-chain mentions each ~9×,
+    and the input is often a parsed-map extraction."""
     c = F.col(col) if isinstance(col, str) else col
-    num = F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)", 1).cast("double")
-    unit = F.lower(F.regexp_extract(c, r"([A-Za-z]+)$", 1))
-    expr = F.lit(None).cast("double")
-    for u, mult in _BYTES_UNITS:
-        expr = F.when(unit == u, num * F.lit(mult)).otherwise(expr)
-    return expr
+
+    def chain(s):
+        num, unit = s["num"], s["unit"]
+        expr = F.lit(None).cast("double")
+        for u, mult in _BYTES_UNITS:
+            expr = F.when(unit == u, num * F.lit(mult)).otherwise(expr)
+        return expr
+
+    return _bind(
+        F.struct(
+            F.regexp_extract(c, r"^([0-9]*\.?[0-9]+)", 1)
+            .cast("double")
+            .alias("num"),
+            F.lower(F.regexp_extract(c, r"([A-Za-z]+)$", 1)).alias("unit"),
+        ),
+        chain,
+    )
 
 
 def ipv4_to_long(col: Column | str) -> Column:
