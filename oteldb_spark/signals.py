@@ -118,8 +118,16 @@ COUNTER_RESET_MOD = 5000
 
 
 # weak-keyed per-session memos: a plain dict would retain every
-# SparkSession (and its pinned frame) for the process lifetime; repin
-# on hit revives blocks a release_pins() between queries dropped
+# SparkSession (and its frame) for the process lifetime.
+#
+# These fixture frames are memoized but deliberately NOT pinned:
+# measured at sf0.1, recomputing each (parquet scan + one window) is
+# 0.12-0.15 s while cache materialization costs 1.6-4.7 s and a
+# cached read of the map/array-heavy events frame is 4x SLOWER than
+# recompute (InMemoryRelation (de)serialization of map columns
+# dominates).  Every derivation below is deterministic (row_number
+# over a unique sort key, cumsum over unique timestamps), so branch
+# recomputation in self-joins/binops is value-identical.
 _COUNTERS_MEMO = SessionMemo()
 
 
@@ -129,22 +137,11 @@ def counter_points_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: series labels (mtype, instance), ts_us, counter (monotone
     cumulative sum, double), counter_mod (wraps at COUNTER_RESET_MOD →
     has resets, double), gauge (raw value).
-
-    Memoized + pinned per session like ``spans_frame``: the
-    cumulative-sum window is the expensive part of every counter
-    query (and binop plans reference the frame on both sides), while
-    scan-level pruning buys nothing here — a cumsum needs the full
-    history regardless of the query's time range.
     """
     memo = _COUNTERS_MEMO.get(spark, sf_dir)
     if memo is not None:
-        from .operators.pin import repin
-
-        return repin(memo)
+        return memo
     out = _counter_points_uncached(spark, sf_dir)
-    from .operators.pin import pin
-
-    out = pin(out)
     _COUNTERS_MEMO.set(spark, sf_dir, out)
     return out
 
@@ -240,10 +237,11 @@ SPANS_CTE = SPANS_SQL_DUCK
 
 # Session-scoped memo: the synthesized span table is the testdata
 # adapter's stand-in for a materialized span store (in production the
-# bucketed store of sources/bucketed.py plays this role), so its
-# row_number window should compute once per session, not once per
-# plan branch — structural queries reference the frame on both join
-# sides.  Keyed by the session object itself so a stopped session's
+# bucketed store of sources/bucketed.py plays this role).  Unpinned —
+# see the fixture-memo note above _COUNTERS_MEMO: the row_number
+# derivation is deterministic (unique sort key) and recomputes in
+# ~0.15 s at sf0.1, cheaper than both the cache write and the cached
+# read.  Keyed by the session object itself so a stopped session's
 # entry can never leak into a new one.
 _SPANS_MEMO = SessionMemo()
 
@@ -251,13 +249,8 @@ _SPANS_MEMO = SessionMemo()
 def spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _SPANS_MEMO.get(spark, sf_dir)
     if memo is not None:
-        from .operators.pin import repin
-
-        return repin(memo)
+        return memo
     out = _spans_frame_uncached(spark, sf_dir)
-    from .operators.pin import pin
-
-    out = pin(out)
     _SPANS_MEMO.set(spark, sf_dir, out)
     return out
 
@@ -318,24 +311,43 @@ def spans_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``disc``, exercising first-event-that-has-it semantics), and one
     link to the trace root.  Root spans have empty arrays.
 
-    Memoized + pinned per session like ``spans_frame`` (same
-    rationale: this is the materialized-store stand-in)."""
+    Memoized per session like ``spans_frame``; unpinned for the same
+    measured reason — and most acutely here: a DISK_ONLY cache of the
+    map/array event columns reads ~4x SLOWER than recomputing the
+    projection (map (de)serialization dominates the cached scan)."""
     memo = _SPANS_EVENTS_MEMO.get(spark, sf_dir)
     if memo is not None:
-        from .operators.pin import repin
-
-        return repin(memo)
+        return memo
     out = _spans_events_uncached(spark, sf_dir)
-    from .operators.pin import pin
-
-    out = pin(out)
     _SPANS_EVENTS_MEMO.set(spark, sf_dir, out)
     return out
 
 
 def _spans_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = spans_frame(spark, sf_dir)
+    # Built in ONE pass over each base table: the events/links arrays
+    # are projected in the same select as the child-span columns (they
+    # derive from the same lineitem row), so the frame costs one
+    # window pass — not the former base-frame window PLUS a second
+    # keyed window PLUS a sort-merge join (2 extra Exchanges).  This
+    # is also the production shape: arrays attach at ingest, never by
+    # a post-hoc self-join.
+    orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    roots = orders.select(
+        F.col("o_orderkey").alias("trace_id"),
+        F.lit(0).cast("int").alias("span_id"),
+        F.lit(None).cast("long").alias("parent_span_id"),
+        F.lit("frontend").alias("service"),
+        F.concat(F.lit("order-"), F.col("o_orderpriority")).alias("name"),
+        F.lit(2).alias("kind"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+        F.floor(F.col("o_totalprice") * 10).cast("long").alias("duration_us"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(2)).otherwise(F.lit(0)).alias(
+            "status_code"
+        ),
+        F.array().cast(_EVENT_T).alias("events"),
+        F.array().cast(_LINK_T).alias("links"),
+    )
     from pyspark.sql import Window
 
     line_w = Window.partitionBy("l_orderkey").orderBy(
@@ -362,17 +374,24 @@ def _spans_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("span_id"),
         F.create_map(F.lit("rel"), F.lit("parent")).alias("attrs"),
     )
-    keyed = li.select(
+    children = li.select(
         F.col("l_orderkey").alias("trace_id"),
         F.row_number().over(line_w).alias("span_id"),
+        F.lit(0).cast("long").alias("parent_span_id"),
+        F.concat(F.lit("svc-"), (F.col("l_suppkey") % 4).cast("string")).alias(
+            "service"
+        ),
+        F.concat(F.lit("line-"), F.col("l_returnflag")).alias("name"),
+        F.lit(3).alias("kind"),
+        start.alias("start_us"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("duration_us"),
+        F.when(F.col("l_returnflag") == "R", F.lit(2)).otherwise(F.lit(0)).alias(
+            "status_code"
+        ),
         F.array(ev1, ev2).cast(_EVENT_T).alias("events"),
         F.array(link).cast(_LINK_T).alias("links"),
     )
-    return base.join(keyed, ["trace_id", "span_id"], "left").select(
-        *base.columns,
-        F.coalesce("events", F.array().cast(_EVENT_T)).alias("events"),
-        F.coalesce("links", F.array().cast(_LINK_T)).alias("links"),
-    )
+    return roots.unionByName(children)
 
 
 def with_ctes(*ctes: str, body: str) -> str:
