@@ -44,7 +44,13 @@ def _by_type(rows):
 
 
 def _payload_df(spark, payloads):
-    return spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    # createDataFrame slices a local list across defaultParallelism
+    # (32 here) — 32 near-empty partitions each spin up a Python
+    # worker for the decode mapInPandas.  Coalesce (no shuffle) to at
+    # most one partition per payload; real deployments feed the
+    # decoder from a stream/file source with data-sized partitions.
+    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    return df.coalesce(max(1, min(len(payloads), 8)))
 
 
 # --- logs --------------------------------------------------------------------

@@ -77,11 +77,15 @@ def stream_trace_coords_closed(spark, sf_dir):
         src, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
         spans.coalesce(2).write.parquet(src)
         stream = spark.readStream.schema(spans.schema).parquet(src)
+        # n_state=32: the close operator's cost is the per-group
+        # Python DFS, so this stateful op is parallelism-bound, not
+        # state-store-fixed-cost-bound like the join/rollup gates
         _run_to_parquet(
             spark,
             stream_trace_coords(stream, gap_ms=FIXTURE_GAP_MS),
             out_dir,
             ckpt,
+            n_state=32,
         )
         rows = spark.read.parquet(out_dir).collect()
     finally:
@@ -200,17 +204,22 @@ def stream_coords_store_descendant(spark, sf_dir):
                 "trace_id long, span_id long, parent_span_id long,"
                 " start_us long"
             ).parquet(src)
-            q = (
-                stream_trace_coords(stream, gap_ms=FIXTURE_GAP_MS)
-                .writeStream.foreachBatch(
-                    lambda bdf, _bid: merge_coords_batch(bdf, table)
+            from .streaming_gates import _bounded_shuffle
+
+            # 32 like the coords gate above: per-group Python DFS is
+            # the cost, so this stream wants parallelism
+            with _bounded_shuffle(spark, 32):
+                q = (
+                    stream_trace_coords(stream, gap_ms=FIXTURE_GAP_MS)
+                    .writeStream.foreachBatch(
+                        lambda bdf, _bid: merge_coords_batch(bdf, table)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+                q.awaitTermination()
         finally:
             shutil.rmtree(work, ignore_errors=True)
         _COORD_STORE_MEMO.set(spark, sf_dir, table)
