@@ -101,6 +101,14 @@ def _hist_payloads(spark, sf_dir):
 
 
 def _ingested(spark, sf_dir, payloads):
+    # flatten_otlp_metrics unions ~8 suffix branches (plain + the
+    # histogram/summary explosions), and each branch chain would
+    # re-run the data-scale events aggregation that BUILT the payload
+    # frame.  The frame is output-sized (one row per (service, step)),
+    # so pin it small — measured 3.5 s -> <1 s warm at sf0.1.
+    from ..operators.pin import pin
+
+    payloads = pin(payloads, small=True)
     raw = payloads.select(
         F.from_json("payload", OTLP_METRICS_SCHEMA).alias("r")
     ).select("r.*")
