@@ -15,6 +15,7 @@ Reference semantics:
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import Column
@@ -42,6 +43,30 @@ def _bind(col: Column, fn) -> Column:
     field accesses.  Null-transparent: a null input becomes [null] and
     ``fn`` sees null, same as direct evaluation."""
     return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+_BARRIER_SEQ = itertools.count()
+
+
+def barrier_cols(df, cols: "dict[str, Column]"):
+    """Materialize expensive expressions ONCE per row as real columns.
+
+    ``_bind`` dedups mentions INSIDE one expression tree; this is the
+    PLAN-level sibling: a one-element explode (Spark's expression
+    barrier) evaluates the struct a single time per row, and every
+    downstream operator references plain attributes.  Two problems it
+    kills at once: (1) a filter and a projection both mentioning the
+    expression evaluate it twice; (2) predicate pushdown happily drags
+    the full expression below a repartition into a one-file scan
+    stage, single-threading the whole parse (a filter cannot be pushed
+    through a Generate).  Names in ``cols`` must not collide with
+    existing columns."""
+    name = f"__barrier_{next(_BARRIER_SEQ)}"
+    st = F.struct(*[c.alias(k) for k, c in cols.items()])
+    out = df.select("*", F.explode(F.array(st)).alias(name))
+    return out.select(
+        "*", *[F.col(f"{name}.{k}").alias(k) for k in cols]
+    ).drop(name)
 
 
 def logfmt_map(body: Column | str) -> Column:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.parsers import (
+    barrier_cols,
     decolorize,
     ip_in_cidr,
     logfmt_map,
@@ -38,7 +39,9 @@ _LOGFMT_CTE = f"""logfmt_logs AS (
 
 
 def _logfmt_frame(spark, sf_dir):
-    logs = logs_frame(spark, sf_dir)
+    # spread: every consumer runs the full logfmt tokenizer per row —
+    # a one-file scan pins that regex work to one core at gate scale
+    logs = logs_frame(spark, sf_dir, spread=True)
     k = F.get_json_object("body", "$.k").cast("long")
     body = F.concat(
         F.lit("evt="),
@@ -77,11 +80,11 @@ WHERE CAST(regexp_extract(body, 'took=([0-9.]+)ms', 1) AS DOUBLE) * 0.001 > 0.2"
 )
 def logql_logfmt_parser(spark, sf_dir):
     df = _logfmt_frame(spark, sf_dir)
-    m = logfmt_map("body")
-    took_s = parse_duration_seconds(m["took"])
+    # barrier the MAP itself: both labels derive from one parse
+    df = barrier_cols(df, {"__m": logfmt_map("body")})
     return (
-        df.withColumn("user", m["user"].cast("long"))
-        .withColumn("took_s", took_s)
+        df.withColumn("user", F.col("__m")["user"].cast("long"))
+        .withColumn("took_s", parse_duration_seconds(F.col("__m")["took"]))
         .filter(F.col("took_s") > 0.2)
         .select("event_id", "user", "took_s")
     )
@@ -175,13 +178,12 @@ WHERE CAST(regexp_extract(body, 'sz=([0-9]+)KB', 1) AS DOUBLE) * 1000.0 >= 50000
 )
 def logql_bytes_filter(spark, sf_dir):
     df = _logfmt_frame(spark, sf_dir)
-    m = logfmt_map("body")
-    sz = parse_bytes(m["sz"])
-    return (
-        df.withColumn("sz_bytes", sz)
-        .filter(F.col("sz_bytes") >= 50000)
-        .select("event_id", "sz_bytes")
-    )
+    # barrier: one logfmt parse per row, kept ABOVE the spread
+    # repartition (pushdown would otherwise sink the parse into the
+    # one-file scan stage and run it single-threaded, then the
+    # projection would re-parse)
+    df = barrier_cols(df, {"sz_bytes": parse_bytes(logfmt_map("body")["sz"])})
+    return df.filter(F.col("sz_bytes") >= 50000).select("event_id", "sz_bytes")
 
 
 # {} | logfmt | addr = ip("10.1.0.0/16") — IP CIDR label filter
@@ -197,12 +199,9 @@ WHERE starts_with(regexp_extract(body, 'ip=([0-9.]+)$', 1), '10.1.')""",
 )
 def logql_ip_filter(spark, sf_dir):
     df = _logfmt_frame(spark, sf_dir)
-    m = logfmt_map("body")
-    addr = m["ip"]
-    return (
-        df.withColumn("addr", addr)
-        .filter(ip_in_cidr(F.col("addr"), "10.1.0.0/16"))
-        .select("event_id", "addr")
+    df = barrier_cols(df, {"addr": logfmt_map("body")["ip"]})
+    return df.filter(ip_in_cidr(F.col("addr"), "10.1.0.0/16")).select(
+        "event_id", "addr"
     )
 
 

@@ -57,15 +57,21 @@ SEVERITY_NUM_CASE = """CASE event_type
         ELSE 5 END"""
 
 
-def logs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def logs_frame(
+    spark: SparkSession, sf_dir: str, *, spread: bool = False
+) -> DataFrame:
     """events → log-record stream.
 
     Columns mirror the reference log schema: ts_us (timestamp), body
     (JSON string), level/severity_number, and flattened labels
     (service, env) derived the way the reference materializes
     ``service.name`` columns (``logstorage/schema.go:12-22``).
+
+    ``spread``: see ``tables.load`` — opt-in for gates whose per-row
+    parse cost dominates (regex parser pipelines), where a one-file
+    scan would pin the whole query to one core.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=spread)
     return ev.select(
         F.col("event_id"),
         # ts is a ns-epoch long; µs via integer division == DuckDB's
