@@ -335,7 +335,10 @@ FROM probe_h ph JOIN sketch s ON s.d = ph.d AND s.bucket = ph.bucket
 GROUP BY ph.user_id""",
 )
 def sketch_count_min(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    # spread: depth-exploded md5 hashing is per-row-heavy (rows x D
+    # digests) and a one-file events scan would run it on one core
+    # (parallelism_audit flagged a 5.4 s single-task stage)
+    ev = load(spark, sf_dir, "events", spread=True)
 
     def bucket(d_col, key_col):
         return F.expr(

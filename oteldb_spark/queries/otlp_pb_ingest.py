@@ -26,14 +26,28 @@ _LIMIT = 400
 _SPANS_PER_TRACE = 8
 
 
+_ROWS_MEMO: dict = {}
+
+
 def _rows(spark, sf_dir):
-    rows = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_id") < _LIMIT)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .collect()
-    )
-    return sorted(rows, key=lambda r: r.event_id)
+    # All five pb-ingest gates build their wire payloads from this
+    # same 400-row slice; the scan that feeds it decodes the wide
+    # `props` column of a one-split parquet file serially (~2-3 s at
+    # sf0.1), so collect once per (session, sf) — the result is a
+    # tiny driver-side list.
+    key = (id(spark), sf_dir)
+    if key not in _ROWS_MEMO:
+        rows = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("event_id") < _LIMIT)
+            .select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            )
+            .collect()
+        )
+        _ROWS_MEMO.clear()  # one (session, sf) at a time — no leak
+        _ROWS_MEMO[key] = sorted(rows, key=lambda r: r.event_id)
+    return _ROWS_MEMO[key]
 
 
 def _by_type(rows):
@@ -46,11 +60,15 @@ def _by_type(rows):
 def _payload_df(spark, payloads):
     # createDataFrame slices a local list across defaultParallelism
     # (32 here) — 32 near-empty partitions each spin up a Python
-    # worker for the decode mapInPandas.  Coalesce (no shuffle) to at
-    # most one partition per payload; real deployments feed the
-    # decoder from a stream/file source with data-sized partitions.
+    # worker for the decode mapInPandas.  REPARTITION (one tiny
+    # shuffle) to at most one partition per payload; measured
+    # interleaved best-of-3: repartition 0.42 s, the 32-slice original
+    # 0.55 s, and coalesce 3.5 s for a single payload — a coalesced
+    # task pays the per-parent-slice Arrow/runner overhead of all 32
+    # empty slices SERIALLY.  Real deployments feed the decoder from a
+    # stream/file source with data-sized partitions.
     df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
-    return df.coalesce(max(1, min(len(payloads), 8)))
+    return df.repartition(max(1, min(len(payloads), 8)))
 
 
 # --- logs --------------------------------------------------------------------
