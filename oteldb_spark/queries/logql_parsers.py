@@ -301,7 +301,9 @@ _QFMT_CTE = r"""qfmt AS (
 
 
 def _quoted_frame(spark, sf_dir):
-    logs = logs_frame(spark, sf_dir)
+    # spread: same rationale as _logfmt_frame — the quoted-value
+    # tokenizer is per-row-heavy on a one-file scan
+    logs = logs_frame(spark, sf_dir, spread=True)
     body = F.concat(
         F.lit('msg="evt \\"'),
         F.col("event_type"),
@@ -342,10 +344,14 @@ def logql_logfmt_quoted(spark, sf_dir):
 
     df = _quoted_frame(spark, sf_dir)
     bad = logfmt_error("body")
-    m = F.when(~bad, logfmt_map("body"))
+    # barrier: msg is mentioned by the filter AND the projection, and
+    # pushdown would drag the whole tokenizer into the scan stage
+    df = barrier_cols(df, {"__qm": F.when(~bad, logfmt_map("body"))})
     return (
-        df.withColumn("msg", m.getItem("msg"))
-        .withColumn("took_s", parse_duration_seconds(m.getItem("took")))
+        df.withColumn("msg", F.col("__qm").getItem("msg"))
+        .withColumn(
+            "took_s", parse_duration_seconds(F.col("__qm").getItem("took"))
+        )
         .filter(F.col("msg").contains('"purchase"'))
         .select("event_id", "msg", "took_s")
     )
