@@ -15,6 +15,7 @@ right=2k+1 parent=1).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import functions as F
@@ -97,26 +98,61 @@ def stream_trace_coords_closed(spark, sf_dir):
     )
 
 
-def merge_coords_batch(batch_df, table: str) -> None:
-    """foreachBatch sink: MERGE one micro-batch of closed-trace coords
-    into the bucketed coords store.
+# tables this process has already appended ≥1 batch to this run —
+# within one stream run foreachBatch delivers each batch_id exactly
+# once, so the crash-window anti-join (below) is only needed for the
+# FIRST uncommitted batch seen after a (re)start.
+_FRESH_RUN_TABLES: set = set()
 
-    MERGE-insert semantics without a transactional format: rows whose
-    (trace_id, span_id) already exist are skipped — foreachBatch can
-    re-deliver a batch after a failure, and the tombstone in
-    ``trace_close`` can re-emit a trace as a new burst; idempotent
-    insert keeps the store consistent under both.  The anti-join keys
-    on trace_id — the store's bucketing key — so at scale it reads
-    only the buckets the batch touches, co-partitioned, no shuffle of
-    the store side."""
+
+def merge_coords_batch(batch_df, batch_id: int, table: str,
+                       marker_dir: str) -> None:
+    """foreachBatch sink: idempotent append of one micro-batch of
+    closed-trace coords into the bucketed coords store.
+
+    Idempotency keys on the REPLAY-STABLE ``batch_id``, not on
+    scanning the store: the tombstone state in ``trace_close``
+    guarantees a trace is emitted at most once per stream lifetime, so
+    duplicates can only come from foreachBatch re-delivering a batch
+    after a failure — and a re-delivered batch carries the SAME id.
+    A marker file per committed batch (written only after the append
+    returns; in production it lives next to the checkpoint) makes the
+    replay path an O(1) skip.  The steady-state hot path is a pure
+    append — zero store reads per micro-batch (the previous design
+    left-anti-joined every batch against the ENTIRE store: O(store)
+    per micro-batch, and bucketing never pruned it — Spark prunes
+    buckets by literal predicates, not join keys).
+
+    The one remaining duplicate window — a crash AFTER the append but
+    BEFORE the marker write — is closed by a defensive anti-join on
+    the first uncommitted batch after a (re)start only, and even that
+    join reads just the store slice for the batch's trace_ids (a
+    literal IN on the bucketing column: bucket- and rowgroup-pruned,
+    O(batch), never O(store))."""
+    marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
+    if os.path.exists(marker):
+        return  # replay of a committed batch
     spark = batch_df.sparkSession
     exists = any(
         t.name == table for t in spark.catalog.listTables()
     )
-    if exists:
-        batch_df = batch_df.join(
-            spark.table(table), ["trace_id", "span_id"], "left_anti"
-        )
+    if exists and table not in _FRESH_RUN_TABLES:
+        # first batch after a (re)start with no marker: the previous
+        # run may have died inside the commit window, so dedup this
+        # batch against the (pruned) store slice it could overlap
+        tids = [
+            r[0]
+            for r in batch_df.select("trace_id").distinct().collect()
+        ]
+        if tids:
+            store_slice = (
+                spark.table(table)
+                .where(F.col("trace_id").isin(tids))
+                .select("trace_id", "span_id")
+            )
+            batch_df = batch_df.join(
+                store_slice, ["trace_id", "span_id"], "left_anti"
+            )
     (
         batch_df.write.mode("append" if exists else "overwrite")
         .bucketBy(8, "trace_id")
@@ -124,6 +160,10 @@ def merge_coords_batch(batch_df, table: str) -> None:
         .format("parquet")
         .saveAsTable(table)
     )
+    _FRESH_RUN_TABLES.add(table)
+    os.makedirs(marker_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("committed\n")
 
 
 _COORD_STORE_MEMO = None  # (session id, sf_dir) -> table name
@@ -170,8 +210,6 @@ FROM csp s JOIN cov c ON s.trace_id = c.trace_id AND s.span_id = c.span_id
 WHERE s.duration_us > 100000""",
 )
 def stream_coords_store_descendant(spark, sf_dir):
-    import os
-
     from ..memo import SessionMemo
     from ..operators.structural import descendants
     from .structural_stored import _sweep_stale_tables
@@ -209,10 +247,13 @@ def stream_coords_store_descendant(spark, sf_dir):
             # 32 like the coords gate above: per-group Python DFS is
             # the cost, so this stream wants parallelism
             with _bounded_shuffle(spark, 32):
+                markers = f"{work}/markers"
                 q = (
                     stream_trace_coords(stream, gap_ms=FIXTURE_GAP_MS)
                     .writeStream.foreachBatch(
-                        lambda bdf, _bid: merge_coords_batch(bdf, table)
+                        lambda bdf, bid: merge_coords_batch(
+                            bdf, bid, table, markers
+                        )
                     )
                     .option("checkpointLocation", ckpt)
                     .outputMode("append")

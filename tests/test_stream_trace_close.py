@@ -297,3 +297,51 @@ def test_three_coords_implementations_agree_on_random_forests(spark):
         per_trace.setdefault(tid, []).extend((l, r))
     for tid, coords in per_trace.items():
         assert sorted(coords) == list(range(1, len(coords) + 1)), tid
+
+
+def test_merge_coords_batch_idempotency(spark, tmp_path):
+    """The foreachBatch MERGE sink: committed-batch replay is an O(1)
+    skip via the marker sidecar; a crash between append and marker
+    (marker absent, rows present) is healed by the first-batch
+    defensive anti-join; steady-state batches append without reading
+    the store."""
+    from oteldb_spark.queries.stream_coords import (
+        _FRESH_RUN_TABLES,
+        merge_coords_batch,
+    )
+
+    table = "coords_merge_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _FRESH_RUN_TABLES.discard(table)
+    markers = str(tmp_path / "markers")
+    schema = (
+        "trace_id long, span_id long, ns_left long, ns_right long,"
+        " ns_parent long"
+    )
+    b0 = spark.createDataFrame([(1, 1, 1, 2, -1)], schema)
+    b1 = spark.createDataFrame([(2, 1, 1, 2, -1)], schema)
+
+    merge_coords_batch(b0, 0, table, markers)
+    assert spark.table(table).count() == 1
+    # replay of a committed batch: marker short-circuits, no dup
+    merge_coords_batch(b0, 0, table, markers)
+    assert spark.table(table).count() == 1
+    # steady-state append
+    merge_coords_batch(b1, 1, table, markers)
+    assert spark.table(table).count() == 2
+
+    # simulate a crash inside the commit window: rows for batch 2
+    # landed but its marker never got written, then the process
+    # restarts (fresh-run set cleared) and batch 2 is re-delivered
+    b2 = spark.createDataFrame([(3, 1, 1, 2, -1)], schema)
+    merge_coords_batch(b2, 2, table, markers)
+    import os
+
+    os.remove(os.path.join(markers, "batch_2.done"))
+    _FRESH_RUN_TABLES.discard(table)
+    merge_coords_batch(b2, 2, table, markers)
+    got = spark.table(table)
+    assert got.count() == 3
+    assert got.select("trace_id").distinct().count() == 3
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _FRESH_RUN_TABLES.discard(table)
