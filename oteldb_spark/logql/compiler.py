@@ -404,11 +404,69 @@ def _filter_tree_pred(env: _Env, node) -> Column:
 _PM_SEQ = itertools.count()
 
 
+def _pred_tree_labels(node, out: set) -> None:
+    if isinstance(node, ast.LabelPredicate):
+        out.add(node.label)
+        return
+    _op, lhs, rhs = node
+    _pred_tree_labels(lhs, out)
+    _pred_tree_labels(rhs, out)
+
+
+def _labels_live_after(stages) -> "set[str] | None":
+    """Conservative static liveness of parsed labels over the REMAINING
+    pipeline stages: the set of label names that can still be
+    referenced downstream, or ``None`` for "all of them".
+
+    The terminal output carries EVERY label (log listings project the
+    full label set; metric series identity is the full label set too),
+    so liveness only ever narrows when a ``keep`` stage appears
+    downstream — exactly the case where barriering every extraction
+    would compute statically-dead parses per row.  Backward pass;
+    anything the analysis can't see through returns ``None``."""
+    live: "set[str] | None" = None
+    for stage in reversed(stages):
+        if isinstance(stage, ast.DropKeep):
+            if stage.kind == "keep":
+                keep = set(stage.labels)
+                live = keep if live is None else (live & keep)
+            # drop: can't subtract from "all"; keeping the superset is
+            # conservative and drop alone never enables pruning
+        elif isinstance(stage, ast.LabelFilter):
+            if live is not None:
+                _pred_tree_labels(stage.node, live)
+        elif isinstance(stage, ast.LineFilter):
+            pass  # references body only
+        elif isinstance(stage, ast.LineFormat):
+            if live is not None:
+                from ..functions.templates import template_fields
+
+                live |= set(template_fields(stage.template))
+        elif isinstance(stage, ast.LabelFormat):
+            if live is not None:
+                for _dst, src, is_template in stage.actions:
+                    if is_template:
+                        from ..functions.templates import template_fields
+
+                        live |= set(template_fields(src))
+                    else:
+                        live.add(src)
+        elif isinstance(stage, ast.Distinct):
+            if live is not None:
+                live |= set(stage.labels)
+        elif isinstance(stage, ast.ParserStage):
+            pass  # parsers read body, not labels
+        else:
+            live = None  # unknown stage: assume everything referenced
+    return live
+
+
 def _materialize_parsed(
     env: _Env,
     new_labels: dict[str, Column],
     dyn: "Column | None" = None,
     body: "Column | None" = None,
+    live: "set[str] | None" = None,
 ) -> None:
     """Evaluate a parser stage's extractions ONCE per row.
 
@@ -422,9 +480,21 @@ def _materialize_parsed(
     cannot inline through a Generate).  Predicates on non-parsed
     columns still push through it to the scan, and GenerateExec
     participates in whole-stage codegen.  Measured at sf0.1:
-    logql_bytes_filter 3.6 -> ~1 s warm, same rows."""
+    logql_bytes_filter 3.6 -> ~1 s warm, same rows.
+
+    ``live``: static liveness from :func:`_labels_live_after` —
+    labels provably dead downstream (a later ``keep`` excludes them)
+    stay OUT of the struct, so the Generate never computes their
+    extraction (nested-field pruning through a Generate is not
+    guaranteed, so an unreferenced struct field would still be paid
+    per row).  Dead labels keep their inline expression in
+    ``env.labels``; by construction nothing evaluates them."""
     if not new_labels and dyn is None and body is None:
         return
+    if live is not None:
+        new_labels = {k: v for k, v in new_labels.items() if k in live}
+        if not new_labels and dyn is None and body is None:
+            return
     name = f"__parsed_{next(_PM_SEQ)}"
     keys = list(new_labels)
     fields = [new_labels[k].alias(f"l{i}") for i, k in enumerate(keys)]
@@ -443,7 +513,7 @@ def _materialize_parsed(
         env.body = F.col(name)["body"]
 
 
-def _apply_stage(env: _Env, stage) -> _Env:
+def _apply_stage(env: _Env, stage, rest=()) -> _Env:
     if isinstance(stage, ast.LineFilter):
         env.df = env.df.filter(_line_filter_pred(env, stage))
         return env
@@ -521,7 +591,11 @@ def _apply_stage(env: _Env, stage) -> _Env:
                 if _before_labels.get(k) is not v
             }
             dyn = env.dyn_map if env.dyn_map is not _before_dyn else None
-            _materialize_parsed(env, new, dyn)
+            live = _labels_live_after(rest)
+            if live is not None and stage.kind == "unpack":
+                # the unpack body rebind below reads _entry
+                live = live | {"_entry"}
+            _materialize_parsed(env, new, dyn, live=live)
             if stage.kind == "unpack":
                 # body derives from the (now-barriered) _entry label
                 env.body = F.coalesce(env.labels["_entry"], _before_body)
@@ -614,8 +688,8 @@ def _compile_log_query(q: ast.LogQuery, source: LogSource) -> _Env:
     preds = [_matcher_pred(env, m) for m in q.selector.matchers]
     for p in preds:
         env.df = env.df.filter(p)
-    for stage in q.stages:
-        env = _apply_stage(env, stage)
+    for i, stage in enumerate(q.stages):
+        env = _apply_stage(env, stage, q.stages[i + 1 :])
     return env
 
 

@@ -99,9 +99,13 @@ def descendants(
     descendant_pred,
     max_depth: int | None = None,
     route: str | None = None,
+    coords_key=None,
 ) -> DataFrame:
     """Spans matching ``descendant_pred`` with ANY ancestor matching
     ``ancestor_pred`` (TraceQL ``{anc} >> {desc}``).
+
+    ``coords_key`` (nested route only): memoize full-table coords per
+    (session, key) — see :func:`memoized_trace_coords`.
 
     Default route is the NESTED-SET encoding computed per trace in one
     ``applyInPandas`` pass (:func:`trace_coords`): descendant(a, d) ⇔
@@ -128,7 +132,9 @@ def descendants(
         # serve the range join from them — recomputing would both waste
         # a Python stage and make the coords join ambiguous
         return descendants_stored(spans, ancestor_pred, descendant_pred)
-    return descendants_nested(spans, ancestor_pred, descendant_pred)
+    return descendants_nested(
+        spans, ancestor_pred, descendant_pred, coords_key=coords_key
+    )
 
 
 def ancestors_of(
@@ -137,15 +143,19 @@ def ancestors_of(
     ancestor_pred,
     max_depth: int | None = None,
     route: str | None = None,
+    coords_key=None,
 ) -> DataFrame:
     """Spans matching ``ancestor_pred`` with ANY descendant matching
     ``descendant_pred`` (TraceQL ``{desc} << {anc}``) — the upward
-    mirror of :func:`descendants`, same route switch."""
+    mirror of :func:`descendants`, same route switch and
+    ``coords_key`` memo."""
     if (route or _structural_route()) == "frontier":
         return ancestors_frontier(spans, descendant_pred, ancestor_pred)
     if {"ns_left", "ns_right"} <= set(spans.columns):
         return ancestors_stored(spans, descendant_pred, ancestor_pred)
-    return ancestors_nested(spans, descendant_pred, ancestor_pred)
+    return ancestors_nested(
+        spans, descendant_pred, ancestor_pred, coords_key=coords_key
+    )
 
 
 def descendants_frontier(
@@ -429,19 +439,66 @@ def trace_coords(
     )
 
 
+_COORDS_MEMO = None  # lazy SessionMemo: (session, key) -> coords frame
+
+
+def memoized_trace_coords(spans: DataFrame, key) -> DataFrame:
+    """FULL-table nested-set coords, computed once per (session, key)
+    and pinned — the query-time route's amortization story.
+
+    The per-query pin inside :func:`descendants_nested` restricts
+    numbering to predicate-relevant traces, so pins from DIFFERENT
+    structural queries can never plan-match each other — every new
+    ``>>``/``<<`` on the same table pays the whole shuffle+DFS again.
+    (Identical-query repeats DO already reuse: persist entries match
+    by logical plan, and a rebuilt identical pipeline hits them —
+    measured interleaved A/B at sf0.1, repeat-rep ~1.0s both
+    variants.)  Memoizing a FULL-TABLE coords frame (weak session key,
+    caller-supplied table key) makes every later structural query on
+    the table skip the DFS: second-query A/B at sf0.1 2.98 -> 1.66s
+    (``>>``, different predicates) and 2.83 -> 1.24s (``<<``), while
+    the first query pays full-table instead of restricted numbering
+    (~equal cost: the DFS is bucket-overhead-, not trace-count-,
+    dominated).  Coords are four long columns — none of the map/array
+    (de)serialization that made the spans-fixture pins a measured net
+    loss.  Memo hits route through ``repin``: ``release_pins()`` drops
+    blocks, never the memo."""
+    global _COORDS_MEMO
+    if _COORDS_MEMO is None:
+        from ..memo import SessionMemo
+
+        _COORDS_MEMO = SessionMemo()
+    from .pin import pin, repin
+
+    spark = spans.sparkSession
+    hit = _COORDS_MEMO.get(spark, key)
+    if hit is not None:
+        return repin(hit)
+    coords = pin(trace_coords(spans))
+    _COORDS_MEMO.set(spark, key, coords)
+    return coords
+
+
 def descendants_nested(
-    spans: DataFrame, ancestor_pred, descendant_pred
+    spans: DataFrame, ancestor_pred, descendant_pred, coords_key=None
 ) -> DataFrame:
     """Nested-set route for ``>>``: number candidate traces once
     (:func:`trace_coords`), then ONE range-predicate semi-join —
     ``a.ns_left < d.ns_left < a.ns_right`` hash-joined on trace_id
     with the range as residual.  No iteration, depth-independent.
     Coords feed BOTH join sides: pin them, or Catalyst re-runs the
-    whole shuffle+DFS Python stage per side (plan-verified 2×)."""
+    whole shuffle+DFS Python stage per side (plan-verified 2×).
+
+    ``coords_key``: opt-in cross-query amortization — number the FULL
+    table once per (session, key) via :func:`memoized_trace_coords`
+    instead of predicate-restricted numbering per query."""
     from .pin import pin
 
     anc = spans.filter(ancestor_pred).select("trace_id", "span_id")
-    coords = pin(trace_coords(spans, trace_keys=anc))
+    if coords_key is not None:
+        coords = memoized_trace_coords(spans, coords_key)
+    else:
+        coords = pin(trace_coords(spans, trace_keys=anc))
     a = anc.join(coords, ["trace_id", "span_id"]).select(
         F.col("trace_id").alias("a_tid"),
         F.col("ns_left").alias("a_left"),
@@ -459,16 +516,20 @@ def descendants_nested(
 
 
 def ancestors_nested(
-    spans: DataFrame, descendant_pred, ancestor_pred
+    spans: DataFrame, descendant_pred, ancestor_pred, coords_key=None
 ) -> DataFrame:
     """Nested-set route for ``<<``: ancestor-matching spans whose
     subtree range contains a descendant match — the same single
     range-predicate semi-join, taken from the ancestor side (same
-    two-sided coords pin as :func:`descendants_nested`)."""
+    two-sided coords pin — and same opt-in ``coords_key`` memo — as
+    :func:`descendants_nested`)."""
     from .pin import pin
 
     desc = spans.filter(descendant_pred).select("trace_id", "span_id")
-    coords = pin(trace_coords(spans, trace_keys=desc))
+    if coords_key is not None:
+        coords = memoized_trace_coords(spans, coords_key)
+    else:
+        coords = pin(trace_coords(spans, trace_keys=desc))
     d = desc.join(coords, ["trace_id", "span_id"]).select(
         F.col("trace_id").alias("d_tid"),
         F.col("ns_left").alias("d_left"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..memo import SessionMemo
 from ..sources import otlp_pb as pb
 from ..tables import load
 from .registry import register
@@ -26,7 +27,7 @@ _LIMIT = 400
 _SPANS_PER_TRACE = 8
 
 
-_ROWS_MEMO: dict = {}
+_ROWS_MEMO = SessionMemo()
 
 
 def _rows(spark, sf_dir):
@@ -34,9 +35,11 @@ def _rows(spark, sf_dir):
     # same 400-row slice; the scan that feeds it decodes the wide
     # `props` column of a one-split parquet file serially (~2-3 s at
     # sf0.1), so collect once per (session, sf) — the result is a
-    # tiny driver-side list.
-    key = (id(spark), sf_dir)
-    if key not in _ROWS_MEMO:
+    # tiny driver-side list.  Weak session key (SessionMemo): an
+    # ``id(spark)`` key can collide when a stopped session's address
+    # is reused by a new one.
+    hit = _ROWS_MEMO.get(spark, sf_dir)
+    if hit is None:
         rows = (
             load(spark, sf_dir, "events")
             .filter(F.col("event_id") < _LIMIT)
@@ -45,9 +48,9 @@ def _rows(spark, sf_dir):
             )
             .collect()
         )
-        _ROWS_MEMO.clear()  # one (session, sf) at a time — no leak
-        _ROWS_MEMO[key] = sorted(rows, key=lambda r: r.event_id)
-    return _ROWS_MEMO[key]
+        hit = sorted(rows, key=lambda r: r.event_id)
+        _ROWS_MEMO.set(spark, sf_dir, hit)
+    return hit
 
 
 def _by_type(rows):

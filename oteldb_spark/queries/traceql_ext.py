@@ -34,10 +34,14 @@ WHERE s.duration_us > 100000""",
 )
 def traceql_descendant(spark, sf_dir):
     spans = spans_frame(spark, sf_dir)
+    # coords_key: amortize the DFS numbering across queries on the
+    # same table — a warm serving process answers every ``>>``/``<<``
+    # after the first from the one pinned coords frame
     out = descendants(
         spans,
         (F.col("service") == "frontend") & (F.col("status_code") == 2),
         F.col("duration_us") > 100000,
+        coords_key=sf_dir,
     )
     return out.select("trace_id", "span_id", "name", "duration_us").distinct()
 

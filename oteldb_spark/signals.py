@@ -261,10 +261,13 @@ def spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _spans_frame_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-    roots = orders.select(
+def _root_span_cols() -> list:
+    """Root-span projection over ``orders`` — the ONE source of truth
+    shared by :func:`_spans_frame_uncached` and
+    :func:`_spans_events_uncached` (the DuckDB twin lives in
+    ``SPANS_SQL_DUCK`` and must stay value-identical for oracle
+    matching)."""
+    return [
         F.col("o_orderkey").alias("trace_id"),
         F.lit(0).cast("int").alias("span_id"),
         F.lit(None).cast("long").alias("parent_span_id"),
@@ -278,13 +281,20 @@ def _spans_frame_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", F.lit(2)).otherwise(F.lit(0)).alias(
             "status_code"
         ),
-    )
+    ]
+
+
+def _child_span_cols() -> list:
+    """Child-span projection over ``lineitem`` — shared like
+    :func:`_root_span_cols`; ``span_id`` is a row_number over the
+    deterministic line order (unique sort key, so the derivation is
+    stable across recomputes)."""
     from pyspark.sql import Window
 
     line_w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    children = li.select(
+    return [
         F.col("l_orderkey").alias("trace_id"),
         F.row_number().over(line_w).alias("span_id"),
         F.lit(0).cast("long").alias("parent_span_id"),
@@ -298,7 +308,14 @@ def _spans_frame_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", F.lit(2)).otherwise(F.lit(0)).alias(
             "status_code"
         ),
-    )
+    ]
+
+
+def _spans_frame_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    roots = orders.select(*_root_span_cols())
+    children = li.select(*_child_span_cols())
     return roots.unionByName(children)
 
 
@@ -340,24 +357,9 @@ def _spans_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     roots = orders.select(
-        F.col("o_orderkey").alias("trace_id"),
-        F.lit(0).cast("int").alias("span_id"),
-        F.lit(None).cast("long").alias("parent_span_id"),
-        F.lit("frontend").alias("service"),
-        F.concat(F.lit("order-"), F.col("o_orderpriority")).alias("name"),
-        F.lit(2).alias("kind"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
-        F.floor(F.col("o_totalprice") * 10).cast("long").alias("duration_us"),
-        F.when(F.col("o_orderstatus") == "F", F.lit(2)).otherwise(F.lit(0)).alias(
-            "status_code"
-        ),
+        *_root_span_cols(),
         F.array().cast(_EVENT_T).alias("events"),
         F.array().cast(_LINK_T).alias("links"),
-    )
-    from pyspark.sql import Window
-
-    line_w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     start = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
     ev1 = F.struct(
@@ -381,19 +383,7 @@ def _spans_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("rel"), F.lit("parent")).alias("attrs"),
     )
     children = li.select(
-        F.col("l_orderkey").alias("trace_id"),
-        F.row_number().over(line_w).alias("span_id"),
-        F.lit(0).cast("long").alias("parent_span_id"),
-        F.concat(F.lit("svc-"), (F.col("l_suppkey") % 4).cast("string")).alias(
-            "service"
-        ),
-        F.concat(F.lit("line-"), F.col("l_returnflag")).alias("name"),
-        F.lit(3).alias("kind"),
-        start.alias("start_us"),
-        F.floor(F.col("l_extendedprice")).cast("long").alias("duration_us"),
-        F.when(F.col("l_returnflag") == "R", F.lit(2)).otherwise(F.lit(0)).alias(
-            "status_code"
-        ),
+        *_child_span_cols(),
         F.array(ev1, ev2).cast(_EVENT_T).alias("events"),
         F.array(link).cast(_LINK_T).alias("links"),
     )

@@ -122,3 +122,81 @@ def test_compiler_materializes_parser_stage_once(spark):
     assert logfmt_token in plan  # ...and it does live in the Generate
     rows = out.collect()
     assert all("took=" in r["body"] for r in rows)
+
+
+def _json_source(spark, n=100):
+    from oteldb_spark.logql.compiler import LogSource
+
+    return LogSource(
+        df=spark.range(n).select(
+            F.lit(1).cast("long").alias("ts_us"),
+            F.concat(
+                F.lit('{"a":"'),
+                (F.col("id") % 7).cast("string"),
+                F.lit('","b":"'),
+                (F.col("id") % 3).cast("string"),
+                F.lit('","c":"x"}'),
+            ).alias("body"),
+            F.lit("svc").alias("service"),
+        ),
+        ts_col="ts_us",
+        body_col="body",
+        label_cols={"service": "service"},
+    )
+
+
+def test_barrier_prunes_statically_dead_labels(spark):
+    """`| json a, b, c | a > 1 | keep a` — c is never referenced after
+    the parser, so its extraction must stay OUT of the Generate struct
+    (nested-field pruning through a Generate is not guaranteed, so a
+    packed-but-unused field would be computed per row).  a (kept) and
+    the filter's mention of a stay packed."""
+    from oteldb_spark.logql.compiler import (
+        EvalParams,
+        LogSource,  # noqa: F401  (re-exported for _json_source)
+        compile_logql,
+    )
+
+    out = compile_logql(
+        '{service="svc"} | json a="a", b="b", c="c" | a > 1 | keep a',
+        _json_source(spark),
+        EvalParams(start_us=0, end_us=10, step_us=1),
+    )
+    plan = _physical(out)
+    assert "Generate" in plan
+    # the struct carries only the live label's path
+    assert plan.count("$.c") == 0 and plan.count("$.b") == 0
+    assert "$.a" in plan
+    rows = out.collect()
+    assert rows and all(int(r["a"]) > 1 for r in rows)
+    # value parity with the unpruned pipeline (no keep)
+    full = compile_logql(
+        '{service="svc"} | json a="a", b="b", c="c" | a > 1',
+        _json_source(spark),
+        EvalParams(start_us=0, end_us=10, step_us=1),
+    )
+    assert sorted(r["a"] for r in rows) == sorted(
+        r["a"] for r in full.collect()
+    )
+
+
+def test_no_parsed_struct_column_leaks(spark):
+    """Parser stages append internal __parsed_N struct columns to the
+    working frame; every terminal projection must exclude them — a
+    future select('*') output path would leak them into driver-hashed
+    output (ADVICE r9)."""
+    from oteldb_spark.logql.compiler import EvalParams, compile_logql
+
+    for q in (
+        '{service="svc"} | json a="a" | a > 1',
+        '{service="svc"} | logfmt | keep a',
+        'sum by (a) (count_over_time({service="svc"} | json a="a" [10us]))',
+    ):
+        out = compile_logql(
+            q,
+            _json_source(spark),
+            EvalParams(start_us=0, end_us=10, step_us=1),
+            spark=spark,
+        )
+        leaked = [c for c in out.columns if c.startswith("__parsed_")]
+        assert not leaked, (q, leaked)

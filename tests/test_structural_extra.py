@@ -265,3 +265,59 @@ def test_routes_documented_cycle_semantics(spark):
     assert nested == {3}
     # frontier: the cycle walk covers every member, including span 2
     assert frontier == {1, 2, 3}
+
+
+def test_memoized_coords_reuse_and_repin(spark):
+    """coords_key memoizes ONE full-table coords frame per (session,
+    key): the second structural query reuses the same DataFrame object
+    (so its cached DFS), results match the per-query route, and a
+    release_pins() between queries revives the pin through repin
+    instead of silently recomputing per branch."""
+    import oteldb_spark.operators.structural as st
+    from oteldb_spark.operators.pin import release_pins
+    from oteldb_spark.operators.structural import (
+        ancestors_of,
+        descendants,
+        memoized_trace_coords,
+    )
+
+    rows = [
+        (1, 1, None), (1, 2, 1), (1, 3, 2), (1, 4, 1),
+        (2, 1, None), (2, 2, 1),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id long, span_id long, parent_span_id long"
+    )
+    st._COORDS_MEMO = None
+    key = "memo-test"
+    c1 = memoized_trace_coords(spans, key)
+    c2 = memoized_trace_coords(spans, key)
+    assert c1 is c2
+    anc = F.col("span_id") == 1
+    deep = F.col("span_id") >= 3
+    got = {
+        (r.trace_id, r.span_id)
+        for r in descendants(spans, anc, deep, coords_key=key).collect()
+    }
+    want = {
+        (r.trace_id, r.span_id)
+        for r in descendants(spans, anc, deep).collect()
+    }
+    assert got == want == {(1, 3), (1, 4)}
+    # << through the memo agrees with the per-query route too
+    got_a = {
+        (r.trace_id, r.span_id)
+        for r in ancestors_of(spans, deep, anc, coords_key=key).collect()
+    }
+    want_a = {
+        (r.trace_id, r.span_id)
+        for r in ancestors_of(spans, deep, anc).collect()
+    }
+    assert got_a == want_a == {(1, 1)}
+    # release drops blocks; the memo hit must re-persist, not recompute
+    release_pins()
+    c3 = memoized_trace_coords(spans, key)
+    assert c3 is c1
+    lvl = c3.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    st._COORDS_MEMO = None

@@ -58,9 +58,16 @@ def main() -> int:
             continue
         release_pins()
         spark.catalog.clearCache()
-        before = set(tracker.getJobIdsForGroup(None) or [])
+        # snapshot prior job ids from the SAME group key the new jobs
+        # will land in (a None-group snapshot subtracts nothing)
+        before = set(tracker.getJobIdsForGroup(name) or [])
         sc.setJobGroup(name, name)
-        QUERIES[name](spark, sf_dir).count()
+        # noop sink, not .count(): count lets column pruning eliminate
+        # projection-only heavy expressions, under-reporting exactly
+        # the serial stages this audit exists to find
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         jids = [
             j
             for j in (tracker.getJobIdsForGroup(name) or [])

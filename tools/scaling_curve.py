@@ -21,9 +21,15 @@ fixed-size synthetic inputs (multimodal payload grids) have no curve by
 construction and are reported as ``fixed-input``.
 
 Synthetic scale points — because documents/embeddings only span ONE
-decade in the shipped testdata, the tool materializes ×4 and ×16
-derivatives of sf0.1 under ``.scaling_x{4,16}/`` (gitignored): copies
-of documents with disjoint doc_ids and per-copy token-rewritten text
+decade in the shipped testdata (and the observability tables stop at
+100k events / 750k spans, below the noise floor for most curve
+gates), the tool materializes ×4 and ×16 derivatives of sf0.1 under
+``.scaling_x{4,16}/`` (gitignored).  Round 10 extends the synthesis
+from the curation tier to events/orders/lineitem — disjoint trace_id
+and user_id ranges with mod-preserving offsets (see
+:func:`build_synth`) — so the LogQL/PromQL/TraceQL families climb the
+same ×4/×16 axis the docs tier does.  The curation construction:
+copies of documents with disjoint doc_ids and per-copy token-rewritten text
 (every token gets a copy suffix, so shingle/gram vocabularies are
 DISJOINT across copies — no artificial cross-copy near-dups; group
 counts scale, group sizes don't), and copies of embeddings with
@@ -134,8 +140,10 @@ DRIVER_OVERRIDES = {
     "stream_neardup_pairs": "documents",
     "stream_span_interval_join": "spans",
     "stream_sessionize_closed": "events",
-    "otlp_pb_ingest_points": "events",
-    "profile_pprof_ingest": "events",
+    # wire-decode gates read a FIXED 400-row event slice (event_id <
+    # 400) at every scale — no curve by construction
+    "otlp_pb_ingest_points": None,
+    "profile_pprof_ingest": None,
     "pipeline_decontaminate": "documents",
     "pipeline_pack_sequences": "documents",
     "decontam_bloom_flags": "documents",
@@ -212,9 +220,29 @@ def table_rows(sf_dir: str) -> dict[str, int]:
 
 
 def build_synth(spark, out_dir: str, copies: int) -> None:
-    """Materialize a ×``copies`` docs/embeddings derivative of sf0.1
-    (see module docstring).  Idempotent via a marker file."""
-    marker = os.path.join(out_dir, ".complete")
+    """Materialize a ×``copies`` derivative of sf0.1 (see module
+    docstring).  Idempotent via a marker file.
+
+    Observability tiers (round-10 extension — sf0.1 stops at 100k
+    events / 750k spans, where ~2/3 of the curve gates sat below the
+    noise floor):
+
+    * ``orders``/``lineitem`` (the span forest): per-copy
+      ``*_orderkey`` offsets — DISJOINT trace_id ranges, so trace
+      COUNT scales ×copies while tree shape and spans-per-trace stay
+      constant (offset divisible by 8, the only orderkey mod the
+      span derivations use, so every mod-derived label keeps its
+      value).
+    * ``events`` (logs/points): per-copy ``event_id``/``user_id``
+      offsets with the user offset divisible by EVERY mod divisor the
+      signal derivations apply (lcm{2,3,4,5,8,10,23,100} = 13,800) —
+      user/session cardinality scales ×copies with bit-identical
+      label distributions.  The label-series SET (svc-0..7,
+      host-0..9, …) is mod-bounded and cannot scale, so the events
+      axis measures the DENSITY model — same dashboards, ×copies
+      ingest — while sessionize-family gates (grouped by user_id
+      itself) get true group-count scaling."""
+    marker = os.path.join(out_dir, ".complete_v2")
     if os.path.exists(marker):
         return
     import shutil
@@ -224,13 +252,33 @@ def build_synth(spark, out_dir: str, copies: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     src = SF_DIRS[-1]
+    synthesized = {"documents", "embeddings", "events", "orders", "lineitem"}
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in synthesized:
             continue
         os.symlink(
             os.path.join(src, f"{t}.parquet"),
             os.path.join(out_dir, f"{t}.parquet"),
         )
+
+    def replicate(table: str, offsets: dict[str, int], n_out: int) -> None:
+        base = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+        parts = [base]
+        for k in range(1, copies):
+            c = base
+            for col, step in offsets.items():
+                c = c.withColumn(col, F.col(col) + F.lit(k * step))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(n_out).write.parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+
+    replicate("events", {"event_id": 300_000_000, "user_id": 13_800}, 4)
+    replicate("orders", {"o_orderkey": 8_000_000}, 4)
+    replicate("lineitem", {"l_orderkey": 8_000_000}, 8)
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
     parts = [docs]
     for k in range(1, copies):
@@ -329,7 +377,7 @@ def main() -> int:
             timed(name, d, reps=3 if d == dirs[-1] else 2) for d in dirs
         ]
         x_skipped = None
-        if table in ("documents", "embeddings"):
+        if table is not None:
             for d in x_dirs:
                 if secs[-1] > X_MAX_SECONDS:
                     x_skipped = (
