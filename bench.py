@@ -162,10 +162,22 @@ def main() -> None:
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
     )
-    from bench_ingest import measure_prw
+    from bench_ingest import measure_prw, measure_prw_e2e
 
     prw_pps = measure_prw(spark)["value"]
     print(f"# prw_decode_points_per_sec: {prw_pps}", file=sys.stderr)
+
+    # ...and the full insert path (decode → flatten → series MERGE →
+    # partitioned store append), the shape the baseline row actually
+    # measures — decode-only flatters the engine by the write half
+    release_pins()
+    spark.catalog.clearCache()
+    e2e = measure_prw_e2e(spark)
+    print(
+        f"# prw_e2e_points_per_sec: {e2e['value']} "
+        f"({e2e['points']} pts, {e2e['seconds']}s)",
+        file=sys.stderr,
+    )
 
     total = round(sum(times.values()), 3)
     print(
@@ -177,6 +189,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "prw_decode_points_per_sec": prw_pps,
+                "prw_e2e_points_per_sec": e2e["value"],
             }
         )
     )

@@ -58,14 +58,19 @@ def load(
         # Caller declares heavy PER-ROW compute downstream (gram
         # explodes, md5 sketches, 64-dim dot products); small scale
         # factors arrive as a single parquet file → one scan partition
-        # → one core does all of it.  Spread only when the scan is
+        # → one core does all of it.  Spread whenever the scan is
         # narrower than the cluster: at production scale the file
         # layout already yields thousands of splits and this is a
         # no-op, so no shuffle is added where the data is already
-        # parallel.  Off by default — map-only gates (pii_redact,
-        # text_quality) keep their zero-exchange plans.
+        # parallel.  (An earlier `< min(par, 8)` threshold left
+        # 8-split scans UNSPREAD on 32 cores — the r10 scaling curve
+        # caught logql_ip_filter jumping to exponent 1.67 at the ×16
+        # synthetic point purely from the parse stage running 8-way;
+        # spreading restored the measured-linear curve.)  Off by
+        # default — map-only gates (pii_redact, text_quality) keep
+        # their zero-exchange plans.
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < min(par, 8):
+        if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     return df
 

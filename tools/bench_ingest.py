@@ -71,12 +71,12 @@ def _bench_otlp(spark, n_payloads: int, series_per: int, samples_per: int):
     )
 
 
-def measure_prw(
-    spark, n_payloads: int = 256, series_per: int = 100, samples_per: int = 20
-) -> dict:
-    """Synthesize vmagent-shaped WriteRequests, time the distributed
-    decode, return the throughput record (reused by bench.py so every
-    BENCH_rN.json carries the ingest envelope next to query latency)."""
+def _prw_payloads(
+    n_payloads: int, series_per: int, samples_per: int
+) -> list[bytes]:
+    """vmagent-shaped WriteRequests (snappy + protobuf), shared by the
+    decode-only and end-to-end rows so the two measure the same wire
+    traffic."""
     base_ms = 1_704_067_200_000
     payloads = []
     for p in range(n_payloads):
@@ -93,7 +93,17 @@ def measure_prw(
                 for i in range(samples_per)
             ]
             series.append(prw.encode_time_series(labels, samples))
-        payloads.append((prw.encode_write_request(series),))
+        payloads.append(prw.encode_write_request(series))
+    return payloads
+
+
+def measure_prw(
+    spark, n_payloads: int = 256, series_per: int = 100, samples_per: int = 20
+) -> dict:
+    """Synthesize vmagent-shaped WriteRequests, time the distributed
+    decode, return the throughput record (reused by bench.py so every
+    BENCH_rN.json carries the ingest envelope next to query latency)."""
+    payloads = [(b,) for b in _prw_payloads(n_payloads, series_per, samples_per)]
 
     df = spark.createDataFrame(payloads, "payload binary").repartition(
         spark.sparkContext.defaultParallelism
@@ -119,6 +129,106 @@ def measure_prw(
     }
 
 
+def measure_prw_e2e(
+    spark, n_payloads: int = 256, series_per: int = 100, samples_per: int = 40
+) -> dict:
+    """END-TO-END streaming ingest: WriteRequest wire files →
+    binaryFile stream → distributed snappy+proto decode (prw_points) →
+    series-hash flatten → foreachBatch { series-registry MERGE
+    (bucket-pruned merge_upsert) + date-partitioned store append }.
+
+    The decode-only row (:func:`measure_prw`) is a microbench; the
+    reference's 144.3k pts/s baseline (dev/local/ch-bench/README.md:
+    60-76) measures its FULL insert path, so this row is the honest
+    comparison: wall-clock from stream start to availableNow drain,
+    store row count asserted equal to the wire point count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.scratch import scratch_dir
+    from oteldb_spark.sources.otlp import series_key
+    from oteldb_spark.streaming.ingest import upsert_series_registry
+
+    import os as _os
+
+    total_points = n_payloads * series_per * samples_per
+    work = scratch_dir(prefix="prw_e2e_")
+
+    def run(tag: str, payloads: list[bytes]) -> float:
+        src = f"{work}/{tag}/in"
+        store = f"{work}/{tag}/points"
+        reg = f"{work}/{tag}/registry"
+        ckpt = f"{work}/{tag}/ckpt"
+        _os.makedirs(src)
+        for i, b in enumerate(payloads):
+            with open(f"{src}/req_{i:05d}.bin", "wb") as fh:
+                fh.write(b)
+        raw = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long,"
+                " content binary"
+            )
+            .option("pathGlobFilter", "*.bin")
+            .load(src)
+        )
+        flat = prw.prw_points(
+            raw.select(F.col("content").alias("payload"))
+        ).select(
+            "name",
+            "labels",
+            (F.col("ts_ms") * 1_000_000).alias("ts_ns"),
+            "value",
+            F.to_date(F.timestamp_millis(F.col("ts_ms"))).alias("date"),
+        ).withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
+
+        def sink(batch, _bid):
+            upsert_series_registry(
+                spark, batch.select("series_hash", "name", "labels", "ts_ns"), reg
+            )
+            (
+                batch.drop("labels")
+                .write.mode("append")
+                .partitionBy("date")
+                .parquet(store)
+            )
+
+        t0 = time.time()
+        q = (
+            flat.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        n = spark.read.parquet(store).count()
+        assert n == len(payloads) * series_per * samples_per, n
+        return dt
+
+    try:
+        # untimed warmup stream (own dirs): pays the Python-worker /
+        # stream-machinery / first-write costs so the timed run
+        # measures the steady insert path, matching the warm-process
+        # comparison class of every other bench row
+        run("warm", _prw_payloads(8, series_per, samples_per))
+        dt = run("main", _prw_payloads(n_payloads, series_per, samples_per))
+        n_series = spark.read.parquet(f"{work}/main/registry").count()
+        return {
+            "metric": "prw_e2e_points_per_sec",
+            "value": round(total_points / dt),
+            "unit": "points/s",
+            "points": total_points,
+            "series": n_series,
+            "seconds": round(dt, 3),
+            "payloads": n_payloads,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     n_payloads = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     series_per = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -128,6 +238,13 @@ def main() -> None:
     spark = get_spark("bench-ingest")
     if mode == "otlp":
         _bench_otlp(spark, n_payloads, series_per, samples_per)
+        return
+    if mode == "e2e":
+        print(
+            json.dumps(
+                measure_prw_e2e(spark, n_payloads, series_per, samples_per)
+            )
+        )
         return
     print(json.dumps(measure_prw(spark, n_payloads, series_per, samples_per)))
 

@@ -72,9 +72,16 @@ under-reports growth.  Two estimates are recorded:
 Flag rule: ``exponent_lb > FLAG_ABOVE`` (1.2), where exponent_lb
 re-fits with the top margin shrunk and the mid margin grown by the
 NOISE_S warm-time noise floor — a conservative flag that a linear
-gate's noise cannot trip.  A linear gate fits ~1.0, the brute-force
-ANN control ~2 — the committed allowlist (ALLOWED_SUPERLINEAR) is
-asserted against the artifact by tests/test_scaling_curve.py.
+gate's noise cannot trip.  A sweep-order flag additionally triggers a
+CONFIRMATION pass (r10): the fit's two top points are re-measured
+back-to-back — same throttle regime, same JIT state, because this VM
+degrades uniformly 1.25-1.75× under sustained load and an hour can
+separate the mid and top samples in sweep order — and the flag stands
+only if the confirmed lower bound also clears the bar (both estimates
+recorded; an overturned flag stays visible).  A linear gate fits
+~1.0, the brute-force ANN control ~2 — the committed allowlist
+(ALLOWED_SUPERLINEAR) is asserted against the artifact by
+tests/test_scaling_curve.py.
 
 Usage: python tools/scaling_curve.py [--out=SCALING_rN.json] [name...]
 """
@@ -456,6 +463,38 @@ def main() -> int:
             rec["flagged"] = (
                 exponent_lb is not None and exponent_lb > FLAG_ABOVE
             )
+            if rec["flagged"]:
+                # CONFIRMATION pass: a sweep-order exponent can
+                # inflate when the mid point ran hot-JIT early and the
+                # top point hit a throttle window an hour later (this
+                # VM degrades uniformly 1.25-1.75x under sustained
+                # load — COVERAGE bench-variance note), and the fixed
+                # 0.1 s noise floor cannot absorb that on multi-second
+                # gates.  Re-measure the fit's two top points
+                # BACK-TO-BACK (same throttle regime, same JIT state)
+                # and keep the flag only if the confirmed lower bound
+                # also clears the bar.  Both estimates are recorded —
+                # an overturned flag stays visible in the artifact.
+                dir_of = {rows_by_dir[d][table]: d for d in dirs}
+                c_mid = timed(name, dir_of[r_mid], reps=3)
+                c_hi = timed(name, dir_of[r_hi], reps=3)
+                dec = math.log10(r_hi / r_mid)
+                c_exp = c_lb = None
+                if (c_mid - o) > MIN_MARGIN and (c_hi - o) > MIN_SPAN:
+                    c_exp = round(
+                        math.log10((c_hi - o) / (c_mid - o)) / dec, 3
+                    )
+                    lb_hi = c_hi - o - NOISE_S
+                    lb_mid = c_mid - o + NOISE_S
+                    if lb_hi > 0:
+                        c_lb = round(math.log10(lb_hi / lb_mid) / dec, 3)
+                rec["confirm"] = {
+                    "mid_seconds": c_mid,
+                    "hi_seconds": c_hi,
+                    "exponent": c_exp,
+                    "exponent_lb": c_lb,
+                }
+                rec["flagged"] = c_lb is not None and c_lb > FLAG_ABOVE
         results[name] = rec
         exp = rec.get("exponent")
         print(
