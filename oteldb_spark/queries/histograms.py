@@ -370,6 +370,13 @@ GROUP BY 1, 2""",
 def logql_count_over_time_ratio2880(spark, sf_dir):
     from ..operators.range_agg import range_aggregate_sliding
 
+    # NOT spread, deliberately (r10 A/B): the prebucket partial agg
+    # in the one-file scan stage is 1.4 s single-task, but spreading
+    # first multiplies the partial-agg exchange by the task count
+    # (each of 32 map tasks emits up to the full service x 2880-bucket
+    # group cardinality: measured 1.5 -> 3.6 s).  At production file
+    # layouts map tasks parallelize AND partition the input, so the
+    # partial-agg-in-scan shape is the one that scales.
     logs = logs_frame(spark, sf_dir)
     samples = logs.select("service", "ts_us", F.lit(1.0).alias("sample"))
     return range_aggregate_sliding(

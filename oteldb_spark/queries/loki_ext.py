@@ -168,7 +168,10 @@ def logql_deduce_enrich(spark, sf_dir):
 
     from ..sources.deduce import enrich_json_lines
 
-    logs = logs_frame(spark, sf_dir)
+    # spread: the per-row deduce parse (regex severity + resolution
+    # sniffing) otherwise runs inside the one-file scan stage
+    # (r10 noop-sink audit: 2.9 s single-task)
+    logs = logs_frame(spark, sf_dir, spread=True)
     lvl = (
         F.when(F.col("event_id") % 3 == 0, F.col("level"))
         .when(F.col("event_id") % 3 == 1, F.lower(F.col("level")))
@@ -239,7 +242,10 @@ def logql_lineformat_parse(spark, sf_dir):
 
     from ..sources.lineformats import parse_lines
 
-    logs = logs_frame(spark, sf_dir)
+    # spread: the auto-detecting klog/zap parse is the heaviest
+    # per-row expression in the registry (r10 noop-sink audit: 5.3 s
+    # single-task inside the one-file scan)
+    logs = logs_frame(spark, sf_dir, spread=True)
     sev_letter = (
         F.when(F.col("severity_number") == 17, F.lit("E"))
         .when(F.col("severity_number") == 9, F.lit("I"))
@@ -276,7 +282,10 @@ def logql_lineformat_parse(spark, sf_dir):
         .otherwise(zap_line)
         .alias("body"),
     )
-    out = parse_lines(built, year=2024)
+    # barrier: three struct-field mentions below would otherwise each
+    # re-run the full two-format parse (and project-collapse drags
+    # them below the spread repartition into the one-file scan)
+    out = parse_lines(built, year=2024, barrier=True)
     return out.select(
         "event_id",
         F.col("parsed.ts_us").alias("p_ts_us"),

@@ -82,11 +82,24 @@ def parse_zapdev(col: Column | str) -> Column:
 
 
 def parse_lines(
-    df: DataFrame, body_col: str = "body", year: int = 2024
+    df: DataFrame, body_col: str = "body", year: int = 2024,
+    barrier: bool = False,
 ) -> DataFrame:
     """Format auto-detection like the reference's registry: try klog,
     then zapdev, normalized to a common struct (ts_us,
-    severity_number, origin, body); unmatched lines stay null."""
+    severity_number, origin, body); unmatched lines stay null.
+
+    ``barrier=True`` routes the struct through an expression barrier
+    so each downstream field mention reads a plain attribute instead
+    of re-running the whole two-format parse.  The r9 A/B that graded
+    the barrier a net loss (0.76 -> 2.40 s) was measured through a
+    ``.count()`` consumer, which never evaluates the projection AT
+    ALL; under a value-materializing consumer (the driver collects,
+    the noop-sink audit writes) the unbarriered form pays one full
+    auto-detect parse PER FIELD MENTION and project-collapse drags
+    all of them below any repartition into the one-file scan stage
+    (re-measured r10: 9.1 s unbarriered vs 2.8 s barriered+spread for
+    the three-field gate projection, best-of-2 noop sink at sf0.1)."""
     klog = parse_klog(body_col, year)
     zap = parse_zapdev(body_col)
 
@@ -101,6 +114,9 @@ def parse_lines(
             ),
         )
 
-    return df.withColumn(
-        "parsed", F.coalesce(norm(klog, "source"), norm(zap, "logger"))
-    )
+    parsed = F.coalesce(norm(klog, "source"), norm(zap, "logger"))
+    if barrier:
+        from ..functions.parsers import barrier_cols
+
+        return barrier_cols(df, {"parsed": parsed})
+    return df.withColumn("parsed", parsed)
