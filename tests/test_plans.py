@@ -355,3 +355,16 @@ def test_stream_store_query_plan(spark):
     facts = audit(out)
     assert "FlatMapGroupsInPandas" not in facts.text
     assert out.count() >= 0
+
+
+def test_prw_store_roundtrip_plan(spark):
+    """The ingest→store→query loop's QUERY side: the metric-name
+    filter reaches the parquet scan of the materialized store, no
+    Python stage survives into the read path (decode ran once at
+    store-build time), and the aggregate is the only shuffle work."""
+    facts = audit(QUERIES["prw_store_roundtrip"](spark, SF))
+    assert any("app_latency_seconds" in p for p in facts.pushed_filters)
+    assert "Python" not in facts.text
+    # value/ts/service/name is all the scan reads — labels map stays
+    # behind in the store
+    assert all("labels" not in s for s in facts.read_schemas)
