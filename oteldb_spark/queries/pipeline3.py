@@ -408,6 +408,8 @@ def chunk_cdc_dedup(spark, sf_dir):
             yield pd.DataFrame({"doc_id": out_doc, "h": out_hash})
 
     par = spark.sparkContext.defaultParallelism
+    from ..operators.pin import pin
+
     chunks = (
         docs.select("doc_id", "text")
         # small local files arrive as one split; spread the batches so
@@ -416,6 +418,13 @@ def chunk_cdc_dedup(spark, sf_dir):
         .repartition(par)
         .mapInPandas(cut_chunks, "doc_id long, h string")
     )
+    # pin: chunks feeds BOTH the dup-hash aggregate and the join left
+    # side — unpinned, the whole text-shipping Arrow chunker ran twice
+    # (union-branch recompute); the pinned rows are (long, 32-char
+    # hash), far smaller than the texts they derive from.  Found by
+    # the r10 ×64 scaling point (320k docs): last-decade ratio 4.3×
+    # for 4× rows unpinned, back under 4× pinned.
+    chunks = pin(chunks)
     dup = (
         chunks.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -101,12 +101,14 @@ SF_DIRS = [
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 ]
-# synthetic docs/embeddings scale points: ×4 and ×16 of sf0.1.  Two
-# extra points give the curation tier a measurable LAST decade
-# (20k→80k docs / 8k→32k vectors, ratio 4) whose marginal costs rise
-# far above the noise floor for any super-linear gate, while the cap
-# below keeps known-heavy gates from burning minutes.
-X_FACTORS = [4, 16]
+# synthetic scale points: ×4/×16/×64 of sf0.1.  The extra points give
+# every tier a measurable LAST decade whose marginal costs rise far
+# above the noise floor for any super-linear gate (×64 = 6.4 M events
+# / 48 M spans / 320 k docs — r10 added it because at ×16 two thirds
+# of the observability gates still finished under the claimability
+# margins), while the progressive cap below keeps known-heavy gates
+# from burning minutes.
+X_FACTORS = [4, 16, 64]
 X_DIR_TPL = "/root/repo/.scaling_x{f}"
 X_MAX_SECONDS = 5.0  # only attempt the next synthetic point while the
 # previous point's measured time is within this cap (progressive,
