@@ -46,7 +46,7 @@ class LogQLEngine:
     def _spark(self):
         return self.spark or self.source.df.sparkSession
 
-    def query_range(
+    def query_range_frame(
         self,
         q: str,
         start_us: int,
@@ -54,7 +54,14 @@ class LogQLEngine:
         step_us: int,
         limit: int | None = None,
         now_us: int | None = None,
-    ) -> dict:
+    ):
+        """The DataFrame under GET /loki/api/v1/query_range, one step
+        before serialization (the ``search_frame`` analog for Loki):
+        parse → metric/log classification → (cached) compile →
+        limit.  Metric queries yield (labels…, step_us, value) — the
+        rows :func:`loki_matrix` folds into series; log queries yield
+        (labels…, ts_us, body) — the rows :func:`loki_streams` folds
+        into streams."""
         # classify metric-vs-log from the parsed AST (a LogQuery root
         # is a log listing; anything else is a metric expression) so
         # the cache path compiles exactly once per computed range —
@@ -84,14 +91,26 @@ class LogQLEngine:
             )
         else:
             df = compile_logql(expr, self.source, params, self._spark())
-        if is_metric:  # metric query → matrix
+        if not is_metric and limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def query_range(
+        self,
+        q: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        limit: int | None = None,
+        now_us: int | None = None,
+    ) -> dict:
+        df = self.query_range_frame(q, start_us, end_us, step_us, limit, now_us)
+        if "step_us" in df.columns:  # metric query → matrix
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return loki_matrix(df, labels, max_rows=self.max_result_rows)
         labels = [
             c for c in df.columns if c not in ("ts_us", "body")
         ]  # log query → streams
-        if limit is not None:
-            df = df.limit(limit)
         return loki_streams(df, labels, max_rows=self.max_result_rows)
 
     def query_instant(self, q: str, ts_us: int, limit: int = 100) -> dict:
@@ -437,6 +456,30 @@ class PromQLEngine:
     def _spark(self):
         return self.spark or self.source.df.sparkSession
 
+    def query_range_frame(
+        self,
+        q: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        now_us: int | None = None,
+    ) -> "DataFrame":
+        """The DataFrame under GET /api/v1/query_range, one step
+        before serialization: parse → (cached) compile; rows are
+        (labels…, step_us, value) — what :func:`prom_matrix` folds
+        into the Prometheus matrix wire shape."""
+
+        def _compile(s_us: int, e_us: int) -> "DataFrame":
+            params = PromParams(s_us, e_us, step_us, lookback_us=self.lookback_us)
+            return compile_promql(q, self.source, params, self._spark())
+
+        if self.result_cache is not None:
+            key = f"promql|{q}|lb={self.lookback_us}"
+            return self.result_cache.query_range(
+                self._spark(), key, start_us, end_us, step_us, _compile, now_us
+            )
+        return _compile(start_us, end_us)
+
     def query_range(
         self,
         q: str,
@@ -445,17 +488,7 @@ class PromQLEngine:
         step_us: int,
         now_us: int | None = None,
     ) -> dict:
-        def _compile(s_us: int, e_us: int) -> "DataFrame":
-            params = PromParams(s_us, e_us, step_us, lookback_us=self.lookback_us)
-            return compile_promql(q, self.source, params, self._spark())
-
-        if self.result_cache is not None:
-            key = f"promql|{q}|lb={self.lookback_us}"
-            df = self.result_cache.query_range(
-                self._spark(), key, start_us, end_us, step_us, _compile, now_us
-            )
-        else:
-            df = _compile(start_us, end_us)
+        df = self.query_range_frame(q, start_us, end_us, step_us, now_us)
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return prom_matrix(df, labels, max_rows=self.max_result_rows)
 
