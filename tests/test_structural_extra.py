@@ -267,18 +267,19 @@ def test_routes_documented_cycle_semantics(spark):
     assert frontier == {1, 2, 3}
 
 
-def test_memoized_coords_reuse_and_repin(spark):
-    """coords_key memoizes ONE full-table coords frame per (session,
-    key): the second structural query reuses the same DataFrame object
-    (so its cached DFS), results match the per-query route, and a
-    release_pins() between queries revives the pin through repin
-    instead of silently recomputing per branch."""
-    import oteldb_spark.operators.structural as st
-    from oteldb_spark.operators.pin import release_pins
+def test_stored_coords_promotion(spark):
+    """coords_key self-promotes the table into the bucketed coords
+    store: the first structural query writes spans+coords once, later
+    calls (any predicate, either direction) read the same table back
+    and take the stored range-semi-join route — matching the per-query
+    nested route value-for-value with zero query-time Python — and a
+    DIFFERENT spans frame under the same key gets its own table
+    (advisor r10: the memo key folds in the plan hash)."""
     from oteldb_spark.operators.structural import (
+        _COORDS_MEMO,
         ancestors_of,
         descendants,
-        memoized_trace_coords,
+        stored_coords_spans,
     )
 
     rows = [
@@ -288,23 +289,27 @@ def test_memoized_coords_reuse_and_repin(spark):
     spans = spark.createDataFrame(
         rows, "trace_id long, span_id long, parent_span_id long"
     )
-    st._COORDS_MEMO = None
     key = "memo-test"
-    c1 = memoized_trace_coords(spans, key)
-    c2 = memoized_trace_coords(spans, key)
-    assert c1 is c2
+    t1 = stored_coords_spans(spans, key)
+    t2 = stored_coords_spans(spans, key)
+    # same (key, plan): one table, written once
+    assert t1.semanticHash() == t2.semanticHash()
+    assert {"ns_left", "ns_right", "ns_parent"} <= set(t1.columns)
     anc = F.col("span_id") == 1
     deep = F.col("span_id") >= 3
-    got = {
-        (r.trace_id, r.span_id)
-        for r in descendants(spans, anc, deep, coords_key=key).collect()
-    }
+    routed = descendants(spans, anc, deep, coords_key=key)
+    got = {(r.trace_id, r.span_id) for r in routed.collect()}
     want = {
         (r.trace_id, r.span_id)
         for r in descendants(spans, anc, deep).collect()
     }
     assert got == want == {(1, 3), (1, 4)}
-    # << through the memo agrees with the per-query route too
+    # the routed result must not leak coords columns the input lacked
+    assert set(routed.columns) == set(spans.columns)
+    # the stored route has no query-time Python stage
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan
+    # << through the store agrees with the per-query route too
     got_a = {
         (r.trace_id, r.span_id)
         for r in ancestors_of(spans, deep, anc, coords_key=key).collect()
@@ -314,10 +319,25 @@ def test_memoized_coords_reuse_and_repin(spark):
         for r in ancestors_of(spans, deep, anc).collect()
     }
     assert got_a == want_a == {(1, 1)}
-    # release drops blocks; the memo hit must re-persist, not recompute
-    release_pins()
-    c3 = memoized_trace_coords(spans, key)
-    assert c3 is c1
-    lvl = c3.storageLevel
-    assert lvl.useMemory or lvl.useDisk
-    st._COORDS_MEMO = None
+    # advisor r10: same key, different spans content -> different
+    # store, correct (not stale) answers
+    spans_b = spark.createDataFrame(
+        [(7, 1, None), (7, 2, 1), (7, 3, 2)],
+        "trace_id long, span_id long, parent_span_id long",
+    )
+    got_b = {
+        (r.trace_id, r.span_id)
+        for r in descendants(spans_b, anc, deep, coords_key=key).collect()
+    }
+    assert got_b == {(7, 3)}
+    # hygiene: drop the per-process tables this test created
+    for spans_df in (spans, spans_b):
+        sem = spans_df.semanticHash() & 0xFFFFFFFF
+        _COORDS_MEMO.set(spark, ("coords_store", key, sem), None)
+    import os
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("coords_store_memo_test_") and t.name.endswith(
+            f"_p{os.getpid()}"
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
