@@ -20,11 +20,12 @@ from oteldb_spark.session import get_spark  # noqa: E402
 from oteldb_spark.sources import prw  # noqa: E402
 
 
-def _bench_otlp(spark, n_payloads: int, series_per: int, samples_per: int):
-    """Same shape through the OTLP protobuf wire path (the reference's
-    PRIMARY ingest): ExportMetricsServiceRequest payloads with
-    series_per gauge metrics × samples_per points, decoded by
-    pb_metrics (wire walk → JSON → from_json flattener)."""
+def _otlp_payloads(
+    n_payloads: int, series_per: int, samples_per: int
+) -> list[bytes]:
+    """ExportMetricsServiceRequest wire payloads (series_per gauge
+    metrics × samples_per points each), shared by the decode-only and
+    end-to-end rows so both measure the same wire traffic."""
     from oteldb_spark.sources import otlp_pb as pb
 
     base_ns = 1_704_067_200_000_000_000
@@ -43,9 +44,21 @@ def _bench_otlp(spark, n_payloads: int, series_per: int, samples_per: int):
             metrics.append(
                 pb.enc_gauge_metric(f"node_metric_{s}", "1", points)
             )
-        payloads.append(
-            (pb.enc_metrics_request({"service.name": "node"}, metrics),)
-        )
+        payloads.append(pb.enc_metrics_request({"service.name": "node"}, metrics))
+    return payloads
+
+
+def measure_otlp(
+    spark, n_payloads: int = 256, series_per: int = 100, samples_per: int = 20
+) -> dict:
+    """Decode-only throughput through the OTLP protobuf wire path (the
+    reference's PRIMARY ingest, internal/otelreceiver/receiver.go:
+    47-90): pb_metrics wire walk → flat point rows."""
+    from oteldb_spark.sources import otlp_pb as pb
+
+    payloads = [
+        (b,) for b in _otlp_payloads(n_payloads, series_per, samples_per)
+    ]
     df = spark.createDataFrame(payloads, "payload binary").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -56,19 +69,124 @@ def _bench_otlp(spark, n_payloads: int, series_per: int, samples_per: int):
     t0 = time.time()
     n = pb.pb_metrics(df).count()
     dt = time.time() - t0
+    df.unpersist(blocking=False)
     assert n == total, (n, total)
-    print(
-        json.dumps(
-            {
-                "metric": "otlp_pb_ingest_points_per_sec",
-                "value": round(n / dt),
-                "unit": "points/s",
-                "points": n,
-                "seconds": round(dt, 3),
-                "payloads": n_payloads,
-            }
+    return {
+        "metric": "otlp_pb_ingest_points_per_sec",
+        "value": round(n / dt),
+        "unit": "points/s",
+        "points": n,
+        "seconds": round(dt, 3),
+        "payloads": n_payloads,
+    }
+
+
+def measure_otlp_e2e(
+    spark,
+    n_payloads: int = 256,
+    series_per: int = 100,
+    samples_per: int = 20,
+    n_copies: int = 1,
+) -> dict:
+    """END-TO-END OTLP metric ingest — the reference's PRIMARY path
+    (internal/otelreceiver/receiver.go:47-90 → metric inserter):
+    ExportMetricsServiceRequest wire files → binaryFile stream →
+    distributed wire-walk decode (pb_metrics, series_hash JVM-side) →
+    foreachBatch { series-registry MERGE + date-partitioned store
+    append }.  Mirrors :func:`measure_prw_e2e` so BENCH carries both
+    full-path ingest rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from oteldb_spark.scratch import scratch_dir
+    from oteldb_spark.sources import otlp_pb as pb
+    from oteldb_spark.streaming.ingest import upsert_series_registry
+
+    import os as _os
+
+    total_points = n_copies * n_payloads * series_per * samples_per
+    work = scratch_dir(prefix="otlp_e2e_")
+
+    def run(tag: str, payloads: list[bytes], copies: int = 1) -> float:
+        src = f"{work}/{tag}/in"
+        store = f"{work}/{tag}/points"
+        reg = f"{work}/{tag}/registry"
+        ckpt = f"{work}/{tag}/ckpt"
+        _os.makedirs(src)
+        for c in range(copies):
+            for i, b in enumerate(payloads):
+                with open(f"{src}/req_{c}_{i:05d}.bin", "wb") as fh:
+                    fh.write(b)
+        raw = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, length long,"
+                " content binary"
+            )
+            .option("pathGlobFilter", "*.bin")
+            .load(src)
         )
-    )
+        flat = pb.pb_metrics(
+            raw.select(F.col("content").alias("payload"))
+        ).select(
+            "name",
+            "labels",
+            "ts_ns",
+            "value",
+            "series_hash",
+            F.to_date(
+                F.timestamp_millis((F.col("ts_ns") / 1_000_000).cast("long"))
+            ).alias("date"),
+        )
+
+        def sink(batch, _bid):
+            upsert_series_registry(
+                spark,
+                batch.select("series_hash", "name", "labels", "ts_ns"),
+                reg,
+            )
+            (
+                batch.drop("labels")
+                .write.mode("append")
+                .partitionBy("date")
+                .parquet(store)
+            )
+
+        t0 = time.time()
+        q = (
+            flat.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        n = spark.read.parquet(store).count()
+        assert n == copies * len(payloads) * series_per * samples_per, n
+        return dt
+
+    try:
+        run("warm", _otlp_payloads(8, series_per, samples_per))
+        dt = run(
+            "main",
+            _otlp_payloads(n_payloads, series_per, samples_per),
+            copies=n_copies,
+        )
+        n_series = spark.read.parquet(f"{work}/main/registry").count()
+        return {
+            "metric": "otlp_e2e_points_per_sec",
+            "value": round(total_points / dt),
+            "unit": "points/s",
+            "points": total_points,
+            "series": n_series,
+            "seconds": round(dt, 3),
+            "payloads": n_payloads,
+            "copies": n_copies,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _prw_payloads(
@@ -130,7 +248,11 @@ def measure_prw(
 
 
 def measure_prw_e2e(
-    spark, n_payloads: int = 256, series_per: int = 100, samples_per: int = 40
+    spark,
+    n_payloads: int = 256,
+    series_per: int = 100,
+    samples_per: int = 40,
+    n_copies: int = 1,
 ) -> dict:
     """END-TO-END streaming ingest: WriteRequest wire files →
     binaryFile stream → distributed snappy+proto decode (prw_points) →
@@ -141,7 +263,13 @@ def measure_prw_e2e(
     reference's 144.3k pts/s baseline (dev/local/ch-bench/README.md:
     60-76) measures its FULL insert path, so this row is the honest
     comparison: wall-clock from stream start to availableNow drain,
-    store row count asserted equal to the wire point count."""
+    store row count asserted equal to the wire point count.
+
+    ``n_copies`` re-delivers the same wire payloads as additional
+    files (identical bytes, new requests) — the cheap way to scale the
+    measured volume 4x without 4x the driver-side synthesis, so the
+    per-run fixed cost (~4.5s of stream/commit machinery) stops
+    diluting the steady-state number."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -152,18 +280,19 @@ def measure_prw_e2e(
 
     import os as _os
 
-    total_points = n_payloads * series_per * samples_per
+    total_points = n_copies * n_payloads * series_per * samples_per
     work = scratch_dir(prefix="prw_e2e_")
 
-    def run(tag: str, payloads: list[bytes]) -> float:
+    def run(tag: str, payloads: list[bytes], copies: int = 1) -> float:
         src = f"{work}/{tag}/in"
         store = f"{work}/{tag}/points"
         reg = f"{work}/{tag}/registry"
         ckpt = f"{work}/{tag}/ckpt"
         _os.makedirs(src)
-        for i, b in enumerate(payloads):
-            with open(f"{src}/req_{i:05d}.bin", "wb") as fh:
-                fh.write(b)
+        for c in range(copies):
+            for i, b in enumerate(payloads):
+                with open(f"{src}/req_{c}_{i:05d}.bin", "wb") as fh:
+                    fh.write(b)
         raw = (
             spark.readStream.format("binaryFile")
             .schema(
@@ -205,7 +334,7 @@ def measure_prw_e2e(
         q.awaitTermination()
         dt = time.time() - t0
         n = spark.read.parquet(store).count()
-        assert n == len(payloads) * series_per * samples_per, n
+        assert n == copies * len(payloads) * series_per * samples_per, n
         return dt
 
     try:
@@ -214,7 +343,11 @@ def measure_prw_e2e(
         # measures the steady insert path, matching the warm-process
         # comparison class of every other bench row
         run("warm", _prw_payloads(8, series_per, samples_per))
-        dt = run("main", _prw_payloads(n_payloads, series_per, samples_per))
+        dt = run(
+            "main",
+            _prw_payloads(n_payloads, series_per, samples_per),
+            copies=n_copies,
+        )
         n_series = spark.read.parquet(f"{work}/main/registry").count()
         return {
             "metric": "prw_e2e_points_per_sec",
@@ -224,6 +357,7 @@ def measure_prw_e2e(
             "series": n_series,
             "seconds": round(dt, 3),
             "payloads": n_payloads,
+            "copies": n_copies,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -237,7 +371,14 @@ def main() -> None:
 
     spark = get_spark("bench-ingest")
     if mode == "otlp":
-        _bench_otlp(spark, n_payloads, series_per, samples_per)
+        print(json.dumps(measure_otlp(spark, n_payloads, series_per, samples_per)))
+        return
+    if mode == "otlp_e2e":
+        print(
+            json.dumps(
+                measure_otlp_e2e(spark, n_payloads, series_per, samples_per)
+            )
+        )
         return
     if mode == "e2e":
         print(
