@@ -219,14 +219,24 @@ def stream_sessionize_closed(spark, sf_dir):
     from ..streaming.sessionize import stream_sessionize
 
     ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    # size state partitions to VOLUME (the rule every other streaming
+    # gate follows): per-store fixed cost argues for few partitions at
+    # fixture scale, but past ~200k events the per-group Python work
+    # dominates and 8 stores serialize it — the r10 scaling curve read
+    # exponent 1.22 because n_state stayed 8 while the x4/x16 synthetic
+    # axes quadrupled the state volume
+    n_ev = ev.count()
+    n_state = min(32, max(8, n_ev // 25_000))
     work = scratch_dir(prefix="sess_gate_")
     try:
         src = f"{work}/in"
         out_dir = f"{work}/out"
         ckpt = f"{work}/ckpt"
-        ev.coalesce(2).write.parquet(src)
+        ev.coalesce(max(2, n_state // 4)).write.parquet(src)
         stream = spark.readStream.schema(ev.schema).parquet(src)
-        _run_to_parquet(spark, stream_sessionize(stream), out_dir, ckpt)
+        _run_to_parquet(
+            spark, stream_sessionize(stream), out_dir, ckpt, n_state=n_state
+        )
         out = spark.read.parquet(out_dir).select(
             "user_id",
             "session_start_ms",
@@ -405,12 +415,19 @@ def stream_span_interval_join(spark, sf_dir):
         F.col("l_linenumber").cast("long").alias("line_no"),
         F.col("l_shipdate").cast("timestamp").alias("child_ts"),
     )
+    # volume-sized state partitions (same rule as the sessionize gate;
+    # a stream-stream join keeps FOUR stores per partition, so the
+    # per-store fixed cost argues harder for few partitions at fixture
+    # scale — but past ~1M join-input rows the per-row state work
+    # serializes on 8 stores and the x64 axis trends super-linear)
+    n_rows = children.count()
+    n_state = min(32, max(8, n_rows // 250_000))
     work = scratch_dir(prefix="ssj_gate_")
     try:
         rdir, cdir = f"{work}/roots", f"{work}/children"
         out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
-        roots.coalesce(2).write.parquet(rdir)
-        children.coalesce(2).write.parquet(cdir)
+        roots.coalesce(max(2, n_state // 4)).write.parquet(rdir)
+        children.coalesce(max(2, n_state // 4)).write.parquet(cdir)
         rs = (
             spark.readStream.schema(roots.schema)
             .parquet(rdir)
@@ -437,7 +454,7 @@ def stream_span_interval_join(spark, sf_dir):
                 "lag_us"
             ),
         )
-        _run_to_parquet(spark, joined, out_dir, ckpt)
+        _run_to_parquet(spark, joined, out_dir, ckpt, n_state=n_state)
         rows = spark.read.parquet(out_dir).collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
