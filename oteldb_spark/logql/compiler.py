@@ -461,6 +461,28 @@ def _labels_live_after(stages) -> "set[str] | None":
     return live
 
 
+def _spread_for_parse(df):
+    """Repartition a file-backed, still-narrow frame to cluster width
+    (see the call site in :func:`_materialize_parsed`).  No-ops on
+    in-memory test frames (no input files), on plans that already
+    repartitioned (source built with spread=True), and on scans the
+    file layout already splits wider than the cluster."""
+    spark = df.sparkSession
+    try:
+        if not df.inputFiles():
+            return df
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+        from ..tables import _scan_splits
+
+        par = spark.sparkContext.defaultParallelism
+        if _scan_splits(spark, df) < par:
+            return df.repartition(par)
+    except Exception:
+        pass
+    return df
+
+
 def _materialize_parsed(
     env: _Env,
     new_labels: dict[str, Column],
@@ -495,6 +517,15 @@ def _materialize_parsed(
         new_labels = {k: v for k, v in new_labels.items() if k in live}
         if not new_labels and dyn is None and body is None:
             return
+    # spread the narrow scan to cluster width BEFORE the parse
+    # barrier: a parser stage is per-row-heavy by definition, and at
+    # small file layouts the scan is one split — without this the
+    # whole extraction runs in a single task (the r10/r11 parallelism
+    # audits kept finding compiled parser gates with 400-600ms serial
+    # stages).  File-backed sources only, skipped when the plan
+    # already carries a repartition; at production layouts the scan is
+    # already wide and this is a no-op.
+    env.df = _spread_for_parse(env.df)
     name = f"__parsed_{next(_PM_SEQ)}"
     keys = list(new_labels)
     fields = [new_labels[k].alias(f"l{i}") for i, k in enumerate(keys)]

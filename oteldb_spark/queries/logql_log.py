@@ -86,10 +86,17 @@ def logql_line_filter_regex(spark, sf_dir):
     ),
 )
 def logql_json_parser(spark, sf_dir):
-    logs = logs_frame(spark, sf_dir)
+    from ..functions.parsers import barrier_cols
+
+    # spread + barrier: the JSON extraction is mentioned by the filter
+    # AND the projection, and as a plain expression Catalyst would both
+    # inline it twice and push it below the repartition into the
+    # one-file scan stage (815ms single-task in PARALLELISM_r10's
+    # audit); the barrier keeps ONE parse per row above the spread
+    logs = logs_frame(spark, sf_dir, spread=True)
     k = F.get_json_object("body", "$.k").cast("long")
     return (
-        logs.withColumn("k", k)
+        barrier_cols(logs, {"k": k})
         .filter(F.col("k") >= 50)
         .select("event_id", "ts_us", "service", "level", "k")
     )

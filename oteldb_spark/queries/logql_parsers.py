@@ -105,14 +105,20 @@ WHERE regexp_extract(body, '^evt=(.*?) user=', 1) = 'purchase'""",
     ),
 )
 def logql_pattern_parser(spark, sf_dir):
+    from ..functions.parsers import barrier_cols
+
     df = _logfmt_frame(spark, sf_dir)
     caps = pattern_extract(
         F.col("body"), "evt=<evt> user=<user> took=<_> sz=<_> ip=<ip>"
     )
+    # barrier: the evt capture feeds the FILTER, which Catalyst would
+    # otherwise push below _logfmt_frame's spread back into the
+    # one-file scan stage (649ms single-task in PARALLELISM_r10's
+    # audit) — a filter cannot cross the barrier's Generate
     return (
-        df.withColumn("evt", caps["evt"])
-        .withColumn("user", caps["user"])
-        .withColumn("ip", caps["ip"])
+        barrier_cols(
+            df, {"evt": caps["evt"], "user": caps["user"], "ip": caps["ip"]}
+        )
         .filter(F.col("evt") == "purchase")
         .select("event_id", "evt", "user", "ip")
     )
@@ -150,7 +156,15 @@ FROM logs WHERE level = 'ERROR'""",
     ),
 )
 def logql_line_format(spark, sf_dir):
-    logs = logs_frame(spark, sf_dir).filter(F.col("level") == "ERROR")
+    from ..functions.parsers import barrier_cols
+
+    # spread + barrier: the template projection collapses into the
+    # one-file scan stage otherwise (1.3s single-task in
+    # PARALLELISM_r10's audit); the cheap level filter still pushes to
+    # the scan, only the per-row formatting runs above the spread
+    logs = logs_frame(spark, sf_dir, spread=True).filter(
+        F.col("level") == "ERROR"
+    )
     line = compile_template(
         "{{.service}}/{{.level}} u={{.user}} {{.evt | ToUpper}}",
         {
@@ -160,7 +174,7 @@ def logql_line_format(spark, sf_dir):
             "evt": F.col("event_type"),
         },
     )
-    return logs.select("event_id", line.alias("line"))
+    return barrier_cols(logs, {"line": line}).select("event_id", "line")
 
 
 # {} | logfmt | sz >= 50KB — bytes label filter (comparator.go bytes)

@@ -40,17 +40,59 @@ def _rows(spark, sf_dir):
     # is reused by a new one.
     hit = _ROWS_MEMO.get(spark, sf_dir)
     if hit is None:
-        rows = (
-            load(spark, sf_dir, "events")
-            .filter(F.col("event_id") < _LIMIT)
-            .select(
-                "event_id", "ts", "user_id", "event_type", "value", "props"
+        hit = _rows_duckdb(sf_dir)
+        if hit is None:
+            rows = (
+                load(spark, sf_dir, "events")
+                .filter(F.col("event_id") < _LIMIT)
+                .select(
+                    "event_id", "ts", "user_id", "event_type", "value", "props"
+                )
+                .collect()
             )
-            .collect()
-        )
-        hit = sorted(rows, key=lambda r: r.event_id)
+            hit = sorted(rows, key=lambda r: r.event_id)
         _ROWS_MEMO.set(spark, sf_dir, hit)
     return hit
+
+
+def _rows_duckdb(sf_dir):
+    """Driver-side read of the 400-row fixture slice.
+
+    The Spark path spends two one-task stages (~0.8 s warm, the top
+    PARALLELISM_r10 entry) decompressing the one-split events file to
+    collect 400 rows the ENCODER needs on the driver anyway; a local
+    DuckDB scan of the same parquet gets them in ~30 ms with zero
+    cluster work.  ``epoch_ns(ts)`` matches ``tables.load``'s ns-long
+    contract whether the file ships ts as timestamp[ns] or
+    timestamp[us].  Returns None (→ Spark fallback) if duckdb is
+    unavailable."""
+    try:
+        import duckdb
+    except Exception:
+        return None
+    from collections import namedtuple
+
+    Row = namedtuple(
+        "FixtureRow", "event_id ts user_id event_type value props"
+    )
+    con = duckdb.connect()
+    try:
+        path = f"{sf_dir}/events.parquet"
+        (ts_type,) = con.execute(
+            f"SELECT typeof(ts) FROM read_parquet('{path}') LIMIT 1"
+        ).fetchone()
+        ts_expr = "ts" if "INT" in ts_type.upper() else "epoch_ns(ts)"
+        got = con.execute(
+            f"SELECT event_id, {ts_expr} AS ts, user_id, event_type,"
+            " value, props"
+            f" FROM read_parquet('{path}')"
+            f" WHERE event_id < {_LIMIT} ORDER BY event_id"
+        ).fetchall()
+    except Exception:
+        return None
+    finally:
+        con.close()
+    return [Row(*r) for r in got]
 
 
 def _by_type(rows):
