@@ -113,21 +113,31 @@ class LogQLEngine:
         ]  # log query → streams
         return loki_streams(df, labels, max_rows=self.max_result_rows)
 
+    def query_instant_frame(self, q: str, ts_us: int, limit: int = 100):
+        """The DataFrame under GET /loki/api/v1/query, one step before
+        serialization: a metric query yields the one-step vector rows
+        (labels…, step_us, value); a log query the limited stream
+        window (labels…, ts_us, body)."""
+        params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
+        df = compile_logql(q, self.source, params, self._spark())
+        if "step_us" not in df.columns and limit is not None:
+            df = df.limit(limit)
+        return df
+
     def query_instant(self, q: str, ts_us: int, limit: int = 100) -> dict:
         """GET /loki/api/v1/query — instant evaluation at ``ts_us``
         (lokihandler.go:332-352: Start=End=ts; metric queries return a
         vector, log queries the limited stream window)."""
         from .api.serializers import prom_vector
 
-        params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
-        df = compile_logql(q, self.source, params, self._spark())
+        df = self.query_instant_frame(q, ts_us, limit)
         if "step_us" in df.columns:
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return prom_vector(
                 df, labels, ts_us / 1e6, max_rows=self.max_result_rows
             )
         labels = [c for c in df.columns if c not in ("ts_us", "body")]
-        return loki_streams(df.limit(limit), labels, max_rows=self.max_result_rows)
+        return loki_streams(df, labels, max_rows=self.max_result_rows)
 
     def drilldown_limits(self, volume_enabled: bool = True) -> dict:
         """GET /loki/api/v1/drilldown-limits (lokihandler.go:214-228)."""
@@ -492,13 +502,19 @@ class PromQLEngine:
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return prom_matrix(df, labels, max_rows=self.max_result_rows)
 
+    def query_instant_frame(self, q: str, ts_us: int) -> "DataFrame":
+        """The DataFrame under GET /api/v1/query, one step before
+        serialization: the one-step vector rows (labels…, step_us,
+        value) at ``ts_us`` under the engine's staleness lookback."""
+        params = PromParams(ts_us, ts_us, 1, lookback_us=self.lookback_us)
+        return compile_promql(q, self.source, params, self._spark())
+
     def query_instant(self, q: str, ts_us: int) -> dict:
         """GET /api/v1/query — instant vector at ``ts_us``
         (promhandler.go:281-326 GetQuery)."""
         from .api.serializers import prom_vector
 
-        params = PromParams(ts_us, ts_us, 1, lookback_us=self.lookback_us)
-        df = compile_promql(q, self.source, params, self._spark())
+        df = self.query_instant_frame(q, ts_us)
         labels = [c for c in df.columns if c not in ("step_us", "value")]
         return prom_vector(df, labels, ts_us / 1e6, max_rows=self.max_result_rows)
 

@@ -112,3 +112,77 @@ def promql_facade_query_range(spark, sf_dir):
         STEP_US,
     )
     return out.withColumn("value", F.round("value", 9))
+
+
+# GET /loki/api/v1/query (instant) with a metric expression:
+# sum by (service) (count_over_time({env="prod"}[12h])) evaluated at
+# END_US — one grid step, the Loki vector shape
+_IFAN = fanout_join_sql("samples", END_US, END_US, STEP_US, RANGE_US)
+
+
+@register(
+    "logql_facade_instant",
+    with_ctes(
+        LOGS_CTE,
+        "samples AS (SELECT service, ts_us FROM logs WHERE env = 'prod')",
+        body=f"""SELECT service, step_us, CAST(count(*) AS DOUBLE) AS value
+FROM {_IFAN} s GROUP BY service, step_us""",
+    ),
+)
+def logql_facade_instant(spark, sf_dir):
+    from ..engine import LogQLEngine
+    from ..logql import LogSource
+
+    eng = LogQLEngine(
+        source=LogSource(
+            df=logs_frame(spark, sf_dir),
+            label_cols={
+                "service": "service",
+                "env": "env",
+                "level": "level",
+                "value": "value",
+            },
+            body_col="body",
+            ts_col="ts_us",
+        )
+    )
+    return eng.query_instant_frame(
+        'sum by (service) (count_over_time({env="prod"}[12h]))', END_US
+    )
+
+
+# GET /api/v1/query (instant): sum by (mtype) (events_gauge) at END_US
+# with staleness lookback = the 12h range — latest sample per series
+# inside the lookback window, summed across instances
+@register(
+    "promql_facade_instant",
+    f"""WITH {COUNTERS_CTE},
+w AS (
+  SELECT mtype, instance, ts_us, gauge FROM counters
+  WHERE ts_us > {END_US - RANGE_US} AND ts_us <= {END_US}
+),
+last AS (
+  SELECT mtype, instance, arg_max(gauge, ts_us) AS v
+  FROM w GROUP BY mtype, instance
+)
+SELECT mtype, CAST({END_US} AS BIGINT) AS step_us,
+       CAST(sum(v) AS DOUBLE) AS value
+FROM last GROUP BY mtype""",
+)
+def promql_facade_instant(spark, sf_dir):
+    from ..engine import PromQLEngine
+    from ..promql import MetricSource
+
+    eng = PromQLEngine(
+        source=MetricSource(
+            df=counter_points_frame(spark, sf_dir),
+            metrics={
+                "events_value_total": "counter_mod",
+                "events_counter_total": "counter",
+                "events_gauge": "gauge",
+            },
+            label_cols=["mtype", "instance"],
+        ),
+        lookback_us=RANGE_US,
+    )
+    return eng.query_instant_frame("sum by (mtype) (events_gauge)", END_US)
