@@ -137,6 +137,7 @@ HEAVY = [
     "dedup_ngram_jaccard_capped",
     "stream_sessionize_closed",
     "chunk_cdc_dedup",
+    "ann_lsh_adaptive_pairs",
 ]
 
 # gate → driving table.  "spans" = the synthesized span forest
