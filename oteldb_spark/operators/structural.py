@@ -481,15 +481,19 @@ def stored_coords_spans(
     The memo key folds in ``spans.semanticHash()`` so two callers
     passing the same ``key`` but DIFFERENT span frames (filtered view,
     refreshed table) can never alias each other's coords (advisor
-    r10); the table itself is pid-tagged and rebuilt per process
-    (stale tables of dead processes are swept), so a stale store can't
-    leak across data regenerations."""
+    r10).  CROSS-SESSION reuse: for file-backed spans, the store is a
+    SHARED warehouse table validated by a source fingerprint (input
+    file paths + sizes + mtimes, recorded in TBLPROPERTIES) — a new
+    process whose fingerprint matches skips the DFS entirely and takes
+    the 0.44s stored route on its FIRST query; any change to the
+    underlying files invalidates the fingerprint and rebuilds.  Builds
+    are serialized by an O_EXCL lock file (stale locks of dead pids
+    are stolen); a process that cannot get the lock, or a frame with
+    no input files (in-memory test frames), falls back to a private
+    pid-tagged table, so correctness never waits on the lock."""
     spark = spans.sparkSession
-    try:
-        sem = spans.semanticHash() & 0xFFFFFFFF
-    except Exception:
-        sem = 0
-    memo_key = ("coords_store", str(key), sem)
+    plan_id = _plan_identity(spans)
+    memo_key = ("coords_store", str(key), plan_id)
     hit = _COORDS_MEMO.get(spark, memo_key)
     if hit is not None:
         return spark.table(hit)
@@ -499,20 +503,271 @@ def stored_coords_spans(
     from ..sources.bucketed import sweep_stale_tables, write_bucketed
 
     tag = re.sub(r"\W+", "_", str(key)).strip("_")[-40:]
-    prefix = f"coords_store_{tag}_{sem:08x}_p"
-    table = f"{prefix}{os.getpid()}"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    sweep_stale_tables(spark, prefix)
-    coords = trace_coords(spans, with_parent=True)
-    enriched = spans.join(coords, ["trace_id", "span_id"])
-    sort_cols = (
-        ["trace_id", "start_us"]
-        if "start_us" in spans.columns
-        else ["trace_id", "span_id"]
+    base = f"coords_store_{tag}_{plan_id}"
+    fp = _source_fingerprint(spans)
+    _sweep_dead_coords_stores(spark)
+
+    def _build(table: str) -> DataFrame:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        coords = trace_coords(spans, with_parent=True)
+        enriched = spans.join(coords, ["trace_id", "span_id"])
+        sort_cols = (
+            ["trace_id", "start_us"]
+            if "start_us" in spans.columns
+            else ["trace_id", "span_id"]
+        )
+        write_bucketed(enriched, table, ["trace_id"], sort_cols, n_buckets)
+        _COORDS_MEMO.set(spark, memo_key, table)
+        return spark.table(table)
+
+    wh = _warehouse_local_path(spark)
+    if fp is None or wh is None:
+        # no file lineage to validate against (or non-local warehouse):
+        # private per-process table, swept when the process dies
+        prefix = f"{base}_p"
+        sweep_stale_tables(spark, prefix)
+        return _build(f"{prefix}{os.getpid()}")
+
+    # cross-session shared store: an EXTERNAL bucketed table at an
+    # explicit warehouse location plus a sidecar meta file (fp +
+    # schema + bucket spec).  Sessions use in-memory catalogs, so a
+    # new process ADOPTS the existing files by re-declaring the table
+    # over the location — the bucket spec in the declaration keeps the
+    # zero-exchange joins
+    shared = f"{base}_s"
+    loc = os.path.join(wh, shared)
+    adopted = _adopt_shared_store(spark, shared, loc, fp)
+    if adopted is not None:
+        _COORDS_MEMO.set(spark, memo_key, shared)
+        return adopted
+    lock = _acquire_build_lock(spark, shared)
+    if lock is None:
+        # another live process is building the shared store right now:
+        # build privately rather than block (extra work, never wrong)
+        prefix = f"{base}_p"
+        sweep_stale_tables(spark, prefix)
+        return _build(f"{prefix}{os.getpid()}")
+    try:
+        # double-check under the lock: a process that finished the
+        # build while we were acquiring makes ours redundant
+        adopted = _adopt_shared_store(spark, shared, loc, fp)
+        if adopted is not None:
+            _COORDS_MEMO.set(spark, memo_key, shared)
+            return adopted
+        import json
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {shared}")
+        shutil.rmtree(loc, ignore_errors=True)
+        meta_path = os.path.join(wh, f".{shared}.meta.json")
+        try:
+            os.unlink(meta_path)
+        except OSError:
+            pass
+        coords = trace_coords(spans, with_parent=True)
+        enriched = spans.join(coords, ["trace_id", "span_id"])
+        sort_cols = (
+            ["trace_id", "start_us"]
+            if "start_us" in spans.columns
+            else ["trace_id", "span_id"]
+        )
+        (
+            enriched.write.bucketBy(n_buckets, "trace_id")
+            .sortBy(*sort_cols)
+            .option("path", loc)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(shared)
+        )
+        out = spark.table(shared)
+        with open(meta_path, "w") as fh:
+            json.dump(
+                {
+                    "fp": fp,
+                    "schema": out._jdf.schema().toDDL(),
+                    "sort": sort_cols,
+                    "buckets": n_buckets,
+                },
+                fh,
+            )
+        _COORDS_MEMO.set(spark, memo_key, shared)
+        return out
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _adopt_shared_store(spark, table: str, loc: str, fp: str):
+    """Return the shared coords table if its sidecar fingerprint
+    matches ``fp`` (declaring it into this session's catalog if
+    needed), else None."""
+    import json
+    import os
+
+    meta_path = os.path.join(
+        os.path.dirname(loc), f".{table}.meta.json"
     )
-    write_bucketed(enriched, table, ["trace_id"], sort_cols, n_buckets)
-    _COORDS_MEMO.set(spark, memo_key, table)
-    return spark.table(table)
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if meta.get("fp") != fp or not os.path.isdir(loc):
+        return None
+    try:
+        sort = ", ".join(meta["sort"])
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ({meta['schema']})"
+            f" USING PARQUET CLUSTERED BY (trace_id)"
+            f" SORTED BY ({sort}) INTO {meta['buckets']} BUCKETS"
+            f" LOCATION '{loc}'"
+        )
+        return spark.table(table)
+    except Exception:
+        return None
+
+
+def _plan_identity(spans: DataFrame) -> str:
+    """Session-STABLE identity of the frame's logical plan: sha256 of
+    the analyzed plan string with expression ids stripped.
+    ``semanticHash()`` is not usable here — it folds per-session
+    expression ids in, so the same code building the same frame hashes
+    differently in every process, which would defeat cross-session
+    store reuse (measured: two sessions over the same sf dir hashed
+    1106660299 vs 669576739)."""
+    import hashlib
+    import re
+
+    try:
+        if not spans.inputFiles():
+            # in-memory frames: the plan STRING doesn't carry the
+            # LocalRelation's data, so two different test frames would
+            # collide — semanticHash does fold the data in, and these
+            # frames only ever take the session-private path anyway
+            return f"m{spans.semanticHash() & 0xFFFFFFFF:08x}"
+    except Exception:
+        pass
+    try:
+        s = spans._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return "00000000"
+    s = re.sub(r"#\d+", "", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:8]
+
+
+def _sweep_dead_coords_stores(spark) -> None:
+    """Drop pid-tagged coords-store tables whose owning process is
+    dead — the hash segment varies per plan, so the generic
+    ``sweep_stale_tables`` prefix walk can't cover them."""
+    import os
+    import re
+    import shutil
+
+    path = _warehouse_local_path(spark)
+    if path is None or not os.path.isdir(path):
+        return
+    pat = re.compile(r"^coords_store_.*_p(\d+)$")
+    for entry in os.listdir(path):
+        m = pat.match(entry)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+            continue
+        except ProcessLookupError:
+            pass
+        except PermissionError:
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {entry}")
+        shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+
+def _source_fingerprint(spans: DataFrame) -> "str | None":
+    """Identity of the frame's underlying FILES: sha256 over sorted
+    (path, size, mtime).  None when the plan has no file lineage
+    (in-memory frames) — cross-session reuse is then impossible to
+    validate and is not attempted."""
+    import hashlib
+    import os
+
+    try:
+        files = spans.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.sha256()
+    for f in sorted(files):
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            h.update(f"{f}|{st.st_size}|{int(st.st_mtime)}".encode())
+        except OSError:
+            h.update(f"{f}|gone".encode())
+    return h.hexdigest()[:24]
+
+
+def _table_fingerprint(spark, table: str) -> "str | None":
+    """graft_source_fp table property, or None if the table (or the
+    property) is absent."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    except Exception:
+        return None
+    for r in rows:
+        if r[0] == "graft_source_fp":
+            return r[1]
+    return None
+
+
+def _warehouse_local_path(spark) -> "str | None":
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for pfx in ("file://", "file:"):
+        if wh.startswith(pfx):
+            return wh[len(pfx):]
+    if "://" not in wh:
+        return wh
+    return None
+
+
+def _acquire_build_lock(spark, table: str) -> "str | None":
+    """O_EXCL lock file next to the warehouse; returns the lock path
+    on success, None if another LIVE process holds it (dead owners'
+    locks are stolen).  Non-local warehouses get no lock (single
+    writer assumed there)."""
+    import os
+
+    path = _warehouse_local_path(spark)
+    if path is None:
+        return None
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, f".{table}.lock")
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    owner = int(fh.read().strip() or "0")
+                os.kill(owner, 0)
+                return None  # owner alive: do not wait
+            except (ProcessLookupError, ValueError):
+                try:
+                    os.unlink(lock)  # stale lock of a dead pid
+                except OSError:
+                    pass
+                continue
+            except PermissionError:
+                return None
+    return None
 
 
 def descendants_nested(

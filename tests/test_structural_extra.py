@@ -331,9 +331,11 @@ def test_stored_coords_promotion(spark):
     }
     assert got_b == {(7, 3)}
     # hygiene: drop the per-process tables this test created
+    from oteldb_spark.operators.structural import _plan_identity
+
     for spans_df in (spans, spans_b):
-        sem = spans_df.semanticHash() & 0xFFFFFFFF
-        _COORDS_MEMO.set(spark, ("coords_store", key, sem), None)
+        pid_key = _plan_identity(spans_df)
+        _COORDS_MEMO.set(spark, ("coords_store", key, pid_key), None)
     import os
 
     for t in spark.catalog.listTables():
