@@ -22,6 +22,14 @@ from .registry import register
 # is bits-per-band, and recall is bought back with more bands, never
 # with fewer bits.  All three are parameters (the round-1 version
 # hardcoded a single 8-bit table).
+#
+# FIXED-PRECISION CONTRACT (SCALING_r11 allowlist entry): with the
+# plane count held constant, bucket occupancy grows with N and
+# within-bucket candidates grow ~N²/2^bits per band — the ×64
+# confirmation pass measured exp 1.91, textbook fixed-precision LSH.
+# The certified scale path is queries/adaptive_lsh.py
+# (ann_lsh_adaptive_pairs): bits-per-band steps with corpus size,
+# measured flat (exp 0.41) on the same artifact.
 N_PLANES = 24
 N_BANDS = 2
 DIM = 64

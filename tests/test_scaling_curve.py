@@ -32,7 +32,24 @@ def _latest_artifact():
 def test_flagged_set_is_exactly_the_allowlist():
     doc = _latest_artifact()
     assert not doc.get("partial"), "committed artifact must be a full run"
-    assert doc["flagged"] == sorted(doc["allowlist"]) == ["ann_near_dup_pairs"]
+    # r11: fixed-plane sign-LSH joined the allowlist — bucket
+    # occupancy grows with N at a fixed plane count (×64 confirmation
+    # exp 1.91), the documented fixed-precision contract; its
+    # scale-safe sibling is certified flat below
+    assert (
+        doc["flagged"]
+        == sorted(doc["allowlist"])
+        == ["ann_lsh_pairs", "ann_near_dup_pairs"]
+    )
+
+
+def test_adaptive_lsh_sibling_not_flagged():
+    """The certified replacement for the fixed-plane LSH tier: the
+    count-adaptive banding must measure sub-linear-to-linear on the
+    same artifact that flags its fixed sibling."""
+    doc = _latest_artifact()
+    g = doc["gates"].get("ann_lsh_adaptive_pairs")
+    assert g is not None and g["flagged"] is False
 
 
 def test_positive_control_really_superlinear():

@@ -184,8 +184,14 @@ NOISE_S = 0.1  # run-to-run warm-time noise floor used by the flag's
 
 # documented super-linear gates — the brute-force all-pairs cosine
 # baseline is the built-in ARCHITECTURAL positive control (O(n²·D) by
-# construction; its scale-path replacements are the LSH/IVF gates)
-ALLOWED_SUPERLINEAR = ["ann_near_dup_pairs"]
+# construction; its scale-path replacements are the LSH/IVF gates).
+# ann_lsh_pairs joined the list in r11: sign-LSH with a FIXED plane
+# count saturates its buckets as N grows (within-bucket candidates
+# ~N²/2^bits per band — ×64 confirmation pass measured exp 1.91), the
+# textbook behavior of fixed-precision LSH; its certified scale-safe
+# sibling is ann_lsh_adaptive_pairs, which steps bits-per-band with
+# corpus size (measured flat, exp 0.41, in the same artifact)
+ALLOWED_SUPERLINEAR = ["ann_lsh_pairs", "ann_near_dup_pairs"]
 # quadratic BY CONTRACT but value-coupled: grows quadratically only on
 # corpora where unrelated documents share grams, which the
 # vocab-disjoint synthesis deliberately does not manufacture — kept as
