@@ -62,6 +62,24 @@ class LogQLEngine:
         rows :func:`loki_matrix` folds into series; log queries yield
         (labels…, ts_us, body) — the rows :func:`loki_streams` folds
         into streams."""
+        df, _ = self._query_range_classified(
+            q, start_us, end_us, step_us, limit, now_us
+        )
+        return df
+
+    def _query_range_classified(
+        self,
+        q: str,
+        start_us: int,
+        end_us: int,
+        step_us: int,
+        limit: int | None = None,
+        now_us: int | None = None,
+    ):
+        """``(frame, is_metric)`` — the classification comes from the
+        parsed AST, not from sniffing the output columns, so a log
+        stream whose labels include one literally named ``step_us``
+        can never be mis-serialized as a matrix (advisor r11)."""
         # classify metric-vs-log from the parsed AST (a LogQuery root
         # is a log listing; anything else is a metric expression) so
         # the cache path compiles exactly once per computed range —
@@ -93,7 +111,7 @@ class LogQLEngine:
             df = compile_logql(expr, self.source, params, self._spark())
         if not is_metric and limit is not None:
             df = df.limit(limit)
-        return df
+        return df, is_metric
 
     def query_range(
         self,
@@ -104,8 +122,10 @@ class LogQLEngine:
         limit: int | None = None,
         now_us: int | None = None,
     ) -> dict:
-        df = self.query_range_frame(q, start_us, end_us, step_us, limit, now_us)
-        if "step_us" in df.columns:  # metric query → matrix
+        df, is_metric = self._query_range_classified(
+            q, start_us, end_us, step_us, limit, now_us
+        )
+        if is_metric:  # metric query → matrix
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return loki_matrix(df, labels, max_rows=self.max_result_rows)
         labels = [
@@ -118,11 +138,22 @@ class LogQLEngine:
         serialization: a metric query yields the one-step vector rows
         (labels…, step_us, value); a log query the limited stream
         window (labels…, ts_us, body)."""
-        params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
-        df = compile_logql(q, self.source, params, self._spark())
-        if "step_us" not in df.columns and limit is not None:
-            df = df.limit(limit)
+        df, _ = self._query_instant_classified(q, ts_us, limit)
         return df
+
+    def _query_instant_classified(self, q: str, ts_us: int, limit: int = 100):
+        """``(frame, is_metric)`` with AST-derived classification, like
+        :meth:`_query_range_classified`."""
+        from .logql.ast import LogQuery
+        from .logql.parser import parse as parse_logql
+
+        expr = parse_logql(q) if isinstance(q, str) else q
+        is_metric = not isinstance(expr, LogQuery)
+        params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
+        df = compile_logql(expr, self.source, params, self._spark())
+        if not is_metric and limit is not None:
+            df = df.limit(limit)
+        return df, is_metric
 
     def query_instant(self, q: str, ts_us: int, limit: int = 100) -> dict:
         """GET /loki/api/v1/query — instant evaluation at ``ts_us``
@@ -130,8 +161,8 @@ class LogQLEngine:
         vector, log queries the limited stream window)."""
         from .api.serializers import prom_vector
 
-        df = self.query_instant_frame(q, ts_us, limit)
-        if "step_us" in df.columns:
+        df, is_metric = self._query_instant_classified(q, ts_us, limit)
+        if is_metric:
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return prom_vector(
                 df, labels, ts_us / 1e6, max_rows=self.max_result_rows

@@ -483,14 +483,24 @@ def stored_coords_spans(
     refreshed table) can never alias each other's coords (advisor
     r10).  CROSS-SESSION reuse: for file-backed spans, the store is a
     SHARED warehouse table validated by a source fingerprint (input
-    file paths + sizes + mtimes, recorded in TBLPROPERTIES) — a new
-    process whose fingerprint matches skips the DFS entirely and takes
-    the 0.44s stored route on its FIRST query; any change to the
-    underlying files invalidates the fingerprint and rebuilds.  Builds
+    file paths + sizes + mtime_ns, recorded in a sidecar
+    ``.{table}.meta.json`` next to the warehouse dir) — a new process
+    whose fingerprint matches skips the DFS entirely and takes the
+    0.44s stored route on its FIRST query; any change to the
+    underlying files invalidates the fingerprint and rebuilds.
+
+    Rebuilds never delete in place (advisor r11): each build writes a
+    fresh VERSIONED subdirectory ``{store}/{token}`` and atomically
+    swaps the sidecar meta pointer (``os.replace``), so a live session
+    mid-query over the previous version keeps its files — only
+    versions older than the immediate predecessor are pruned.  Builds
     are serialized by an O_EXCL lock file (stale locks of dead pids
-    are stolen); a process that cannot get the lock, or a frame with
-    no input files (in-memory test frames), falls back to a private
-    pid-tagged table, so correctness never waits on the lock."""
+    are stolen via an atomic rename-aside, so two stealers can't
+    leap-frog each other); a process that cannot get the lock, or a
+    frame with no input files (in-memory test frames), falls back to a
+    private pid-tagged table, so correctness never waits on the lock —
+    and because builds are versioned, even a double-build is benign
+    (last pointer swap wins, loser's version is pruned next build)."""
     spark = spans.sparkSession
     plan_id = _plan_identity(spans)
     memo_key = ("coords_store", str(key), plan_id)
@@ -528,17 +538,18 @@ def stored_coords_spans(
         sweep_stale_tables(spark, prefix)
         return _build(f"{prefix}{os.getpid()}")
 
-    # cross-session shared store: an EXTERNAL bucketed table at an
-    # explicit warehouse location plus a sidecar meta file (fp +
-    # schema + bucket spec).  Sessions use in-memory catalogs, so a
-    # new process ADOPTS the existing files by re-declaring the table
-    # over the location — the bucket spec in the declaration keeps the
-    # zero-exchange joins
+    # cross-session shared store: an EXTERNAL bucketed table at a
+    # VERSIONED warehouse location ({store}/{token}) plus a sidecar
+    # meta file (fp + schema + bucket spec + active version).
+    # Sessions use in-memory catalogs, so a new process ADOPTS the
+    # existing files by re-declaring the table over the location — the
+    # bucket spec in the declaration keeps the zero-exchange joins.
+    # The catalog name embeds the version token, so a declaration can
+    # never point at a different version's files.
     shared = f"{base}_s"
-    loc = os.path.join(wh, shared)
-    adopted = _adopt_shared_store(spark, shared, loc, fp)
+    adopted, atable = _adopt_shared_store(spark, shared, wh, fp)
     if adopted is not None:
-        _COORDS_MEMO.set(spark, memo_key, shared)
+        _COORDS_MEMO.set(spark, memo_key, atable)
         return adopted
     lock = _acquire_build_lock(spark, shared)
     if lock is None:
@@ -550,47 +561,14 @@ def stored_coords_spans(
     try:
         # double-check under the lock: a process that finished the
         # build while we were acquiring makes ours redundant
-        adopted = _adopt_shared_store(spark, shared, loc, fp)
+        adopted, atable = _adopt_shared_store(spark, shared, wh, fp)
         if adopted is not None:
-            _COORDS_MEMO.set(spark, memo_key, shared)
+            _COORDS_MEMO.set(spark, memo_key, atable)
             return adopted
-        import json
-        import shutil
-
-        spark.sql(f"DROP TABLE IF EXISTS {shared}")
-        shutil.rmtree(loc, ignore_errors=True)
-        meta_path = os.path.join(wh, f".{shared}.meta.json")
-        try:
-            os.unlink(meta_path)
-        except OSError:
-            pass
-        coords = trace_coords(spans, with_parent=True)
-        enriched = spans.join(coords, ["trace_id", "span_id"])
-        sort_cols = (
-            ["trace_id", "start_us"]
-            if "start_us" in spans.columns
-            else ["trace_id", "span_id"]
+        out, btable = _build_shared_version(
+            spark, spans, shared, wh, fp, n_buckets
         )
-        (
-            enriched.write.bucketBy(n_buckets, "trace_id")
-            .sortBy(*sort_cols)
-            .option("path", loc)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(shared)
-        )
-        out = spark.table(shared)
-        with open(meta_path, "w") as fh:
-            json.dump(
-                {
-                    "fp": fp,
-                    "schema": out._jdf.schema().toDDL(),
-                    "sort": sort_cols,
-                    "buckets": n_buckets,
-                },
-                fh,
-            )
-        _COORDS_MEMO.set(spark, memo_key, shared)
+        _COORDS_MEMO.set(spark, memo_key, btable)
         return out
     finally:
         try:
@@ -599,23 +577,99 @@ def stored_coords_spans(
             pass
 
 
-def _adopt_shared_store(spark, table: str, loc: str, fp: str):
-    """Return the shared coords table if its sidecar fingerprint
-    matches ``fp`` (declaring it into this session's catalog if
-    needed), else None."""
+def _build_shared_version(spark, spans, shared, wh, fp, n_buckets):
+    """Write one immutable VERSION of the shared coords store
+    (``{wh}/{shared}/{token}``), atomically swap the sidecar meta
+    pointer to it, and prune versions older than the immediate
+    predecessor.  Never deletes the currently-pointed-at files in
+    place (advisor r11): a live session that adopted the previous
+    version keeps reading it; only the version BEFORE that is removed,
+    so staleness exposure is bounded at one rebuild generation."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    table = f"{shared}_{token}"
+    loc = os.path.join(wh, shared, token)
+    meta_path = os.path.join(wh, f".{shared}.meta.json")
+    prev_token = None
+    try:
+        with open(meta_path) as fh:
+            prev_token = json.load(fh).get("version")
+    except (OSError, ValueError):
+        pass
+    coords = trace_coords(spans, with_parent=True)
+    enriched = spans.join(coords, ["trace_id", "span_id"])
+    sort_cols = (
+        ["trace_id", "start_us"]
+        if "start_us" in spans.columns
+        else ["trace_id", "span_id"]
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        enriched.write.bucketBy(n_buckets, "trace_id")
+        .sortBy(*sort_cols)
+        .option("path", loc)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    out = spark.table(table)
+    tmp = f"{meta_path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "fp": fp,
+                "version": token,
+                "schema": out._jdf.schema().toDDL(),
+                "sort": sort_cols,
+                "buckets": n_buckets,
+            },
+            fh,
+        )
+    os.replace(tmp, meta_path)  # the atomic pointer swap
+    root = os.path.join(wh, shared)
+    keep = {token, prev_token}
+    try:
+        for entry in os.listdir(root):
+            if entry in keep:
+                continue
+            victim = os.path.join(root, entry)
+            if os.path.isdir(victim):
+                shutil.rmtree(victim, ignore_errors=True)
+            else:  # pre-versioning flat layout left files at the root
+                try:
+                    os.unlink(victim)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return out, table
+
+
+def _adopt_shared_store(spark, shared: str, wh: str, fp: str):
+    """Return ``(frame, catalog_table)`` for the shared coords store's
+    ACTIVE version if the sidecar fingerprint matches ``fp``
+    (declaring the version-named table into this session's catalog if
+    needed), else ``(None, None)``."""
     import json
     import os
 
-    meta_path = os.path.join(
-        os.path.dirname(loc), f".{table}.meta.json"
-    )
+    meta_path = os.path.join(wh, f".{shared}.meta.json")
     try:
         with open(meta_path) as fh:
             meta = json.load(fh)
     except (OSError, ValueError):
-        return None
-    if meta.get("fp") != fp or not os.path.isdir(loc):
-        return None
+        return None, None
+    token = meta.get("version")
+    if meta.get("fp") != fp or not token:
+        return None, None
+    loc = os.path.join(wh, shared, token)
+    if not os.path.isdir(loc):
+        return None, None
+    table = f"{shared}_{token}"
     try:
         sort = ", ".join(meta["sort"])
         spark.sql(
@@ -624,9 +678,9 @@ def _adopt_shared_store(spark, table: str, loc: str, fp: str):
             f" SORTED BY ({sort}) INTO {meta['buckets']} BUCKETS"
             f" LOCATION '{loc}'"
         )
-        return spark.table(table)
+        return spark.table(table), table
     except Exception:
-        return None
+        return None, None
 
 
 def _plan_identity(spans: DataFrame) -> str:
@@ -706,23 +760,12 @@ def _source_fingerprint(spans: DataFrame) -> "str | None":
         p = f[5:] if f.startswith("file:") else f
         try:
             st = os.stat(p)
-            h.update(f"{f}|{st.st_size}|{int(st.st_mtime)}".encode())
+            # mtime_ns, not whole seconds: a same-size rewrite within
+            # one second must invalidate the fingerprint (advisor r11)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
         except OSError:
             h.update(f"{f}|gone".encode())
     return h.hexdigest()[:24]
-
-
-def _table_fingerprint(spark, table: str) -> "str | None":
-    """graft_source_fp table property, or None if the table (or the
-    property) is absent."""
-    try:
-        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-    except Exception:
-        return None
-    for r in rows:
-        if r[0] == "graft_source_fp":
-            return r[1]
-    return None
 
 
 def _warehouse_local_path(spark) -> "str | None":
@@ -737,9 +780,15 @@ def _warehouse_local_path(spark) -> "str | None":
 
 def _acquire_build_lock(spark, table: str) -> "str | None":
     """O_EXCL lock file next to the warehouse; returns the lock path
-    on success, None if another LIVE process holds it (dead owners'
-    locks are stolen).  Non-local warehouses get no lock (single
-    writer assumed there)."""
+    on success, None if another LIVE process holds it.  Dead owners'
+    locks are stolen via an atomic RENAME-aside (advisor r11): two
+    stealers both unlinking would let the second one unlink the FIRST
+    stealer's freshly-created lock; ``os.rename`` of the same source
+    succeeds for at most one process, so exactly one stealer clears
+    the path and everyone re-races the O_EXCL create.  Non-local
+    warehouses get no lock (single writer assumed there); a missed
+    exclusion is benign anyway — builds are versioned and the last
+    meta swap wins."""
     import os
 
     path = _warehouse_local_path(spark)
@@ -747,7 +796,7 @@ def _acquire_build_lock(spark, table: str) -> "str | None":
         return None
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, f".{table}.lock")
-    for _ in range(2):
+    for _ in range(3):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
@@ -757,16 +806,50 @@ def _acquire_build_lock(spark, table: str) -> "str | None":
             try:
                 with open(lock) as fh:
                     owner = int(fh.read().strip() or "0")
-                os.kill(owner, 0)
-                return None  # owner alive: do not wait
-            except (ProcessLookupError, ValueError):
+            except OSError:
+                continue  # mid-steal by another process: re-race
+            except ValueError:
+                owner = 0
+            if owner:
                 try:
-                    os.unlink(lock)  # stale lock of a dead pid
-                except OSError:
+                    os.kill(owner, 0)
+                    return None  # owner alive: do not wait
+                except ProcessLookupError:
                     pass
-                continue
-            except PermissionError:
-                return None
+                except PermissionError:
+                    return None
+            steal = f"{lock}.steal.{os.getpid()}"
+            try:
+                os.rename(lock, steal)
+            except OSError:
+                continue  # another stealer won: re-race the create
+            # the lock could have changed hands between our read and
+            # the rename — re-verify the renamed file's owner; if a
+            # LIVE process now owns it, put it back and report held
+            try:
+                with open(steal) as fh:
+                    owner2 = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                owner2 = 0
+            if owner2 and owner2 != owner:
+                alive = True
+                try:
+                    os.kill(owner2, 0)
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    pass
+                if alive:
+                    try:
+                        os.rename(steal, lock)
+                    except OSError:
+                        pass
+                    return None
+            try:
+                os.unlink(steal)
+            except OSError:
+                pass
+    return None
     return None
 
 

@@ -143,7 +143,15 @@ def _prepare_batch(batch_df, batch_id: int, table: str, marker_dir: str):
         # when ids restart at 0 (advisor r10), so wipe them BEFORE the
         # replay check
         shutil.rmtree(marker_dir, ignore_errors=True)
-        _RUN_STATE[table] = _new_run_state(spark)
+        st = _new_run_state(spark)
+        # feed THIS batch's ids too: a >tombstone-expiry re-delivery of
+        # a first-batch trace must hit the Bloom like any other store
+        # resident, or it takes the pure-append path and duplicates the
+        # (trace_id, span_id) key (advisor r11, high)
+        if st["bloom"] is not None:
+            for (tid,) in batch_df.select("trace_id").distinct().collect():
+                st["bloom"].putLong(tid)
+        _RUN_STATE[table] = st
         return batch_df, "overwrite"
     marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
     if os.path.exists(marker):

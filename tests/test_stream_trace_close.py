@@ -381,6 +381,43 @@ def test_merge_coords_batch_idempotency(spark, tmp_path):
     _RUN_STATE.pop(table, None)
 
 
+def test_first_batch_traces_feed_bloom(spark, tmp_path):
+    """advisor r11 (high): the table-CREATING batch must feed its own
+    trace ids into the fresh Bloom.  Without that, a post-expiry
+    re-delivery of a first-batch trace — with NO restart in between,
+    so the Bloom is never re-seeded from the store — misses the Bloom,
+    takes the pure-append path, and duplicates the (trace_id, span_id)
+    key.  (The idempotency test above pops _RUN_STATE before its dup
+    batch, which re-seeds from the store and masked this.)"""
+    from oteldb_spark.queries.stream_coords import (
+        _RUN_STATE,
+        _prepare_batch,
+        merge_coords_batch,
+    )
+
+    table = "coords_firstbatch_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _RUN_STATE.pop(table, None)
+    markers = str(tmp_path / "markers")
+    schema = (
+        "trace_id long, span_id long, ns_left long, ns_right long,"
+        " ns_parent long"
+    )
+    merge_coords_batch(
+        spark.createDataFrame([(1, 1, 1, 2, -1)], schema), 0, table, markers
+    )
+    # same process, no restart: batch 5 re-delivers trace 1's span
+    dup = spark.createDataFrame([(1, 1, 3, 4, -1)], schema)
+    frame, mode = _prepare_batch(dup, 5, table, markers)
+    assert mode == "append-dedup"
+    merge_coords_batch(dup, 5, table, markers)
+    got = spark.table(table)
+    assert got.count() == 1
+    assert got.filter("trace_id = 1 AND ns_left = 1").count() == 1
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _RUN_STATE.pop(table, None)
+
+
 def test_reopen_never_reemits(spark, tmp_path):
     """advisor r10 (medium): an at-least-once source re-delivering an
     already-emitted span more than a gap late RE-OPENS the trace — the

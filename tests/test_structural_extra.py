@@ -267,6 +267,142 @@ def test_routes_documented_cycle_semantics(spark):
     assert frontier == {1, 2, 3}
 
 
+def test_shared_store_versioned_rebuild(spark, tmp_path):
+    """advisor r11 (medium): rebuilding the shared coords store must
+    not delete the adopted files in place.  Each build lands in a
+    versioned subdirectory; the sidecar meta pointer swaps atomically;
+    the immediate predecessor's files SURVIVE the rebuild (a live
+    session may be mid-query over them) and only older generations are
+    pruned.  Also covers the mtime_ns fingerprint (advisor r11 low): a
+    same-size rewrite must invalidate."""
+    import json
+    import os
+    import time
+
+    from oteldb_spark.operators.structural import (
+        _COORDS_MEMO,
+        _warehouse_local_path,
+        stored_coords_spans,
+    )
+
+    src = str(tmp_path / "spans.parquet")
+    rows = [(1, 1, None), (1, 2, 1), (1, 3, 2), (1, 4, 1)]
+
+    def write_src():
+        spark.createDataFrame(
+            rows, "trace_id long, span_id long, parent_span_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def build():
+        spans = spark.read.parquet(src)
+        out = stored_coords_spans(spans, "vrebuild-test")
+        # memo hits would mask the rebuild path: clear between builds
+        from oteldb_spark.operators.structural import _plan_identity
+
+        _COORDS_MEMO.set(
+            spark,
+            ("coords_store", "vrebuild-test", _plan_identity(spans)),
+            None,
+        )
+        return out
+
+    write_src()
+    wh = _warehouse_local_path(spark)
+    assert wh is not None
+    out1 = build()
+    assert {"ns_left", "ns_right", "ns_parent"} <= set(out1.columns)
+    metas = [
+        f
+        for f in os.listdir(wh)
+        if f.startswith(".coords_store_vrebuild_test") and f.endswith(
+            ".meta.json"
+        )
+    ]
+    assert len(metas) == 1
+    meta_path = os.path.join(wh, metas[0])
+    with open(meta_path) as fh:
+        v1 = json.load(fh)["version"]
+    root = meta_path[len(os.path.join(wh, ".")):][: -len(".meta.json")]
+    root = os.path.join(wh, root)
+    assert os.path.isdir(os.path.join(root, v1))
+
+    # same-size rewrite within (possibly) the same second: mtime_ns
+    # must flip the fingerprint and force a rebuild
+    time.sleep(0.01)
+    write_src()
+    out2 = build()
+    with open(meta_path) as fh:
+        v2 = json.load(fh)["version"]
+    assert v2 != v1
+    # predecessor survives the swap; new version is live
+    assert os.path.isdir(os.path.join(root, v1))
+    assert os.path.isdir(os.path.join(root, v2))
+    assert out2.count() == 4
+
+    # third build prunes the oldest generation, keeps v2 + v3
+    time.sleep(0.01)
+    write_src()
+    build()
+    with open(meta_path) as fh:
+        v3 = json.load(fh)["version"]
+    assert not os.path.isdir(os.path.join(root, v1))
+    assert os.path.isdir(os.path.join(root, v2))
+    assert os.path.isdir(os.path.join(root, v3))
+
+    # unchanged source: a fresh (memo-cleared) call ADOPTS v3, no new
+    # version
+    out4 = build()
+    with open(meta_path) as fh:
+        assert json.load(fh)["version"] == v3
+    assert out4.count() == 4
+
+    # hygiene
+    import shutil
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("coords_store_vrebuild_test"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.unlink(meta_path)
+
+
+def test_build_lock_steal_is_atomic(spark, tmp_path):
+    """advisor r11 (medium): the stale-lock steal renames the lock
+    aside before removing it, so a second stealer can never unlink the
+    first stealer's fresh lock.  Simulate the exact interleaving: a
+    dead-pid lock, one acquirer steals and creates; a racer whose
+    rename loses must NOT end up holding the lock too."""
+    import os
+
+    from oteldb_spark.operators.structural import _acquire_build_lock
+
+    wh_lock = None
+    # a lock owned by a pid that cannot be alive (kernel pid_max
+    # default 4M; use a pid from a freshly-spawned-and-exited child to
+    # be robust)
+    import subprocess
+
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead_pid = child.pid
+    from oteldb_spark.operators.structural import _warehouse_local_path
+
+    wh = _warehouse_local_path(spark)
+    lock = os.path.join(wh, ".locksteal_test.lock")
+    with open(lock, "w") as fh:
+        fh.write(str(dead_pid))
+    got = _acquire_build_lock(spark, "locksteal_test")
+    assert got == lock and os.path.exists(lock)
+    with open(lock) as fh:
+        assert int(fh.read()) == os.getpid()
+    # second acquirer sees a LIVE owner (us): must refuse, not steal
+    assert _acquire_build_lock(spark, "locksteal_test") is None
+    with open(lock) as fh:
+        assert int(fh.read()) == os.getpid()
+    os.unlink(lock)
+    assert wh_lock is None
+
+
 def test_stored_coords_promotion(spark):
     """coords_key self-promotes the table into the bucketed coords
     store: the first structural query writes spans+coords once, later
