@@ -203,7 +203,7 @@ def main() -> None:
     oe2e = measure_otlp_e2e(spark, n_copies=4)
     print(
         f"# otlp_e2e_points_per_sec: {oe2e['value']} "
-        f"({oe2e['points']} pts, {oe2e['seconds']}s)",
+        f"({oe2e['points']} pts, best-of {oe2e['seconds_rounds']}s)",
         file=sys.stderr,
     )
 

@@ -32,6 +32,27 @@ from .promql import MetricSource, PromParams, compile_promql
 from .traceql import SpanSource, compile_traceql
 
 
+def _direction_limit(df, direction: str, limit: "int | None"):
+    """Loki log-listing direction + limit (lokihandler/params.go:58-67
+    — backward is the HTTP default; engine_plan.go:28-36): keep the
+    newest (backward) or oldest (forward) ``limit`` entries.  With a
+    limit, ``orderBy().limit(n)`` compiles to TakeOrderedAndProject —
+    per-partition top-n then a driver merge, no global sort shuffle —
+    so the plan scales with partition count, not data size.  Without a
+    limit the direction changes only presentation order, which the
+    serializer re-establishes per stream, so no sort is planned at
+    all."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"invalid direction {direction!r}")
+    if limit is None:
+        return df
+    from pyspark.sql import functions as F
+
+    ts = F.col("ts_us")
+    order = ts.desc() if direction == "backward" else ts.asc()
+    return df.orderBy(order).limit(limit)
+
+
 @dataclass
 class LogQLEngine:
     source: LogSource
@@ -42,6 +63,10 @@ class LogQLEngine:
     # optional StepResultCache, consulted for METRIC queries only —
     # log listings are point lookups the reference never caches either
     result_cache: "object | None" = None
+    # instant LOG queries evaluate a lookback window ending at ts —
+    # the reference's LookbackDuration option, default -30s
+    # (logqlengine/engine.go:35-58, engine_log_query.go:46-49)
+    instant_log_lookback_us: int = 30_000_000
 
     def _spark(self):
         return self.spark or self.source.df.sparkSession
@@ -54,16 +79,20 @@ class LogQLEngine:
         step_us: int,
         limit: int | None = None,
         now_us: int | None = None,
+        direction: str = "backward",
     ):
         """The DataFrame under GET /loki/api/v1/query_range, one step
         before serialization (the ``search_frame`` analog for Loki):
         parse → metric/log classification → (cached) compile →
-        limit.  Metric queries yield (labels…, step_us, value) — the
-        rows :func:`loki_matrix` folds into series; log queries yield
-        (labels…, ts_us, body) — the rows :func:`loki_streams` folds
-        into streams."""
+        direction + limit.  Metric queries yield (labels…, step_us,
+        value) — the rows :func:`loki_matrix` folds into series; log
+        queries yield (labels…, ts_us, body) — the rows
+        :func:`loki_streams` folds into streams.  ``direction``
+        (backward default, like the HTTP layer —
+        lokihandler/params.go:58-67) picks WHICH ``limit`` entries
+        survive: newest-first or oldest-first."""
         df, _ = self._query_range_classified(
-            q, start_us, end_us, step_us, limit, now_us
+            q, start_us, end_us, step_us, limit, now_us, direction
         )
         return df
 
@@ -75,6 +104,7 @@ class LogQLEngine:
         step_us: int,
         limit: int | None = None,
         now_us: int | None = None,
+        direction: str = "backward",
     ):
         """``(frame, is_metric)`` — the classification comes from the
         parsed AST, not from sniffing the output columns, so a log
@@ -109,8 +139,8 @@ class LogQLEngine:
             )
         else:
             df = compile_logql(expr, self.source, params, self._spark())
-        if not is_metric and limit is not None:
-            df = df.limit(limit)
+        if not is_metric:
+            df = _direction_limit(df, direction, limit)
         return df, is_metric
 
     def query_range(
@@ -121,9 +151,10 @@ class LogQLEngine:
         step_us: int,
         limit: int | None = None,
         now_us: int | None = None,
+        direction: str = "backward",
     ) -> dict:
         df, is_metric = self._query_range_classified(
-            q, start_us, end_us, step_us, limit, now_us
+            q, start_us, end_us, step_us, limit, now_us, direction
         )
         if is_metric:  # metric query → matrix
             labels = [c for c in df.columns if c not in ("step_us", "value")]
@@ -133,35 +164,65 @@ class LogQLEngine:
         ]  # log query → streams
         return loki_streams(df, labels, max_rows=self.max_result_rows)
 
-    def query_instant_frame(self, q: str, ts_us: int, limit: int = 100):
+    def query_instant_frame(
+        self,
+        q: str,
+        ts_us: int,
+        limit: int = 100,
+        direction: str = "backward",
+    ):
         """The DataFrame under GET /loki/api/v1/query, one step before
         serialization: a metric query yields the one-step vector rows
         (labels…, step_us, value); a log query the limited stream
         window (labels…, ts_us, body)."""
-        df, _ = self._query_instant_classified(q, ts_us, limit)
+        df, _ = self._query_instant_classified(q, ts_us, limit, direction)
         return df
 
-    def _query_instant_classified(self, q: str, ts_us: int, limit: int = 100):
+    def _query_instant_classified(
+        self,
+        q: str,
+        ts_us: int,
+        limit: int = 100,
+        direction: str = "backward",
+    ):
         """``(frame, is_metric)`` with AST-derived classification, like
-        :meth:`_query_range_classified`."""
+        :meth:`_query_range_classified`.  A LOG query evaluates the
+        lookback window ending at ``ts_us`` — the reference rewrites
+        Start to ``ts + LookbackDuration`` (a NEGATIVE duration,
+        default -30s) before eval (engine_log_query.go:46-49); here the
+        equivalent ``[ts − instant_log_lookback_us, ts)`` window, with
+        the same end-exclusive convention as the range contract."""
         from .logql.ast import LogQuery
         from .logql.parser import parse as parse_logql
 
         expr = parse_logql(q) if isinstance(q, str) else q
         is_metric = not isinstance(expr, LogQuery)
-        params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
+        if is_metric:
+            params = EvalParams(ts_us, ts_us, 1)  # one grid step at ts
+        else:
+            params = EvalParams(
+                ts_us - self.instant_log_lookback_us, ts_us, 1
+            )
         df = compile_logql(expr, self.source, params, self._spark())
-        if not is_metric and limit is not None:
-            df = df.limit(limit)
+        if not is_metric:
+            df = _direction_limit(df, direction, limit)
         return df, is_metric
 
-    def query_instant(self, q: str, ts_us: int, limit: int = 100) -> dict:
+    def query_instant(
+        self,
+        q: str,
+        ts_us: int,
+        limit: int = 100,
+        direction: str = "backward",
+    ) -> dict:
         """GET /loki/api/v1/query — instant evaluation at ``ts_us``
-        (lokihandler.go:332-352: Start=End=ts; metric queries return a
-        vector, log queries the limited stream window)."""
+        (lokihandler.go:331-357: Start=End=ts; metric queries return a
+        vector, log queries the lookback-window stream listing)."""
         from .api.serializers import prom_vector
 
-        df, is_metric = self._query_instant_classified(q, ts_us, limit)
+        df, is_metric = self._query_instant_classified(
+            q, ts_us, limit, direction
+        )
         if is_metric:
             labels = [c for c in df.columns if c not in ("step_us", "value")]
             return prom_vector(

@@ -87,6 +87,7 @@ from . import stream_coords  # noqa: F401
 from . import roundtrip_gates  # noqa: F401
 from . import facade_gates  # noqa: F401
 from . import adaptive_lsh  # noqa: F401
+from . import facade_log_gates  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -58,6 +58,37 @@ def test_trainer_matches_python_reference(spark):
     assert got == want
 
 
+def test_multi_merge_batching_matches_sequential_fuzz(spark):
+    """The multi-merge batch rule (r12: one pair-count collect can
+    commit several merges) claims exact sequential equivalence — the
+    disjoint-prefix + strict-count-cut argument in
+    pipeline5._select_merge_batch.  Fuzz it: random skewed corpora
+    (shared word stems force conflicting, chained merges; the skew
+    forces ties) must yield the identical merge table to the pure
+    sequential Python trainer, including tie-breaks."""
+    import random
+
+    rng = random.Random(7)
+    stems = ["ta", "er", "in", "st", "ow", "the", "re", "an"]
+    for trial in range(6):
+        vocab = [
+            rng.choice(stems) + rng.choice(["ble", "ner", "xy", "", "s"])
+            + rng.choice(stems)
+            for _ in range(12)
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+            for _ in range(8)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        n = rng.randint(3, 9)
+        got = bpe_train_merges(spark, docs, n_steps=n)
+        want, _ = _py_train(texts, n)
+        assert got == want, (trial, n, texts)
+
+
 def test_learned_table_feeds_encoder(spark):
     docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
     learned = [tuple(p.split(" ")) for _, p, _ in bpe_train_merges(spark, docs, n_steps=6)]

@@ -52,6 +52,42 @@ def test_adaptive_lsh_sibling_not_flagged():
     assert g is not None and g["flagged"] is False
 
 
+# the allowlist contract (VERDICT r11 Wrong #1): every allowlisted
+# superlinear tier must name a scale-safe sibling, and that sibling
+# must be MEASURED UNFLAGGED in the same artifact — so the escape
+# hatch can't silently become a dumping ground.  The mapping is pinned
+# here (not only read from the artifact) so a tool edit that drops a
+# sibling fails this test.
+ALLOWLIST_SIBLINGS = {
+    "ann_lsh_pairs": ["ann_lsh_adaptive_pairs"],
+    "ann_near_dup_pairs": ["ann_lsh_adaptive_pairs"],
+}
+
+
+def test_every_allowlisted_tier_has_unflagged_sibling():
+    doc = _latest_artifact()
+    assert sorted(doc["allowlist"]) == sorted(ALLOWLIST_SIBLINGS), (
+        "allowlist grew or shrank — update ALLOWLIST_SIBLINGS with a "
+        "measured-flat sibling for every entry"
+    )
+    for tier, siblings in ALLOWLIST_SIBLINGS.items():
+        assert siblings, f"{tier} allowlisted with no named sibling"
+        for sib in siblings:
+            g = doc["gates"].get(sib)
+            assert g is not None, (
+                f"{tier}'s sibling {sib} is not measured in the artifact"
+            )
+            assert g["flagged"] is False, (
+                f"{tier}'s sibling {sib} is itself flagged — the tier "
+                "has no certified scale-safe replacement"
+            )
+    # artifacts from r12 onward also record the mapping; when present
+    # it must agree with the pinned one
+    rec = doc.get("allowlist_siblings")
+    if rec is not None:
+        assert rec == ALLOWLIST_SIBLINGS
+
+
 def test_positive_control_really_superlinear():
     """The architectural control's fitted exponent must comfortably
     exceed the threshold — the flag is decided on the noise-floor lower

@@ -191,7 +191,15 @@ NOISE_S = 0.1  # run-to-run warm-time noise floor used by the flag's
 # textbook behavior of fixed-precision LSH; its certified scale-safe
 # sibling is ann_lsh_adaptive_pairs, which steps bits-per-band with
 # corpus size (measured flat, exp 0.41, in the same artifact)
-ALLOWED_SUPERLINEAR = ["ann_lsh_pairs", "ann_near_dup_pairs"]
+# each allowlisted tier names its measured-flat scale-safe sibling —
+# the artifact records the mapping and tests/test_scaling_curve.py
+# asserts every named sibling is present UNflagged, so the allowlist
+# cannot grow without a certified replacement (VERDICT r11 Wrong #1)
+ALLOWED_SUPERLINEAR_SIBLINGS = {
+    "ann_lsh_pairs": ["ann_lsh_adaptive_pairs"],
+    "ann_near_dup_pairs": ["ann_lsh_adaptive_pairs"],
+}
+ALLOWED_SUPERLINEAR = sorted(ALLOWED_SUPERLINEAR_SIBLINGS)
 # quadratic BY CONTRACT but value-coupled: grows quadratically only on
 # corpora where unrelated documents share grams, which the
 # vocab-disjoint synthesis deliberately does not manufacture — kept as
@@ -536,6 +544,7 @@ def main() -> int:
         "gates": results,
         "flagged": flagged,
         "allowlist": ALLOWED_SUPERLINEAR,
+        "allowlist_siblings": ALLOWED_SUPERLINEAR_SIBLINGS,
         "contract_superlinear": CONTRACT_SUPERLINEAR,
     }
     if out_path:
