@@ -114,6 +114,19 @@ X_MAX_SECONDS = 5.0  # only attempt the next synthetic point while the
 # previous point's measured time is within this cap (progressive,
 # recorded in the artifact — no silent truncation)
 
+# per-gate cap raises (VERDICT r11 Missing #2): r11's sweep-order ×16
+# point for pipeline_decontaminate read 9.02 s and tripped the 5 s cap
+# (×64 skipped, primary fit lb 1.41), while the back-to-back
+# confirmation at the SAME scale read 2.59 s and an idle re-measure
+# reads 2.80 s — the 9.02 was a throttle window (this VM degrades
+# 1.25–1.75× under sustained load; COVERAGE bench-variance note), not
+# the gate.  A 12 s budget lets the ×64 point (~9 s idle) land so the
+# primary fit is uncapped and self-evident (idle curve 0.79 / 1.21 /
+# 2.80 / 8.98 s over 5k/20k/80k/320k docs → exp ≈ 1.01, linear: the
+# gram join's eval side is a fixed 2% sample, so cost tracks the train
+# side linearly).
+X_CAP_OVERRIDES = {"pipeline_decontaminate": 12.0}
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -401,12 +414,13 @@ def main() -> int:
             timed(name, d, reps=3 if d == dirs[-1] else 2) for d in dirs
         ]
         x_skipped = None
+        cap = X_CAP_OVERRIDES.get(name, X_MAX_SECONDS)
         if table is not None:
             for d in x_dirs:
-                if secs[-1] > X_MAX_SECONDS:
+                if secs[-1] > cap:
                     x_skipped = (
                         f"previous point {secs[-1]}s > "
-                        f"{X_MAX_SECONDS}s cap; {os.path.basename(d)} "
+                        f"{cap}s cap; {os.path.basename(d)} "
                         "and beyond skipped"
                     )
                     break
@@ -425,6 +439,15 @@ def main() -> int:
         }
         if x_skipped:
             rec["x_skipped"] = x_skipped
+        if cap != X_MAX_SECONDS:
+            # raised budget + why (see X_CAP_OVERRIDES comment)
+            rec["cap_override"] = cap
+            rec["cap_override_reason"] = (
+                "r11 sweep-order x16 reading (9.02s) was a throttle "
+                "window — same-scale back-to-back confirm 2.59s, idle "
+                "2.80s; budget raised so the x64 point lands and the "
+                "primary fit is uncapped"
+            )
         if table is None:
             rec["exponent"] = None
             rec["note"] = "fixed-input synthetic; no curve by construction"
