@@ -182,24 +182,34 @@ cand AS (
 
 def simhash64(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over word tokens: bit j of the fingerprint is 1
-    iff the sum over tokens of ±1 (by token-hash bit j) is positive."""
+    iff the sum over tokens of ±1 (by token-hash bit j) is positive.
+
+    The 60 per-bit vote counters are 60 codegen'd conditional SUMs in
+    ONE groupBy(doc) — no 60× row fan-out and no second shuffle (the
+    previous shape exploded j=0..59 per token: tokens×60 rows through
+    a (doc, j) aggregate, then re-grouped by doc).  Map-side partial
+    aggregation reduces each partition to |docs|×60 counters before
+    the single doc-keyed exchange, so the shuffle volume is
+    fingerprint-sized, not token-sized — the shape that matters at
+    100 TB."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.expr(f"array_distinct(split({text_col}, ' '))")).alias("tok"),
     )
     h = toks.withColumn("h", _hash_expr("tok"))
-    fan = h.select(
-        "doc", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j")
-    ).withColumn(
-        "bit", F.expr("CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END")
-    )
-    votes = fan.groupBy("doc", "j").agg(F.sum("bit").alias("v"))
-    return votes.groupBy("doc").agg(
+    votes = [
         F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
+            F.expr(f"CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END")
+        ).alias(f"v{j}")
+        for j in range(60)
+    ]
+    fp_bits = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}L ELSE 0L END" for j in range(60)
+    )
+    return (
+        h.groupBy("doc")
+        .agg(*votes)
+        .select("doc", F.expr(fp_bits).alias("simhash"))
     )
 
 
@@ -236,6 +246,13 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 4) -> DataFrame:
     collisions.  Same answer as the brute-force pair join the oracle
     runs.
     """
+    from .pin import pin
+
+    # fingerprints are |docs|-sized (output-scale): pin them so the
+    # self-join reads the aggregate once — unpinned, BOTH join sides
+    # re-run the whole token aggregation from the scan (the broadcast
+    # side too), doubling the gate's data-scale work
+    fps = pin(fps, small=True)
     n_bands = max_hamming + 1
     width = 60 // n_bands
     banded = fps.select(
