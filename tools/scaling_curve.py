@@ -366,6 +366,50 @@ def fit_lsq(xs: list[float], ys: list[float]) -> float:
     return num / den if den else 0.0
 
 
+def _fresh_confirm(name: str, mid_dir: str, hi_dir: str):
+    """Best-of-3 timings of one gate at two scale dirs in a FRESH
+    subprocess (own JVM, warm within itself) — the arbiter for flags
+    the in-session confirm upheld.  Returns (mid_s, hi_s) or
+    (None, None) if the subprocess fails."""
+    import json as _json
+    import subprocess
+
+    code = (
+        "import sys, time, json\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from oteldb_spark.session import get_spark\n"
+        "from oteldb_spark.queries import QUERIES\n"
+        "from oteldb_spark.operators.pin import release_pins\n"
+        f"spark = get_spark('scaling-fresh-confirm')\n"
+        f"q = QUERIES[{name!r}]\n"
+        f"q(spark, {mid_dir!r}).count()\n"
+        "out = {}\n"
+        f"for tag, d in (('mid', {mid_dir!r}), ('hi', {hi_dir!r})):\n"
+        "    release_pins(); spark.catalog.clearCache()\n"
+        "    best = None\n"
+        "    for _ in range(3):\n"
+        "        t0 = time.time(); q(spark, d).count()\n"
+        "        dt = time.time() - t0\n"
+        "        best = dt if best is None or dt < best else best\n"
+        "    out[tag] = round(best, 3)\n"
+        "print('FRESHCONFIRM ' + json.dumps(out))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("FRESHCONFIRM "):
+                got = _json.loads(line[len("FRESHCONFIRM "):])
+                return got["mid"], got["hi"]
+    except Exception:
+        pass
+    return None, None
+
+
 def main() -> int:
     args = sys.argv[1:]
     out_path = None
@@ -535,6 +579,54 @@ def main() -> int:
                     "exponent_lb": c_lb,
                 }
                 rec["flagged"] = c_lb is not None and c_lb > FLAG_ABOVE
+                if rec["flagged"] and name not in ALLOWED_SUPERLINEAR:
+                    # FRESH-SESSION confirm (r12): the back-to-back
+                    # confirm kills throttle-window artifacts but
+                    # INHERITS session-state ones — after ~70 gates the
+                    # JVM's execution-memory headroom can shrink enough
+                    # that only the LARGEST point's sort/agg spills,
+                    # which reads as a superlinear slope in BOTH
+                    # sweep-order and confirm passes (measured on
+                    # ppql_parsed_ts_of_max: in-sweep 0.37→2.24s with
+                    # confirm 1.98, fresh session 0.34s at ×64, flat).
+                    # Architectural superlinearity reproduces in a
+                    # fresh process; session aging does not.  The
+                    # subprocess verdict decides; both are recorded.
+                    f_mid, f_hi = _fresh_confirm(
+                        name, dir_of[r_mid], dir_of[r_hi]
+                    )
+                    f_exp = f_lb = None
+                    if (
+                        f_mid is not None
+                        and (f_mid - o) > MIN_MARGIN
+                        and (f_hi - o) > MIN_SPAN
+                    ):
+                        f_exp = round(
+                            math.log10((f_hi - o) / (f_mid - o)) / dec, 3
+                        )
+                        lb_hi = f_hi - o - NOISE_S
+                        lb_mid = f_mid - o + NOISE_S
+                        if lb_hi > 0:
+                            f_lb = round(
+                                math.log10(lb_hi / lb_mid) / dec, 3
+                            )
+                    rec["fresh_confirm"] = {
+                        "mid_seconds": f_mid,
+                        "hi_seconds": f_hi,
+                        "exponent": f_exp,
+                        "exponent_lb": f_lb,
+                    }
+                    if f_mid is None:
+                        # subprocess failed: keep the in-session
+                        # verdict rather than silently unflagging
+                        rec["fresh_confirm"]["error"] = (
+                            "fresh-session run failed; in-session "
+                            "confirm verdict kept"
+                        )
+                    else:
+                        rec["flagged"] = (
+                            f_lb is not None and f_lb > FLAG_ABOVE
+                        )
         results[name] = rec
         exp = rec.get("exponent")
         print(
@@ -555,6 +647,11 @@ def main() -> int:
         "log-log slope of the last size decade with the smallest-size "
         "time as fixed-overhead proxy; flag decided on exponent_lb "
         "(exponent under worst-case +/-NOISE_S measurement noise); "
+        "flags surviving the back-to-back confirm AND not on the "
+        "allowlist get a FRESH-SESSION confirm (subprocess, own JVM) "
+        "whose verdict decides — architectural superlinearity "
+        "reproduces fresh, session-aging artifacts (late-sweep "
+        "execution-memory spill on only the largest point) do not; "
         "docs/embeddings gates add a x8-of-sf0.1 synthetic point "
         "(disjoint token vocab / rotated vectors)",
         "min_margin_s": MIN_MARGIN,
