@@ -282,6 +282,124 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
+def simhash128(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """120-bit SimHash as two independent 60-bit halves (md5 hex chars
+    1-15 and 17-31 of each token — the first half is EXACTLY
+    :func:`simhash64`'s hash, so the 60-bit tier is a prefix of this
+    one).  Same single-shuffle shape as simhash64: 120 conditional
+    SUMs in one groupBy(doc)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(f"array_distinct(split({text_col}, ' '))")).alias("tok"),
+    )
+    h = toks.select(
+        "doc",
+        _hash_expr("tok").alias("h1"),
+        F.expr(
+            "cast(conv(substr(md5(tok), 17, 15), 16, 10) as bigint)"
+        ).alias("h2"),
+    )
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN (h{k} >> {j}) % 2 = 1 THEN 1 ELSE -1 END")
+        ).alias(f"v{k}_{j}")
+        for k in (1, 2)
+        for j in range(60)
+    ]
+    fp = {
+        k: " + ".join(
+            f"CASE WHEN v{k}_{j} > 0 THEN {1 << j}L ELSE 0L END"
+            for j in range(60)
+        )
+        for k in (1, 2)
+    }
+    return (
+        h.groupBy("doc")
+        .agg(*votes)
+        .select("doc", F.expr(fp[1]).alias("f1"), F.expr(fp[2]).alias("f2"))
+    )
+
+
+# 5 pigeonhole bands of 24 bits over the 120-bit (f1 | f2<<60)
+# fingerprint: bands 0-1 inside f1, band 2 straddles (f1 top 12 bits |
+# f2 low 12), bands 3-4 inside f2 — same shift/mask spelling in Spark
+# and DuckDB
+SIMHASH120_BAND_EXPRS = [
+    "f1 & 16777215",
+    "(f1 >> 24) & 16777215",
+    "((f1 >> 48) & 4095) | ((f2 & 4095) * 4096)",
+    "(f2 >> 12) & 16777215",
+    "(f2 >> 36) & 16777215",
+]
+
+SIMHASH_TIER_ROWS = 32_000  # ≤ this many docs → 60-bit tier
+
+
+def simhash_adaptive_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 4,
+    tier_rows: int = SIMHASH_TIER_ROWS,
+) -> DataFrame:
+    """Scale-adaptive SimHash near-dup pairs: the fingerprint WIDTH
+    steps with corpus size — 60-bit (5×12-bit pigeonhole bands) up to
+    ``tier_rows`` docs, 120-bit (5×24-bit bands) above.
+
+    Fixed-precision banding has the same physics as fixed-plane LSH:
+    random band collisions scale ~N²/2^band_bits, so a FIXED 12-bit
+    band saturates as N grows (SCALING_r12 measured the fixed tier at
+    29s on the ×64 axis, candidate volume ~5·N²/4096).  Doubling the
+    fingerprint to 120 bits takes bands to 24 bits: the random tail
+    drops 2^12× while true near-dups (small hamming distance) still
+    agree on ≥1 band by pigeonhole.  One cheap count picks the tier —
+    the DuckDB oracle evaluates the same formula in a scalar-subquery
+    CASE, so the driver hash-checks the adaptive semantics themselves
+    (the pattern certified for ann_lsh_adaptive_pairs in r11)."""
+    from .pin import pin
+
+    n = docs.count()
+    if n <= tier_rows:
+        return simhash_near_pairs(
+            simhash64(docs, id_col, text_col), max_hamming
+        )
+    fps = pin(simhash128(docs, id_col, text_col), small=True)
+    banded = fps.select(
+        "doc",
+        "f1",
+        "f2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.expr(e).alias("bucket")
+                    )
+                    for i, e in enumerate(SIMHASH120_BAND_EXPRS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "f1", "f2", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr("bit_count(a.f1 ^ b.f1) + bit_count(a.f2 ^ b.f2)")
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def jaccard_prefix_join(
     sh: "DataFrame", tau: float, doc_col: str = "doc", gram_col: str = "gram"
 ) -> "DataFrame":

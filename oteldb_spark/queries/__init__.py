@@ -88,6 +88,7 @@ from . import roundtrip_gates  # noqa: F401
 from . import facade_gates  # noqa: F401
 from . import adaptive_lsh  # noqa: F401
 from . import facade_log_gates  # noqa: F401
+from . import adaptive_simhash  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -151,6 +151,7 @@ HEAVY = [
     "stream_sessionize_closed",
     "chunk_cdc_dedup",
     "ann_lsh_adaptive_pairs",
+    "dedup_simhash_adaptive_pairs",
 ]
 
 # gate → driving table.  "spans" = the synthesized span forest
