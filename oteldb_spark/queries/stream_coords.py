@@ -222,21 +222,31 @@ def merge_coords_batch(batch_df, batch_id: int, table: str,
       for just those ids: O(batch), never O(store).
 
     Steady-state cost per micro-batch: one O(batch) distinct-collect
-    of trace ids, Bloom probes/inserts, and the append itself."""
-    frame, mode = _prepare_batch(batch_df, batch_id, table, marker_dir)
-    if frame is None:
-        return
-    (
-        frame.write.mode("overwrite" if mode == "overwrite" else "append")
-        .bucketBy(8, "trace_id")
-        .sortBy("trace_id", "span_id")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    os.makedirs(marker_dir, exist_ok=True)
-    marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
-    with open(marker, "w") as fh:
-        fh.write("committed\n")
+    of trace ids, Bloom probes/inserts, and the append itself.
+
+    The batch is persisted for the sink's lifetime: the sink takes at
+    least two actions on it (the distinct trace-id collect and the
+    table write) and un-persisted each action re-runs the stateful
+    close operator's per-group Python DFS upstream (guide §5 — the
+    same double-compute the bench e2e sinks had)."""
+    batch_df.persist()
+    try:
+        frame, mode = _prepare_batch(batch_df, batch_id, table, marker_dir)
+        if frame is None:
+            return
+        (
+            frame.write.mode("overwrite" if mode == "overwrite" else "append")
+            .bucketBy(8, "trace_id")
+            .sortBy("trace_id", "span_id")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
+        with open(marker, "w") as fh:
+            fh.write("committed\n")
+    finally:
+        batch_df.unpersist(blocking=False)
 
 
 _COORD_STORE_MEMO = None  # (session id, sf_dir) -> table name

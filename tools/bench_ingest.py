@@ -151,17 +151,25 @@ def measure_otlp_e2e(
         )
 
         def sink(batch, _bid):
-            upsert_series_registry(
-                spark,
-                batch.select("series_hash", "name", "labels", "ts_ns"),
-                reg,
-            )
-            (
-                batch.drop("labels")
-                .write.mode("append")
-                .partitionBy("date")
-                .parquet(store)
-            )
+            # the sink takes TWO actions on the micro-batch (registry
+            # MERGE + store append); un-persisted, each action re-runs
+            # the whole wire decode (guide §5) — measured 2x the
+            # Python-boundary cost of the batch
+            batch.persist()
+            try:
+                upsert_series_registry(
+                    spark,
+                    batch.select("series_hash", "name", "labels", "ts_ns"),
+                    reg,
+                )
+                (
+                    batch.drop("labels")
+                    .write.mode("append")
+                    .partitionBy("date")
+                    .parquet(store)
+                )
+            finally:
+                batch.unpersist(blocking=False)
 
         t0 = time.time()
         q = (
@@ -326,15 +334,23 @@ def measure_prw_e2e(
         ).withColumn("series_hash", series_key(F.col("name"), F.col("labels")))
 
         def sink(batch, _bid):
-            upsert_series_registry(
-                spark, batch.select("series_hash", "name", "labels", "ts_ns"), reg
-            )
-            (
-                batch.drop("labels")
-                .write.mode("append")
-                .partitionBy("date")
-                .parquet(store)
-            )
+            # two actions per batch (registry MERGE + append): persist
+            # so the snappy+proto decode runs once, not twice (guide §5)
+            batch.persist()
+            try:
+                upsert_series_registry(
+                    spark,
+                    batch.select("series_hash", "name", "labels", "ts_ns"),
+                    reg,
+                )
+                (
+                    batch.drop("labels")
+                    .write.mode("append")
+                    .partitionBy("date")
+                    .parquet(store)
+                )
+            finally:
+                batch.unpersist(blocking=False)
 
         t0 = time.time()
         q = (
