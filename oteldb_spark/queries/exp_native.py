@@ -111,7 +111,11 @@ def _buckets(spark, sf_dir):
     if memo is not None:
         return repin(memo, small=True)
     payloads = _state_payload(spark, sf_dir)
-    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    # slice to the payload count: 32 near-empty slices each pay a
+    # Python-worker round-trip in the decode mapInPandas
+    df = spark.createDataFrame(
+        [(p,) for p in payloads], "payload binary"
+    ).repartition(max(1, min(len(payloads), 8)))
     state = pb.pb_exp_histograms(df).withColumn(
         "etype", F.col("labels")["etype"]
     )
@@ -206,7 +210,9 @@ def _state_frame(spark, sf_dir):
             + _encode_states(rows, _LIMIT, _T0_NS + _SNAP_GAP_US * 1000),
         )
     ]
-    df = spark.createDataFrame([(p,) for p in payload], "payload binary")
+    df = spark.createDataFrame(
+        [(p,) for p in payload], "payload binary"
+    ).repartition(1)
     return pb.pb_exp_histograms(df).select(
         F.col("labels")["etype"].alias("etype"),
         (F.col("ts_ns") / 1000).cast("long").alias("ts_us"),
@@ -421,7 +427,9 @@ def _signed_buckets(spark, sf_dir):
             {"service.name": "svc-exp"}, _encode_signed_states(rows, _T0_NS)
         )
     ]
-    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
+    df = spark.createDataFrame(
+        [(p,) for p in payloads], "payload binary"
+    ).repartition(max(1, min(len(payloads), 8)))
     state = pb.pb_exp_histograms(df).withColumn(
         "etype", F.col("labels")["etype"]
     )

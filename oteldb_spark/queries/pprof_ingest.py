@@ -68,8 +68,12 @@ FROM e GROUP BY etype, k"""
 
 @register("profile_pprof_ingest", _ORACLE)
 def profile_pprof_ingest(spark, sf_dir):
+    payloads = _payloads(spark, sf_dir)
+    # one slice per payload (not defaultParallelism near-empty slices,
+    # each spinning a Python worker) — the measured _payload_df shape
+    # from otlp_pb_ingest
     df = spark.createDataFrame(
-        [(p,) for p in _payloads(spark, sf_dir)], "payload binary"
-    )
+        [(p,) for p in payloads], "payload binary"
+    ).repartition(max(1, min(len(payloads), 8)))
     samples = pprof.pprof_samples(df)
     return pprof.flame_nodes(samples).select("stack", "self", "total", "depth")
