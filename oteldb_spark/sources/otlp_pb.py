@@ -26,7 +26,15 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .prw import _enc_uvarint, _f64, _signed64, _uvarint, _wire_fields, _zigzag
+from .prw import (
+    _enc_uvarint,
+    _f64,
+    _signed64,
+    _skip_generic,
+    _uvarint,
+    _wire_fields,
+    _zigzag,
+)
 
 # --- wire → OTLP/JSON dicts --------------------------------------------------
 
@@ -41,6 +49,17 @@ def _i64(raw: bytes) -> int:
 
 def decode_any_value(buf: bytes) -> dict:
     """AnyValue → its OTLP/JSON object ({"stringValue": ...} etc.)."""
+    # canonical stringValue fast path (0x0A <len> utf8) — the dominant
+    # attr value shape on the wire; other kinds take the generic walk
+    n = len(buf)
+    if n and buf[0] == 0x0A:
+        b = buf[1]
+        if b < 0x80:
+            ln, pos = b, 2
+        else:
+            ln, pos = _uvarint(buf, 1)
+        if pos + ln == n:
+            return {"stringValue": buf[pos:].decode("utf-8")}
     for fno, wt, val in _wire_fields(buf):
         if fno == 1:
             return {"stringValue": val.decode("utf-8")}
@@ -73,7 +92,7 @@ def decode_any_value(buf: bytes) -> dict:
     return {}
 
 
-def _decode_kv(buf: bytes) -> dict:
+def _decode_kv_generic(buf: bytes) -> dict:
     key, value = "", {}
     for fno, _, val in _wire_fields(buf):
         if fno == 1:
@@ -81,6 +100,32 @@ def _decode_kv(buf: bytes) -> dict:
         elif fno == 2:
             value = decode_any_value(val)
     return {"key": key, "value": value}
+
+
+def _decode_kv(buf: bytes) -> dict:
+    # canonical KeyValue layout: 0x0A <len> key [0x12 <len> AnyValue];
+    # anything else falls back to the generic walker
+    n = len(buf)
+    if n and buf[0] == 0x0A:
+        b = buf[1]
+        if b < 0x80:
+            ln, pos = b, 2
+        else:
+            ln, pos = _uvarint(buf, 1)
+        end = pos + ln
+        if end <= n:
+            key = buf[pos:end].decode("utf-8")
+            if end == n:
+                return {"key": key, "value": {}}
+            if buf[end] == 0x12:
+                b = buf[end + 1]
+                if b < 0x80:
+                    ln2, p2 = b, end + 2
+                else:
+                    ln2, p2 = _uvarint(buf, end + 1)
+                if p2 + ln2 == n:
+                    return {"key": key, "value": decode_any_value(buf[p2:])}
+    return _decode_kv_generic(buf)
 
 
 def _decode_attrs(fields, attr_fno: int) -> list[dict]:
@@ -104,7 +149,7 @@ def _decode_resource(buf: bytes) -> dict:
 # -- logs (collector_logs.proto / logs.proto field numbers) --
 
 
-def _decode_log_record(buf: bytes) -> dict:
+def _decode_log_record_generic(buf: bytes) -> dict:
     rec: dict = {"attributes": []}
     for fno, wt, val in _wire_fields(buf):
         if fno == 1:
@@ -123,6 +168,57 @@ def _decode_log_record(buf: bytes) -> dict:
             rec["spanId"] = val.hex()
         elif fno == 11:
             rec["observedTimeUnixNano"] = str(_u64(val))
+    return rec
+
+
+def _decode_log_record(buf: bytes) -> dict:
+    """Inline LogRecord walk — the logs-decode hot loop.
+
+    Single-byte-tag dispatch over the wire-canonical (fno, wt) pairs
+    (time=1/fixed64 → 0x09, severityNumber=2/varint → 0x10,
+    severityText=3/len → 0x1A, body=5/len → 0x2A, attrs=6/len → 0x32,
+    traceId=9/len → 0x4A, spanId=10/len → 0x52, observedTime=11/fixed64
+    → 0x59); any other tag bails to the generic walker for the whole
+    buffer, so exotic encodings decode exactly as before."""
+    rec: dict = {"attributes": []}
+    attrs = rec["attributes"]
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x09:  # timeUnixNano, fixed64
+            rec["timeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x10:  # severityNumber, varint
+            b = buf[pos + 1]
+            if b < 0x80:
+                rec["severityNumber"] = b
+                pos += 2
+            else:
+                rec["severityNumber"], pos = _uvarint(buf, pos + 1)
+        elif tag in (0x1A, 0x2A, 0x32, 0x4A, 0x52):  # len-delimited
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            if tag == 0x32:
+                attrs.append(_decode_kv(buf[p2:pos]))
+            elif tag == 0x2A:
+                rec["body"] = decode_any_value(buf[p2:pos])
+            elif tag == 0x1A:
+                rec["severityText"] = buf[p2:pos].decode("utf-8")
+            elif tag == 0x4A:
+                rec["traceId"] = buf[p2:pos].hex()
+            else:
+                rec["spanId"] = buf[p2:pos].hex()
+        elif tag == 0x59:  # observedTimeUnixNano, fixed64
+            rec["observedTimeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        else:
+            return _decode_log_record_generic(buf)
     return rec
 
 
@@ -161,7 +257,7 @@ def _decode_status(buf: bytes) -> dict:
     return out
 
 
-def _decode_span(buf: bytes) -> dict:
+def _decode_span_generic(buf: bytes) -> dict:
     span: dict = {"attributes": [], "status": {"code": 0, "message": ""}}
     for fno, _, val in _wire_fields(buf):
         if fno == 1:
@@ -182,6 +278,59 @@ def _decode_span(buf: bytes) -> dict:
             span["attributes"].append(_decode_kv(val))
         elif fno == 15:
             span["status"] = _decode_status(val)
+    return span
+
+
+def _decode_span(buf: bytes) -> dict:
+    """Inline Span walk — the traces-decode hot loop.
+
+    Single-byte-tag dispatch over the wire-canonical (fno, wt) pairs
+    (traceId=1 → 0x0A, spanId=2 → 0x12, parentSpanId=4 → 0x22,
+    name=5 → 0x2A, kind=6/varint → 0x30, start=7/fixed64 → 0x39,
+    end=8/fixed64 → 0x41, attrs=9 → 0x4A, status=15 → 0x7A); any
+    other tag bails to the generic walker for the whole buffer, so
+    exotic encodings decode exactly as before."""
+    span: dict = {"attributes": [], "status": {"code": 0, "message": ""}}
+    attrs = span["attributes"]
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        if tag in (0x0A, 0x12, 0x22, 0x2A, 0x4A, 0x7A):  # len-delimited
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            if tag == 0x4A:
+                attrs.append(_decode_kv(buf[p2:pos]))
+            elif tag == 0x0A:
+                span["traceId"] = buf[p2:pos].hex()
+            elif tag == 0x12:
+                span["spanId"] = buf[p2:pos].hex()
+            elif tag == 0x2A:
+                span["name"] = buf[p2:pos].decode("utf-8")
+            elif tag == 0x22:
+                span["parentSpanId"] = buf[p2:pos].hex()
+            else:
+                span["status"] = _decode_status(buf[p2:pos])
+        elif tag == 0x39:  # startTimeUnixNano, fixed64
+            span["startTimeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x41:  # endTimeUnixNano, fixed64
+            span["endTimeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x30:  # kind, varint
+            b = buf[pos + 1]
+            if b < 0x80:
+                span["kind"] = b
+                pos += 2
+            else:
+                span["kind"], pos = _uvarint(buf, pos + 1)
+        else:
+            return _decode_span_generic(buf)
     return span
 
 
@@ -228,7 +377,7 @@ def _decode_exemplar(buf: bytes) -> dict:
     return e
 
 
-def _decode_number_point(buf: bytes) -> dict:
+def _decode_number_point_generic(buf: bytes) -> dict:
     p: dict = {"attributes": [], "exemplars": []}
     for fno, _, val in _wire_fields(buf):
         if fno == 3:
@@ -241,6 +390,52 @@ def _decode_number_point(buf: bytes) -> dict:
             p["asInt"] = str(_i64(val))
         elif fno == 7:
             p["attributes"].append(_decode_kv(val))
+    return p
+
+
+def _decode_number_point(buf: bytes) -> dict:
+    """Inline NumberDataPoint walk — the metrics-decode hot loop.
+
+    Single-byte-tag dispatch over the wire-canonical (fno, wt) pairs
+    (time=3/fixed64 → 0x19, asDouble=4/fixed64 → 0x21, asInt=6/fixed64
+    → 0x31, exemplars=5/len → 0x2A, attrs=7/len → 0x3A); any other tag
+    bails to the generic ``_wire_fields`` walker for the whole buffer,
+    so exotic encodings decode exactly as before."""
+    p: dict = {"attributes": [], "exemplars": []}
+    attrs = p["attributes"]
+    exemplars = p["exemplars"]
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x19:  # timeUnixNano, fixed64
+            p["timeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x21:  # asDouble
+            p["asDouble"] = unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x31:  # asInt, sfixed64
+            p["asInt"] = str(unpack_from("<q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x3A:  # attributes
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            attrs.append(_decode_kv(buf[p2:pos]))
+        elif tag == 0x2A:  # exemplars
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            exemplars.append(_decode_exemplar(buf[p2:pos]))
+        else:
+            return _decode_number_point_generic(buf)
     return p
 
 

