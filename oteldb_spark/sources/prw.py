@@ -356,13 +356,18 @@ def _decode_timeseries(buf: bytes) -> dict:
     """Inline TimeSeries walk — the decode hot loop (one call per
     series, ~(labels+samples) single-byte-tag dispatches inside).
     Profiled against the generic ``_wire_fields`` generator walk:
-    the generator machinery was ~60% of decode time."""
+    the generator machinery was ~60% of decode time.  The canonical
+    Sample (0x09 double [0x10 varint ts]) and Label (0x0A name
+    [0x12 value]) layouts are parsed in place on the parent buffer —
+    no sub-buffer slice, no call — with any other layout handed to
+    the per-message fast/generic decoders on a slice."""
     labels: dict = {}
     samples: list = []
     exemplars: list = []
     histograms: list = []
     pos = 0
     n = len(buf)
+    unpack_from = struct.unpack_from
     while pos < n:
         tag = buf[pos]
         if tag == 0x12:  # field 2: Sample (the hot repeated field)
@@ -372,6 +377,37 @@ def _decode_timeseries(buf: bytes) -> dict:
             else:
                 ln, p = _uvarint(buf, pos + 1)
             pos = p + ln
+            # in-place canonical Sample parse
+            if ln >= 9 and buf[p] == 0x09:
+                value = unpack_from("<d", buf, p + 1)[0]
+                q = p + 9
+                if q == pos:
+                    samples.append((value, 0))
+                    continue
+                if buf[q] == 0x10:
+                    ts = 0
+                    shift = 0
+                    q += 1
+                    while q < pos:
+                        b = buf[q]
+                        q += 1
+                        ts |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                    else:
+                        samples.append(_decode_sample(buf[p:pos]))
+                        continue
+                    if q == pos:
+                        samples.append(
+                            (
+                                value,
+                                ts
+                                if ts < 0x8000000000000000
+                                else ts - 0x10000000000000000,
+                            )
+                        )
+                        continue
             samples.append(_sample_fast(buf[p:pos]))
         elif tag == 0x0A:  # field 1: Label
             b = buf[pos + 1]
@@ -380,6 +416,29 @@ def _decode_timeseries(buf: bytes) -> dict:
             else:
                 ln, p = _uvarint(buf, pos + 1)
             pos = p + ln
+            # in-place canonical Label parse
+            if ln and buf[p] == 0x0A:
+                b = buf[p + 1]
+                if b < 0x80:
+                    ke, q = p + 2 + b, p + 2
+                else:
+                    b, q = _uvarint(buf, p + 1)
+                    ke = q + b
+                if ke == pos:
+                    labels[buf[q:ke].decode("utf-8")] = ""
+                    continue
+                if ke < pos and buf[ke] == 0x12:
+                    b = buf[ke + 1]
+                    if b < 0x80:
+                        ve, vq = ke + 2 + b, ke + 2
+                    else:
+                        b, vq = _uvarint(buf, ke + 1)
+                        ve = vq + b
+                    if ve == pos:
+                        labels[buf[q:ke].decode("utf-8")] = buf[
+                            vq:ve
+                        ].decode("utf-8")
+                        continue
             k, v = _label_fast(buf[p:pos])
             labels[k] = v
         elif tag == 0x1A:  # field 3: Exemplar
