@@ -128,6 +128,52 @@ def _decode_kv(buf: bytes) -> dict:
     return _decode_kv_generic(buf)
 
 
+def _kv_fast(buf: bytes, p: int, end: int) -> dict | None:
+    """In-place canonical KeyValue parse on the parent buffer
+    (``0x0A <len> key [0x12 <len> AnyValue]``), with the dominant
+    AnyValue shape (stringValue: ``0x0A <len> utf8``) parsed in place
+    too — no sub-buffer slice, no nested call.  Returns None on any
+    other layout; the caller slices and falls back to ``_decode_kv``,
+    so non-canonical inputs decode exactly as before."""
+    if p + 1 >= end or buf[p] != 0x0A:
+        return None
+    b = buf[p + 1]
+    if b < 0x80:
+        q = p + 2
+        ke = q + b
+    else:
+        b, q = _uvarint(buf, p + 1)
+        ke = q + b
+    if ke == end:
+        return {"key": buf[q:ke].decode("utf-8"), "value": {}}
+    if ke + 1 >= end or buf[ke] != 0x12:
+        return None
+    b = buf[ke + 1]
+    if b < 0x80:
+        vq = ke + 2
+        ve = vq + b
+    else:
+        b, vq = _uvarint(buf, ke + 1)
+        ve = vq + b
+    if ve != end:
+        return None
+    key = buf[q:ke].decode("utf-8")
+    if ve - vq >= 2 and buf[vq] == 0x0A:
+        b = buf[vq + 1]
+        if b < 0x80:
+            sq = vq + 2
+            se = sq + b
+        else:
+            b, sq = _uvarint(buf, vq + 1)
+            se = sq + b
+        if se == ve:
+            return {
+                "key": key,
+                "value": {"stringValue": buf[sq:se].decode("utf-8")},
+            }
+    return {"key": key, "value": decode_any_value(buf[vq:ve])}
+
+
 def _decode_attrs(fields, attr_fno: int) -> list[dict]:
     return [_decode_kv(v) for f, _, v in fields if f == attr_fno]
 
@@ -205,7 +251,10 @@ def _decode_log_record(buf: bytes) -> dict:
                 ln, p2 = _uvarint(buf, pos + 1)
             pos = p2 + ln
             if tag == 0x32:
-                attrs.append(_decode_kv(buf[p2:pos]))
+                kv = _kv_fast(buf, p2, pos)
+                attrs.append(
+                    _decode_kv(buf[p2:pos]) if kv is None else kv
+                )
             elif tag == 0x2A:
                 rec["body"] = decode_any_value(buf[p2:pos])
             elif tag == 0x1A:
@@ -305,7 +354,10 @@ def _decode_span(buf: bytes) -> dict:
                 ln, p2 = _uvarint(buf, pos + 1)
             pos = p2 + ln
             if tag == 0x4A:
-                attrs.append(_decode_kv(buf[p2:pos]))
+                kv = _kv_fast(buf, p2, pos)
+                attrs.append(
+                    _decode_kv(buf[p2:pos]) if kv is None else kv
+                )
             elif tag == 0x0A:
                 span["traceId"] = buf[p2:pos].hex()
             elif tag == 0x12:
@@ -425,7 +477,8 @@ def _decode_number_point(buf: bytes) -> dict:
             else:
                 ln, p2 = _uvarint(buf, pos + 1)
             pos = p2 + ln
-            attrs.append(_decode_kv(buf[p2:pos]))
+            kv = _kv_fast(buf, p2, pos)
+            attrs.append(_decode_kv(buf[p2:pos]) if kv is None else kv)
         elif tag == 0x2A:  # exemplars
             b = buf[pos + 1]
             if b < 0x80:
@@ -533,7 +586,7 @@ def _decode_exp_histogram_point(buf: bytes) -> dict:
     return p
 
 
-def _decode_metric(buf: bytes) -> dict:
+def _decode_metric_generic(buf: bytes) -> dict:
     m: dict = {"name": "", "unit": ""}
     for fno, _, val in _wire_fields(buf):
         if fno == 1:
@@ -581,6 +634,89 @@ def _decode_metric(buf: bytes) -> dict:
                 ]
             }
     return m
+
+
+def _decode_metric(buf: bytes) -> dict:
+    """Inline Metric walk — one tag dispatch per field instead of the
+    generic generator walk (the generator resume per dataPoint was the
+    remaining per-point overhead at the Metric level).
+
+    Wire-canonical tags: name=1 → 0x0A, unit=3 → 0x1A, gauge=5 → 0x2A,
+    sum=7 → 0x3A, histogram=9 → 0x4A, exponentialHistogram=10 → 0x52,
+    summary=11 → 0x5A; inside the data submessages: dataPoints=1 →
+    0x0A, aggregationTemporality=2 → 0x10 varint (skipped, like the
+    generic walk), isMonotonic=3 → 0x18 varint (sum only).  Any other
+    layout bails to the generic walker for the whole buffer, so exotic
+    encodings decode exactly as before."""
+    m: dict = {"name": "", "unit": ""}
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        if tag not in _METRIC_TAGS:
+            return _decode_metric_generic(buf)
+        b = buf[pos + 1]
+        if b < 0x80:
+            ln, p = b, pos + 2
+        else:
+            ln, p = _uvarint(buf, pos + 1)
+        pos = p + ln
+        if tag == 0x0A:
+            m["name"] = buf[p:pos].decode("utf-8")
+        elif tag == 0x1A:
+            m["unit"] = buf[p:pos].decode("utf-8")
+        elif tag == 0x2A or tag == 0x3A:
+            pts: list = []
+            num: dict = {"dataPoints": pts}
+            if tag == 0x3A:
+                num["isMonotonic"] = False
+            q = p
+            while q < pos:
+                t2 = buf[q]
+                if t2 == 0x0A:
+                    b2 = buf[q + 1]
+                    if b2 < 0x80:
+                        ln2, p2 = b2, q + 2
+                    else:
+                        ln2, p2 = _uvarint(buf, q + 1)
+                    q = p2 + ln2
+                    pts.append(_decode_number_point(buf[p2:q]))
+                elif t2 == 0x18 and tag == 0x3A:
+                    v, q = _uvarint(buf, q + 1)
+                    num["isMonotonic"] = bool(v)
+                elif t2 == 0x10:  # aggregationTemporality — skipped
+                    _, q = _uvarint(buf, q + 1)
+                else:
+                    return _decode_metric_generic(buf)
+            m["gauge" if tag == 0x2A else "sum"] = num
+        else:  # histogram / exponentialHistogram / summary
+            key, dec = _METRIC_SUB[tag]
+            pts = []
+            q = p
+            while q < pos:
+                t2 = buf[q]
+                if t2 == 0x0A:
+                    b2 = buf[q + 1]
+                    if b2 < 0x80:
+                        ln2, p2 = b2, q + 2
+                    else:
+                        ln2, p2 = _uvarint(buf, q + 1)
+                    q = p2 + ln2
+                    pts.append(dec(buf[p2:q]))
+                elif t2 == 0x10:  # aggregationTemporality — skipped
+                    _, q = _uvarint(buf, q + 1)
+                else:
+                    return _decode_metric_generic(buf)
+            m[key] = {"dataPoints": pts}
+    return m
+
+
+_METRIC_TAGS = frozenset((0x0A, 0x1A, 0x2A, 0x3A, 0x4A, 0x52, 0x5A))
+_METRIC_SUB = {
+    0x4A: ("histogram", _decode_histogram_point),
+    0x52: ("exponentialHistogram", _decode_exp_histogram_point),
+    0x5A: ("summary", _decode_summary_point),
+}
 
 
 def decode_metrics_request(data: bytes) -> dict:

@@ -134,6 +134,94 @@ def test_otlp_any_value_and_kv_fastpath():
     assert pb._decode_kv(kv_rev) == pb._decode_kv_generic(kv_rev)
 
 
+def test_otlp_kv_inplace_fastpath():
+    # _kv_fast parses the KV at [p, end) of a PARENT buffer; for every
+    # AnyValue kind it must either equal _decode_kv(slice) or return
+    # None (caller falls back).  Canonical string KVs must actually
+    # take the in-place path.
+    cases = [
+        ("k", pb.enc_any_string("v")),
+        ("k" * 150, pb.enc_any_string("s" * 200 + "é")),  # multi-byte lens
+        ("k", pb.enc_any_string("")),
+        ("i", pb.enc_any_int(-42)),
+        ("d", pb.enc_any_double(0.25)),
+        ("b", pb._tag(2, 0) + pb._enc_uvarint(1)),  # boolValue
+        ("y", pb._enc_len(7, b"\x01\xff")),  # bytesValue
+        (
+            "a",
+            pb._enc_len(
+                5,
+                pb._enc_len(1, pb.enc_any_string("a"))
+                + pb._enc_len(1, pb.enc_any_int(2)),
+            ),
+        ),  # arrayValue — inner 0x0A must not be mistaken for stringValue
+    ]
+    for key, av in cases:
+        kv = pb.enc_kv(key, av)
+        parent = b"\xff\x00" + kv + b"\x0a\x34"  # arbitrary neighbors
+        got = pb._kv_fast(parent, 2, 2 + len(kv))
+        assert got is None or got == pb._decode_kv(kv), key
+    # canonical string KV must engage the fast path
+    kv = pb.enc_kv("svc", pb.enc_any_string("api"))
+    assert pb._kv_fast(b"Z" + kv, 1, 1 + len(kv)) == {
+        "key": "svc",
+        "value": {"stringValue": "api"},
+    }
+    # key-only KV
+    kv_only = pb._enc_len(1, b"justkey")
+    assert pb._kv_fast(kv_only, 0, len(kv_only)) == pb._decode_kv(kv_only)
+    # value-before-key (non-canonical order) → None, fallback handles it
+    kv_rev = pb._enc_len(2, pb.enc_any_string("v")) + pb._enc_len(1, b"rk")
+    assert pb._kv_fast(kv_rev, 0, len(kv_rev)) is None
+
+
+def test_otlp_metric_inline_walk():
+    rng = random.Random(77)
+    pt = lambda i: pb.enc_number_point(  # noqa: E731
+        time_ns=i, value=float(i), attrs={"u": str(i)}
+    )
+    hpt = pb.enc_histogram_point(
+        time_ns=5, bucket_counts=[1, 2, 3], explicit_bounds=[0.5, 1.5], sum_=7.0
+    )
+    ept = pb.enc_exp_histogram_point(
+        time_ns=9, count=4, sum_=2.5, scale=3, zero_count=1,
+        positive_offset=-1, positive_counts=[2, 1],
+    )
+    metrics = [
+        pb.enc_gauge_metric("g", "", [pt(i) for i in range(rng.randrange(1, 200))]),
+        pb.enc_sum_metric("s", "1", [pt(i) for i in range(150)]),
+        pb.enc_sum_metric("s2", "1", [pt(1)], monotonic=False),
+        pb.enc_histogram_metric("h", "ms", [hpt]),
+        pb.enc_exp_histogram_metric("e", "s", [ept]),
+        # summary (field 11): minimal dataPoint, same decoder both paths
+        pb._enc_len(1, b"sm") + pb._enc_len(11, pb._enc_len(1, pb._enc_fixed64(3, 123))),
+        # empty gauge; name with multi-byte len varint
+        pb._enc_len(1, b"n" * 200) + pb._enc_len(5, b""),
+    ]
+    for i, m in enumerate(metrics):
+        assert pb._decode_metric(m) == pb._decode_metric_generic(m), i
+    # non-canonical layouts → whole-buffer bail to the generic walker:
+    # description (field 2), metadata (field 12), unknown varint field,
+    # unknown subfield inside sum
+    base = pb.enc_gauge_metric("g", "", [pt(1)])
+    for extra in (
+        pb._enc_len(2, b"desc"),
+        pb._enc_len(12, b"\x0a\x01x"),
+        pb._tag(14, 0) + pb._enc_uvarint(3),
+    ):
+        buf = base + extra
+        assert pb._decode_metric(buf) == pb._decode_metric_generic(buf)
+    odd_sum = pb._enc_len(1, b"s") + pb._enc_len(
+        7, pb._enc_len(1, pt(1)) + pb._enc_len(4, b"zz")  # unknown field 4
+    )
+    assert pb._decode_metric(odd_sum) == pb._decode_metric_generic(odd_sum)
+    # isMonotonic BEFORE dataPoints (non-canonical order, still inline-able)
+    rev_sum = pb._enc_len(1, b"s") + pb._enc_len(
+        7, pb._tag(3, 0) + pb._enc_uvarint(1) + pb._enc_len(1, pt(1))
+    )
+    assert pb._decode_metric(rev_sum) == pb._decode_metric_generic(rev_sum)
+
+
 def test_otlp_number_point_fastpath():
     rng = random.Random(5)
     for trial in range(100):
