@@ -69,12 +69,21 @@ def _decode_psample(buf: bytes) -> dict:
             out = loc_ids if tag == 0x0A else values
             while p < end:
                 b = buf[p]
+                p += 1
                 if b < 0x80:
                     out.append(b)
-                    p += 1
                 else:
-                    v, p = _uvarint(buf, p)
-                    out.append(v)
+                    # multi-byte varint unrolled in place (no call)
+                    v = b & 0x7F
+                    shift = 7
+                    b = buf[p]
+                    p += 1
+                    while b & 0x80:
+                        v |= (b & 0x7F) << shift
+                        shift += 7
+                        b = buf[p]
+                        p += 1
+                    out.append(v | (b << shift))
             pos = end
         else:
             return _decode_psample_generic(buf)
