@@ -409,7 +409,7 @@ def decode_traces_request(data: bytes) -> dict:
 # -- metrics (metrics.proto) --
 
 
-def _decode_exemplar(buf: bytes) -> dict:
+def _decode_exemplar_generic(buf: bytes) -> dict:
     # metrics.proto Exemplar: filtered_attributes=7, time=2 fixed64,
     # as_double=3, span_id=4, trace_id=5, as_int=6 sfixed64
     e: dict = {"filteredAttributes": []}
@@ -426,6 +426,49 @@ def _decode_exemplar(buf: bytes) -> dict:
             e["asInt"] = str(_i64(val))
         elif fno == 7:
             e["filteredAttributes"].append(_decode_kv(val))
+    return e
+
+
+def _decode_exemplar(buf: bytes) -> dict:
+    """Inline Exemplar walk over the wire-canonical tags (time=2/fixed64
+    → 0x11, asDouble=3 → 0x19, spanId=4/len → 0x22, traceId=5/len →
+    0x2A, asInt=6/sfixed64 → 0x31, filteredAttributes=7/len → 0x3A);
+    any other tag bails to the generic walker for the whole buffer."""
+    e: dict = {"filteredAttributes": []}
+    attrs = e["filteredAttributes"]
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x11:  # timeUnixNano, fixed64
+            e["timeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x19:  # asDouble
+            e["asDouble"] = unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x31:  # asInt, sfixed64
+            e["asInt"] = str(unpack_from("<q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x22 or tag == 0x2A:  # spanId / traceId
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            e["spanId" if tag == 0x22 else "traceId"] = buf[p2:pos].hex()
+        elif tag == 0x3A:  # filteredAttributes
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            kv = _kv_fast(buf, p2, pos)
+            attrs.append(_decode_kv(buf[p2:pos]) if kv is None else kv)
+        else:
+            return _decode_exemplar_generic(buf)
     return e
 
 
@@ -504,7 +547,7 @@ def _packed_f64(raw, wt) -> list[float]:
     return [struct.unpack_from("<d", raw, i)[0] for i in range(0, len(raw), 8)]
 
 
-def _decode_histogram_point(buf: bytes) -> dict:
+def _decode_histogram_point_generic(buf: bytes) -> dict:
     p: dict = {"attributes": [], "bucketCounts": [], "explicitBounds": []}
     for fno, wt, val in _wire_fields(buf):
         if fno == 3:
@@ -523,6 +566,73 @@ def _decode_histogram_point(buf: bytes) -> dict:
             p["min"] = _f64(val)
         elif fno == 12:
             p["max"] = _f64(val)
+    return p
+
+
+def _decode_histogram_point(buf: bytes) -> dict:
+    """Inline HistogramDataPoint walk over the wire-canonical tags
+    (startTime=2/fixed64 → 0x11 skipped, time=3 → 0x19, count=4 →
+    0x21, sum=5 → 0x29, bucketCounts=6/packed-len → 0x32,
+    explicitBounds=7/packed-len → 0x3A, exemplars=8/len → 0x42 skipped,
+    attributes=9/len → 0x4A, flags=10/varint → 0x50 skipped, min=11 →
+    0x59, max=12 → 0x61); skipped fields are the ones the generic walk
+    also ignores.  Any other tag (incl. unpacked wt-1 counts/bounds)
+    bails to the generic walker for the whole buffer."""
+    p: dict = {"attributes": [], "bucketCounts": [], "explicitBounds": []}
+    attrs = p["attributes"]
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x32 or tag == 0x3A or tag == 0x4A or tag == 0x42:
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            if tag == 0x32:  # bucketCounts, packed fixed64
+                if ln & 7:
+                    return _decode_histogram_point_generic(buf)
+                p["bucketCounts"] += [
+                    str(c) for c in unpack_from(f"<{ln >> 3}Q", buf, p2)
+                ]
+            elif tag == 0x3A:  # explicitBounds, packed double
+                if ln & 7:
+                    return _decode_histogram_point_generic(buf)
+                p["explicitBounds"] += list(
+                    unpack_from(f"<{ln >> 3}d", buf, p2)
+                )
+            elif tag == 0x4A:  # attributes
+                kv = _kv_fast(buf, p2, pos)
+                attrs.append(_decode_kv(buf[p2:pos]) if kv is None else kv)
+            # 0x42 exemplars: skipped, like the generic walk
+        elif tag == 0x19:  # timeUnixNano
+            p["timeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x21:  # count, fixed64
+            p["count"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x29:  # sum
+            p["sum"] = unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x59:  # min
+            p["min"] = unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x61:  # max
+            p["max"] = unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x11:  # startTimeUnixNano: skipped, like generic
+            pos += 9
+        elif tag == 0x50:  # flags varint: skipped, like generic
+            b = buf[pos + 1]
+            if b < 0x80:
+                pos += 2
+            else:
+                _, pos = _uvarint(buf, pos + 1)
+        else:
+            return _decode_histogram_point_generic(buf)
     return p
 
 
@@ -564,7 +674,52 @@ def _decode_exp_buckets(buf: bytes) -> dict:
     return out
 
 
-def _decode_exp_histogram_point(buf: bytes) -> dict:
+def _exp_buckets_fast(buf: bytes, p: int, end: int) -> dict | None:
+    """In-place canonical Buckets parse on the parent buffer
+    (offset=1/sint32-varint → 0x08, bucketCounts=2 packed-varint →
+    0x12 or unpacked → 0x10).  Returns None on any other layout; the
+    caller slices and falls back to the generic decoder."""
+    offset = 0
+    counts: list = []
+    append = counts.append
+    while p < end:
+        tag = buf[p]
+        if tag == 0x12:  # packed bucketCounts
+            b = buf[p + 1]
+            if b < 0x80:
+                ln, q = b, p + 2
+            else:
+                ln, q = _uvarint(buf, p + 1)
+            p = q + ln
+            while q < p:
+                b = buf[q]
+                if b < 0x80:
+                    append(str(b))
+                    q += 1
+                else:
+                    v, q = _uvarint(buf, q)
+                    append(str(v))
+        elif tag == 0x08:  # offset, sint32
+            b = buf[p + 1]
+            if b < 0x80:
+                v, p = b, p + 2
+            else:
+                v, p = _uvarint(buf, p + 1)
+            offset = (v >> 1) ^ -(v & 1)
+        elif tag == 0x10:  # unpacked single bucket count
+            b = buf[p + 1]
+            if b < 0x80:
+                append(str(b))
+                p += 2
+            else:
+                v, p = _uvarint(buf, p + 1)
+                append(str(v))
+        else:
+            return None
+    return {"offset": offset, "bucketCounts": counts}
+
+
+def _decode_exp_histogram_point_generic(buf: bytes) -> dict:
     p: dict = {"attributes": []}
     for fno, _, val in _wire_fields(buf):
         if fno == 1:
@@ -583,6 +738,70 @@ def _decode_exp_histogram_point(buf: bytes) -> dict:
             p["positive"] = _decode_exp_buckets(val)
         elif fno == 9:
             p["negative"] = _decode_exp_buckets(val)
+    return p
+
+
+def _decode_exp_histogram_point(buf: bytes) -> dict:
+    """Inline ExponentialHistogramDataPoint walk over the wire-canonical
+    tags (attributes=1/len → 0x0A, startTime=2/fixed64 → 0x11 skipped,
+    time=3 → 0x19, count=4 → 0x21, sum=5 → 0x29, scale=6/sint32 → 0x30,
+    zeroCount=7/fixed64 → 0x39, positive=8/len → 0x42, negative=9/len →
+    0x4A, flags=10/varint → 0x50 skipped, exemplars=11/len → 0x5A
+    skipped); skipped fields are the ones the generic walk also
+    ignores.  Any other tag bails to the generic walker."""
+    p: dict = {"attributes": []}
+    attrs = p["attributes"]
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x0A or tag == 0x42 or tag == 0x4A or tag == 0x5A:
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p2 = b, pos + 2
+            else:
+                ln, p2 = _uvarint(buf, pos + 1)
+            pos = p2 + ln
+            if tag == 0x0A:  # attributes
+                kv = _kv_fast(buf, p2, pos)
+                attrs.append(_decode_kv(buf[p2:pos]) if kv is None else kv)
+            elif tag == 0x5A:  # exemplars: skipped, like the generic walk
+                pass
+            else:  # positive / negative buckets
+                bk = _exp_buckets_fast(buf, p2, pos)
+                p["positive" if tag == 0x42 else "negative"] = (
+                    _decode_exp_buckets(buf[p2:pos]) if bk is None else bk
+                )
+        elif tag == 0x19:  # timeUnixNano
+            p["timeUnixNano"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x21:  # count, fixed64
+            p["count"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x29:  # sum
+            p["sum"] = unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x39:  # zeroCount, fixed64
+            p["zeroCount"] = str(unpack_from("<Q", buf, pos + 1)[0])
+            pos += 9
+        elif tag == 0x30:  # scale, sint32
+            b = buf[pos + 1]
+            if b < 0x80:
+                v, pos = b, pos + 2
+            else:
+                v, pos = _uvarint(buf, pos + 1)
+            p["scale"] = (v >> 1) ^ -(v & 1)
+        elif tag == 0x11:  # startTimeUnixNano: skipped, like generic
+            pos += 9
+        elif tag == 0x50:  # flags varint: skipped, like generic
+            b = buf[pos + 1]
+            if b < 0x80:
+                pos += 2
+            else:
+                _, pos = _uvarint(buf, pos + 1)
+        else:
+            return _decode_exp_histogram_point_generic(buf)
     return p
 
 

@@ -34,9 +34,9 @@ def _decode_write_request_generic(data: bytes) -> list[dict]:
             elif sfno == 2:
                 ts["samples"].append(prw._decode_sample(sval))
             elif sfno == 3:
-                ts["exemplars"].append(prw._decode_exemplar(sval))
+                ts["exemplars"].append(prw._decode_exemplar_generic(sval))
             elif sfno == 4:
-                ts["histograms"].append(prw._decode_histogram(sval))
+                ts["histograms"].append(prw._decode_histogram_generic(sval))
         series.append(ts)
     return series
 
@@ -352,6 +352,189 @@ def test_pprof_sample_fastpath():
     assert pprof._decode_psample(with_labels) == (
         pprof._decode_psample_generic(with_labels)
     )
+
+
+def test_prw_native_histogram_fastpath():
+    rng = random.Random(51)
+    for trial in range(100):
+        h = prw.encode_histogram(
+            count=rng.randrange(0, 2**40),
+            sum_=rng.random() * 1e6,
+            schema=rng.randrange(-4, 9),  # signed → zigzag
+            zero_count=rng.randrange(0, 5),
+            zero_threshold=1e-9,
+            positive_offset=rng.randrange(-300, 300),  # multi-byte zigzag
+            positive_deltas=[
+                rng.randrange(-(2**33), 2**33)  # multi-byte packed zigzag
+                for _ in range(rng.randrange(0, 40))
+            ],
+            ts_ms=rng.randrange(0, 2**41),
+        )
+        if rng.random() < 0.3:  # float count/zero_count (fields 2/7)
+            h += prw._tag(2, 1) + struct.pack("<d", 7.0)
+            h += prw._tag(7, 1) + struct.pack("<d", 2.0)
+        if rng.random() < 0.3:  # negative spans + packed double counts
+            h += prw._enc_len(8, prw._tag(1, 0) + prw._enc_zigzag(-3)
+                              + prw._tag(2, 0) + prw._enc_uvarint(2))
+            h += prw._enc_len(10, struct.pack("<dd", 1.5, 2.5))
+        if rng.random() < 0.3:  # reset_hint (field 14)
+            h += prw._tag(14, 0) + prw._enc_uvarint(rng.randrange(0, 4))
+        assert repr(prw._decode_histogram(h)) == repr(
+            prw._decode_histogram_generic(h)
+        ), trial
+
+    # non-canonical: unpacked wt-0 delta, unpacked wt-1 count, unknown
+    # field, span with unknown subfield → all equal the generic decode
+    base = prw.encode_histogram(
+        count=4, sum_=2.0, schema=3, zero_count=1, zero_threshold=1e-9,
+        positive_offset=-1, positive_deltas=[2, -1], ts_ms=77,
+    )
+    for extra in (
+        prw._tag(12, 0) + prw._enc_zigzag(-9),  # unpacked positive delta
+        prw._tag(13, 1) + struct.pack("<d", 3.5),  # unpacked positive count
+        prw._tag(16, 0) + prw._enc_uvarint(1),  # unknown field 16
+        prw._enc_len(11, prw._tag(1, 0) + prw._enc_zigzag(2)
+                     + prw._tag(3, 0) + prw._enc_uvarint(1)),  # odd span
+    ):
+        buf = base + extra
+        assert repr(prw._decode_histogram(buf)) == repr(
+            prw._decode_histogram_generic(buf)
+        )
+
+
+def test_prw_exemplar_fastpath():
+    rng = random.Random(52)
+    for trial in range(50):
+        e = prw.encode_exemplar(
+            {"trace_id": "t" * rng.randrange(1, 40), "empty": ""},
+            rng.random() * 1e6,
+            rng.randrange(0, 2**41),
+        )
+        assert repr(prw._decode_exemplar(e)) == repr(
+            prw._decode_exemplar_generic(e)
+        ), trial
+    # negative timestamp (10-byte two's-complement varint), unknown field
+    neg = (prw._tag(2, 1) + struct.pack("<d", 1.5)
+           + prw._tag(3, 0) + prw._enc_uvarint((1 << 64) - 7))
+    assert prw._decode_exemplar(neg)["timestamp_ms"] == -7
+    assert repr(prw._decode_exemplar(neg)) == repr(prw._decode_exemplar_generic(neg))
+    unk = neg + prw._tag(9, 0) + prw._enc_uvarint(1)
+    assert repr(prw._decode_exemplar(unk)) == repr(prw._decode_exemplar_generic(unk))
+
+
+def test_otlp_histogram_point_fastpath():
+    rng = random.Random(61)
+    for trial in range(100):
+        nb = rng.randrange(1, 20)
+        p = pb.enc_histogram_point(
+            time_ns=rng.randrange(0, 2**62),
+            bucket_counts=[rng.randrange(0, 2**40) for _ in range(nb + 1)],
+            explicit_bounds=[float(k) for k in range(nb)],
+            sum_=rng.random() * 1e6,
+            attrs={"a": "v", "b" * 140: "w"} if rng.random() < 0.5 else None,
+        )
+        if rng.random() < 0.3:  # min/max (fields 11/12, not encoder-emitted)
+            p += pb._enc_double(11, -1.5) + pb._enc_double(12, 99.5)
+        if rng.random() < 0.3:  # startTime + flags: skipped by both walks
+            p = pb._enc_fixed64(2, 7) + p + pb._tag(10, 0) + pb._enc_uvarint(1)
+        if rng.random() < 0.2:  # exemplars (field 8): ignored by both walks
+            p += pb._enc_len(8, pb.enc_exemplar(time_ns=1, value=2.5))
+        assert repr(pb._decode_histogram_point(p)) == repr(
+            pb._decode_histogram_point_generic(p)
+        ), trial
+
+    # unpacked wt-1 bucket count / bound (non-canonical) → whole-buffer
+    # bail; unknown field → bail; all must equal the generic decode
+    base = pb.enc_histogram_point(
+        time_ns=5, bucket_counts=[1, 2], explicit_bounds=[0.5], sum_=3.0
+    )
+    for extra in (
+        pb._enc_fixed64(6, 9),  # unpacked bucketCount, wt 1
+        pb._enc_double(7, 2.5),  # unpacked explicitBound, wt 1
+        pb._tag(13, 0) + pb._enc_uvarint(3),  # unknown field 13
+    ):
+        buf = base + extra
+        assert repr(pb._decode_histogram_point(buf)) == repr(
+            pb._decode_histogram_point_generic(buf)
+        )
+
+
+def test_otlp_exp_histogram_point_fastpath():
+    rng = random.Random(71)
+    for trial in range(100):
+        p = pb.enc_exp_histogram_point(
+            time_ns=rng.randrange(0, 2**62),
+            count=rng.randrange(0, 2**40),
+            sum_=rng.random() * 1e6,
+            scale=rng.randrange(-4, 21),  # signed → zigzag varint
+            zero_count=rng.randrange(0, 5),
+            positive_offset=rng.randrange(-300, 300),  # multi-byte zigzag
+            positive_counts=[
+                rng.randrange(0, 2**34)  # multi-byte packed varints
+                for _ in range(rng.randrange(1, 50))
+            ],
+            attrs={"etype": f"t{trial % 5}"} if rng.random() < 0.6 else None,
+            negative_offset=-2,
+            negative_counts=[1, 200, 3] if rng.random() < 0.4 else (),
+        )
+        if rng.random() < 0.3:  # startTime + flags: skipped by both walks
+            p = pb._enc_fixed64(2, 7) + p + pb._tag(10, 0) + pb._enc_uvarint(0)
+        if rng.random() < 0.2:  # exemplars (field 11): ignored by both
+            p += pb._enc_len(11, pb.enc_exemplar(time_ns=1, value=2.5))
+        assert repr(pb._decode_exp_histogram_point(p)) == repr(
+            pb._decode_exp_histogram_point_generic(p)
+        ), trial
+
+    # unpacked bucket counts (wt 0, tag 0x10) — in-place path handles them
+    bk = (
+        pb._tag(1, 0) + pb._enc_uvarint(3)  # offset zigzag → -2
+        + pb._tag(2, 0) + pb._enc_uvarint(7)
+        + pb._tag(2, 0) + pb._enc_uvarint(300)
+    )
+    assert pb._exp_buckets_fast(bk, 0, len(bk)) == pb._decode_exp_buckets(bk) == {
+        "offset": -2,
+        "bucketCounts": ["7", "300"],
+    }
+    # unknown field inside buckets → in-place returns None, caller falls back
+    bk_odd = bk + pb._tag(3, 0) + pb._enc_uvarint(1)
+    assert pb._exp_buckets_fast(bk_odd, 0, len(bk_odd)) is None
+    base = pb.enc_exp_histogram_point(
+        time_ns=5, count=4, sum_=2.5, scale=3, zero_count=1,
+        positive_offset=-1, positive_counts=[2, 1],
+    )
+    for extra in (
+        pb._enc_len(8, bk_odd),  # buckets with unknown subfield
+        pb._enc_double(12, 0.5),  # min (field 12): unknown → bail
+        pb._tag(15, 0) + pb._enc_uvarint(3),  # unknown varint field
+    ):
+        buf = base + extra
+        assert repr(pb._decode_exp_histogram_point(buf)) == repr(
+            pb._decode_exp_histogram_point_generic(buf)
+        )
+
+
+def test_otlp_exemplar_fastpath():
+    rng = random.Random(81)
+    for trial in range(100):
+        kw = dict(time_ns=rng.randrange(0, 2**62), value=rng.random() * 1e6)
+        if rng.random() < 0.5:
+            kw["trace_id"] = bytes(rng.randrange(256) for _ in range(16))
+            kw["span_id"] = bytes(rng.randrange(256) for _ in range(8))
+        if rng.random() < 0.5:
+            kw["attrs"] = {"user": "u1", "k" * 140: "w"}
+        e = pb.enc_exemplar(**kw)
+        if rng.random() < 0.3:  # asInt (field 6, sfixed64), negative too
+            e += pb._tag(6, 1) + struct.pack("<q", rng.randrange(-(2**40), 2**40))
+        assert repr(pb._decode_exemplar(e)) == repr(
+            pb._decode_exemplar_generic(e)
+        ), trial
+
+    # non-canonical order (value before time) is still tag-dispatchable;
+    # unknown field → whole-buffer bail — both must equal generic
+    rev = pb._enc_double(3, 1.5) + pb._enc_fixed64(2, 9)
+    assert repr(pb._decode_exemplar(rev)) == repr(pb._decode_exemplar_generic(rev))
+    unk = pb.enc_exemplar(time_ns=1, value=2.0) + pb._tag(8, 0) + pb._enc_uvarint(1)
+    assert repr(pb._decode_exemplar(unk)) == repr(pb._decode_exemplar_generic(unk))
 
 
 def test_prw_points_columnar_min_ts(spark):
