@@ -209,7 +209,7 @@ def _decode_sample(buf: bytes) -> tuple[float, int]:
     return value, ts
 
 
-def _decode_exemplar(buf: bytes) -> dict:
+def _decode_exemplar_generic(buf: bytes) -> dict:
     out = {"labels": {}, "value": 0.0, "timestamp_ms": 0}
     for fno, _, val in _wire_fields(buf):
         if fno == 1:
@@ -219,6 +219,40 @@ def _decode_exemplar(buf: bytes) -> dict:
             out["value"] = _f64(val)
         elif fno == 3:
             out["timestamp_ms"] = _signed64(val)
+    return out
+
+
+def _decode_exemplar(buf: bytes) -> dict:
+    """Inline Exemplar walk over the wire-canonical tags (labels=1/len
+    → 0x0A, value=2/double → 0x11, timestamp=3/varint → 0x18); any
+    other tag bails to the generic walker for the whole buffer."""
+    labels: dict = {}
+    out = {"labels": labels, "value": 0.0, "timestamp_ms": 0}
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag = buf[pos]
+        if tag == 0x0A:  # Label
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            pos = p + ln
+            k, v = _label_fast(buf[p:pos])
+            labels[k] = v
+        elif tag == 0x11:  # value, double
+            out["value"] = struct.unpack_from("<d", buf, pos + 1)[0]
+            pos += 9
+        elif tag == 0x18:  # timestamp, int64 varint
+            b = buf[pos + 1]
+            if b < 0x80:
+                v, pos = b, pos + 2
+            else:
+                v, pos = _uvarint(buf, pos + 1)
+            out["timestamp_ms"] = _signed64(v)
+        else:
+            return _decode_exemplar_generic(buf)
     return out
 
 
@@ -232,7 +266,7 @@ def _decode_bucket_span(buf: bytes) -> tuple[int, int]:
     return offset, length
 
 
-def _decode_histogram(buf: bytes) -> dict:
+def _decode_histogram_generic(buf: bytes) -> dict:
     h = {
         "count": 0,
         "sum": 0.0,
@@ -279,6 +313,129 @@ def _decode_histogram(buf: bytes) -> dict:
             h["reset_hint"] = val
         elif fno == 15:
             h["timestamp_ms"] = _signed64(val)
+    return h
+
+
+def _bucket_span_fast(buf: bytes, p: int, end: int) -> tuple[int, int] | None:
+    """In-place canonical BucketSpan parse on the parent buffer
+    (offset=1/sint32 → 0x08, length=2/varint → 0x10).  Returns None on
+    any other layout; the caller slices and falls back."""
+    offset = length = 0
+    while p < end:
+        tag = buf[p]
+        if tag == 0x08:
+            b = buf[p + 1]
+            if b < 0x80:
+                v, p = b, p + 2
+            else:
+                v, p = _uvarint(buf, p + 1)
+            offset = (v >> 1) ^ -(v & 1)
+        elif tag == 0x10:
+            b = buf[p + 1]
+            if b < 0x80:
+                length, p = b, p + 2
+            else:
+                length, p = _uvarint(buf, p + 1)
+        else:
+            return None
+    return offset, length
+
+
+def _decode_histogram(buf: bytes) -> dict:
+    """Inline native-Histogram walk over the wire-canonical prompb tags
+    (count=1/varint → 0x08, count_float=2 → 0x11, sum=3 → 0x19,
+    schema=4/sint32 → 0x20, zero_threshold=5 → 0x29, zero_count=6 →
+    0x30, zero_count_float=7 → 0x39, negative spans/deltas/counts =
+    8/9/10 len → 0x42/0x4A/0x52, positive spans/deltas/counts =
+    11/12/13 len → 0x5A/0x62/0x6A, reset_hint=14 → 0x70, timestamp=15 →
+    0x78); packed delta varints unroll in place, packed count doubles
+    unpack in one call.  Any other tag (incl. unpacked wt-0/wt-1
+    repeated elements) bails to the generic walker."""
+    h = {
+        "count": 0,
+        "sum": 0.0,
+        "schema": 0,
+        "zero_threshold": 0.0,
+        "zero_count": 0,
+        "negative_spans": [],
+        "negative_deltas": [],
+        "negative_counts": [],
+        "positive_spans": [],
+        "positive_deltas": [],
+        "positive_counts": [],
+        "reset_hint": 0,
+        "timestamp_ms": 0,
+    }
+    pos = 0
+    n = len(buf)
+    unpack_from = struct.unpack_from
+    while pos < n:
+        tag = buf[pos]
+        wt = tag & 7
+        if wt == 0:  # varint-valued fields
+            b = buf[pos + 1]
+            if b < 0x80:
+                v, pos = b, pos + 2
+            else:
+                v, pos = _uvarint(buf, pos + 1)
+            if tag == 0x08:
+                h["count"] = v
+            elif tag == 0x20:
+                h["schema"] = (v >> 1) ^ -(v & 1)
+            elif tag == 0x30:
+                h["zero_count"] = v
+            elif tag == 0x70:
+                h["reset_hint"] = v
+            elif tag == 0x78:
+                h["timestamp_ms"] = _signed64(v)
+            else:
+                return _decode_histogram_generic(buf)
+        elif wt == 1:  # fixed64/double-valued fields
+            if tag == 0x19:
+                h["sum"] = unpack_from("<d", buf, pos + 1)[0]
+            elif tag == 0x29:
+                h["zero_threshold"] = unpack_from("<d", buf, pos + 1)[0]
+            elif tag == 0x11:
+                h["count"] = int(unpack_from("<d", buf, pos + 1)[0])
+            elif tag == 0x39:
+                h["zero_count"] = int(unpack_from("<d", buf, pos + 1)[0])
+            else:
+                return _decode_histogram_generic(buf)
+            pos += 9
+        elif wt == 2:  # length-delimited fields
+            b = buf[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(buf, pos + 1)
+            pos = p + ln
+            if tag == 0x62 or tag == 0x4A:  # packed sint64 deltas
+                out = h["positive_deltas" if tag == 0x62 else "negative_deltas"]
+                append = out.append
+                q = p
+                while q < pos:
+                    b = buf[q]
+                    if b < 0x80:
+                        append((b >> 1) ^ -(b & 1))
+                        q += 1
+                    else:
+                        v, q = _uvarint(buf, q)
+                        append((v >> 1) ^ -(v & 1))
+            elif tag == 0x5A or tag == 0x42:  # BucketSpan
+                sp = _bucket_span_fast(buf, p, pos)
+                if sp is None:
+                    sp = _decode_bucket_span(buf[p:pos])
+                h["positive_spans" if tag == 0x5A else "negative_spans"].append(sp)
+            elif tag == 0x6A or tag == 0x52:  # packed double counts
+                if ln & 7:
+                    return _decode_histogram_generic(buf)
+                h["positive_counts" if tag == 0x6A else "negative_counts"] += (
+                    list(unpack_from(f"<{ln >> 3}d", buf, p))
+                )
+            else:
+                return _decode_histogram_generic(buf)
+        else:
+            return _decode_histogram_generic(buf)
     return h
 
 
