@@ -217,7 +217,7 @@ def _decode_log_record_generic(buf: bytes) -> dict:
     return rec
 
 
-def _decode_log_record(buf: bytes) -> dict:
+def _decode_log_record(buf: bytes, memo: dict | None = None) -> dict:
     """Inline LogRecord walk — the logs-decode hot loop.
 
     Single-byte-tag dispatch over the wire-canonical (fno, wt) pairs
@@ -251,10 +251,21 @@ def _decode_log_record(buf: bytes) -> dict:
                 ln, p2 = _uvarint(buf, pos + 1)
             pos = p2 + ln
             if tag == 0x32:
-                kv = _kv_fast(buf, p2, pos)
-                attrs.append(
-                    _decode_kv(buf[p2:pos]) if kv is None else kv
-                )
+                if memo is None:
+                    kv = _kv_fast(buf, p2, pos)
+                    attrs.append(
+                        _decode_kv(buf[p2:pos]) if kv is None else kv
+                    )
+                else:
+                    # per-request KV memo (see _decode_number_point)
+                    raw = buf[p2:pos]
+                    kv = memo.get(raw)
+                    if kv is None:
+                        kv = _kv_fast(buf, p2, pos)
+                        if kv is None:
+                            kv = _decode_kv(raw)
+                        memo[raw] = kv
+                    attrs.append(kv)
             elif tag == 0x2A:
                 rec["body"] = decode_any_value(buf[p2:pos])
             elif tag == 0x1A:
@@ -278,6 +289,7 @@ def decode_logs_request(data: bytes) -> dict:
         if fno != 1:
             continue
         entry: dict = {"resource": {"attributes": []}, "scopeLogs": []}
+        memo: dict = {}  # per-request KV memo (see _decode_number_point)
         for f2, _, val in _wire_fields(rl):
             if f2 == 1:
                 entry["resource"] = _decode_resource(val)
@@ -287,7 +299,7 @@ def decode_logs_request(data: bytes) -> dict:
                     if f3 == 1:
                         sl["scope"] = _decode_scope(v3)
                     elif f3 == 2:
-                        sl["logRecords"].append(_decode_log_record(v3))
+                        sl["logRecords"].append(_decode_log_record(v3, memo))
                 entry["scopeLogs"].append(sl)
         resource_logs.append(entry)
     return {"resourceLogs": resource_logs}
@@ -330,7 +342,7 @@ def _decode_span_generic(buf: bytes) -> dict:
     return span
 
 
-def _decode_span(buf: bytes) -> dict:
+def _decode_span(buf: bytes, memo: dict | None = None) -> dict:
     """Inline Span walk — the traces-decode hot loop.
 
     Single-byte-tag dispatch over the wire-canonical (fno, wt) pairs
@@ -354,10 +366,21 @@ def _decode_span(buf: bytes) -> dict:
                 ln, p2 = _uvarint(buf, pos + 1)
             pos = p2 + ln
             if tag == 0x4A:
-                kv = _kv_fast(buf, p2, pos)
-                attrs.append(
-                    _decode_kv(buf[p2:pos]) if kv is None else kv
-                )
+                if memo is None:
+                    kv = _kv_fast(buf, p2, pos)
+                    attrs.append(
+                        _decode_kv(buf[p2:pos]) if kv is None else kv
+                    )
+                else:
+                    # per-request KV memo (see _decode_number_point)
+                    raw = buf[p2:pos]
+                    kv = memo.get(raw)
+                    if kv is None:
+                        kv = _kv_fast(buf, p2, pos)
+                        if kv is None:
+                            kv = _decode_kv(raw)
+                        memo[raw] = kv
+                    attrs.append(kv)
             elif tag == 0x0A:
                 span["traceId"] = buf[p2:pos].hex()
             elif tag == 0x12:
@@ -393,6 +416,7 @@ def decode_traces_request(data: bytes) -> dict:
         if fno != 1:
             continue
         entry: dict = {"resource": {"attributes": []}, "scopeSpans": []}
+        memo: dict = {}  # per-request KV memo (see _decode_number_point)
         for f2, _, val in _wire_fields(rs):
             if f2 == 1:
                 entry["resource"] = _decode_resource(val)
@@ -400,7 +424,7 @@ def decode_traces_request(data: bytes) -> dict:
                 ss: dict = {"spans": []}
                 for f3, _, v3 in _wire_fields(val):
                     if f3 == 2:
-                        ss["spans"].append(_decode_span(v3))
+                        ss["spans"].append(_decode_span(v3, memo))
                 entry["scopeSpans"].append(ss)
         resource_spans.append(entry)
     return {"resourceSpans": resource_spans}
@@ -488,7 +512,7 @@ def _decode_number_point_generic(buf: bytes) -> dict:
     return p
 
 
-def _decode_number_point(buf: bytes) -> dict:
+def _decode_number_point(buf: bytes, memo: dict | None = None) -> dict:
     """Inline NumberDataPoint walk — the metrics-decode hot loop.
 
     Single-byte-tag dispatch over the wire-canonical (fno, wt) pairs
@@ -520,8 +544,23 @@ def _decode_number_point(buf: bytes) -> dict:
             else:
                 ln, p2 = _uvarint(buf, pos + 1)
             pos = p2 + ln
-            kv = _kv_fast(buf, p2, pos)
-            attrs.append(_decode_kv(buf[p2:pos]) if kv is None else kv)
+            if memo is None:
+                kv = _kv_fast(buf, p2, pos)
+                attrs.append(_decode_kv(buf[p2:pos]) if kv is None else kv)
+            else:
+                # per-request memo: attribute byte-patterns repeat
+                # across the points of a payload (shared dimensions),
+                # so a dict hit replaces the re-parse.  The dicts are
+                # read-only downstream (_attr_map copies into label
+                # maps), so sharing one object per pattern is safe.
+                raw = buf[p2:pos]
+                kv = memo.get(raw)
+                if kv is None:
+                    kv = _kv_fast(buf, p2, pos)
+                    if kv is None:
+                        kv = _decode_kv(raw)
+                    memo[raw] = kv
+                attrs.append(kv)
         elif tag == 0x2A:  # exemplars
             b = buf[pos + 1]
             if b < 0x80:
@@ -855,7 +894,7 @@ def _decode_metric_generic(buf: bytes) -> dict:
     return m
 
 
-def _decode_metric(buf: bytes) -> dict:
+def _decode_metric(buf: bytes, memo: dict | None = None) -> dict:
     """Inline Metric walk — one tag dispatch per field instead of the
     generic generator walk (the generator resume per dataPoint was the
     remaining per-point overhead at the Metric level).
@@ -899,7 +938,7 @@ def _decode_metric(buf: bytes) -> dict:
                     else:
                         ln2, p2 = _uvarint(buf, q + 1)
                     q = p2 + ln2
-                    pts.append(_decode_number_point(buf[p2:q]))
+                    pts.append(_decode_number_point(buf[p2:q], memo))
                 elif t2 == 0x18 and tag == 0x3A:
                     v, q = _uvarint(buf, q + 1)
                     num["isMonotonic"] = bool(v)
@@ -945,6 +984,7 @@ def decode_metrics_request(data: bytes) -> dict:
         if fno != 1:
             continue
         entry: dict = {"resource": {"attributes": []}, "scopeMetrics": []}
+        memo: dict = {}  # per-request KV memo (see _decode_number_point)
         for f2, _, val in _wire_fields(rm):
             if f2 == 1:
                 entry["resource"] = _decode_resource(val)
@@ -952,7 +992,7 @@ def decode_metrics_request(data: bytes) -> dict:
                 sm: dict = {"metrics": []}
                 for f3, _, v3 in _wire_fields(val):
                     if f3 == 2:
-                        sm["metrics"].append(_decode_metric(v3))
+                        sm["metrics"].append(_decode_metric(v3, memo))
                 entry["scopeMetrics"].append(sm)
         resource_metrics.append(entry)
     return {"resourceMetrics": resource_metrics}

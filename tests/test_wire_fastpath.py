@@ -537,6 +537,75 @@ def test_otlp_exemplar_fastpath():
     assert repr(pb._decode_exemplar(unk)) == repr(pb._decode_exemplar_generic(unk))
 
 
+def test_request_kv_memo_matches_unmemoized():
+    # decode_{metrics,traces,logs}_request thread a per-request KV memo
+    # through the point/span/record walks; the result must be
+    # repr-identical to the memo-less per-message decode, on repeated
+    # AND all-distinct attr patterns (incl. non-canonical KVs that take
+    # the _decode_kv fallback inside the memo branch)
+    rng = random.Random(91)
+    base = 1_704_067_200_000_000_000
+    for trial in range(10):
+        mk_attrs = lambda s, i: (  # noqa: E731
+            {"cpu": str(s % 8), "instance": "host-3"}  # repeats
+            if trial % 2 == 0
+            else {"uniq": f"v{s}_{i}"}  # all distinct
+        )
+        metrics = [
+            pb.enc_gauge_metric(
+                f"m_{s}", "1",
+                [
+                    pb.enc_number_point(
+                        time_ns=base + i, value=float(i), attrs=mk_attrs(s, i)
+                    )
+                    for i in range(rng.randrange(1, 8))
+                ],
+            )
+            for s in range(5)
+        ]
+        pay = pb.enc_metrics_request({"service.name": "node"}, metrics)
+        got = pb.decode_metrics_request(pay)
+        want = {
+            "resourceMetrics": [
+                {
+                    "resource": pb._decode_resource(
+                        next(v for f, _, v in prw._wire_fields(
+                            next(v for f, _, v in prw._wire_fields(pay) if f == 1)
+                        ) if f == 1)
+                    ),
+                    "scopeMetrics": [
+                        {"metrics": [pb._decode_metric(m) for m in metrics]}
+                    ],
+                }
+            ]
+        }
+        assert repr(got) == repr(want), trial
+
+    # non-canonical KV (value before key) inside a span: the memo
+    # branch must take the _decode_kv fallback and still match
+    odd_kv = pb._enc_len(2, pb.enc_any_string("v")) + pb._enc_len(1, b"rk")
+    span = pb.enc_span(
+        trace_id=b"\x01" * 16, span_id=b"\x02" * 8, name="n",
+        start_ns=1, end_ns=2,
+    ) + pb._enc_len(9, odd_kv) + pb._enc_len(9, odd_kv)  # repeated → memo hit
+    pay = pb.enc_traces_request({"service.name": "api"}, [span, span])
+    got = pb.decode_traces_request(pay)
+    spans = got["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    assert [repr(s) for s in spans] == [repr(pb._decode_span(span))] * 2
+    assert spans[0]["attributes"][0] == {"key": "rk", "value": {"stringValue": "v"}}
+
+    # logs: memoized request decode == per-record decode
+    recs = [
+        pb.enc_log_record(time_ns=base + i, body=f"m{i}", attrs={"k8s.pod": "p1"})
+        for i in range(6)
+    ]
+    pay = pb.enc_logs_request({"service.name": "api"}, recs)
+    got = pb.decode_logs_request(pay)
+    assert [
+        repr(r) for r in got["resourceLogs"][0]["scopeLogs"][0]["logRecords"]
+    ] == [repr(pb._decode_log_record(r)) for r in recs]
+
+
 def test_prw_points_columnar_min_ts(spark):
     # prw_points inlines series_points' min_ts_ms cutoff in its columnar
     # builder — pin the cutoff behavior end-to-end
