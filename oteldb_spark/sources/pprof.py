@@ -21,7 +21,13 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .prw import _enc_uvarint, _signed64, _uvarint, _wire_fields
+from .prw import (
+    _enc_uvarint,
+    _signed64,
+    _skip_generic,
+    _uvarint,
+    _wire_fields,
+)
 
 
 def _packed_u64(raw, wt) -> list[int]:
@@ -101,40 +107,65 @@ def decode_profile(data: bytes) -> dict:
     samples: list[dict] = []
     sample_types: list[tuple[int, int]] = []
     time_nanos = 0
-    for fno, wt, val in _wire_fields(data):
-        if fno == 1:  # ValueType{type=1, unit=2}
-            t = u = 0
-            for f2, _, v2 in _wire_fields(val):
-                if f2 == 1:
-                    t = _signed64(v2)
-                elif f2 == 2:
-                    u = _signed64(v2)
-            sample_types.append((t, u))
-        elif fno == 2:  # Sample{location_id=1, value=2}
-            samples.append(_decode_psample(val))
-        elif fno == 4:  # Location{id=1, line=4 → Line{function_id=1}}
-            lid = 0
-            fids: list[int] = []
-            for f2, _, v2 in _wire_fields(val):
-                if f2 == 1:
-                    lid = v2
-                elif f2 == 4:
-                    for f3, _, v3 in _wire_fields(v2):
-                        if f3 == 1:
-                            fids.append(v3)
-            locations[lid] = fids
-        elif fno == 5:  # Function{id=1, name=2}
-            fid = name_idx = 0
-            for f2, _, v2 in _wire_fields(val):
-                if f2 == 1:
-                    fid = v2
-                elif f2 == 2:
-                    name_idx = _signed64(v2)
-            functions[fid] = name_idx
-        elif fno == 6:
-            strings.append(val.decode("utf-8"))
-        elif fno == 9:
-            time_nanos = _signed64(val)
+    # Inline top-level Profile walk — one tag dispatch per field instead
+    # of a generator resume per sample/location/function/string.  The
+    # walk's semantics are skip-unknown (like the generator loop), so
+    # unhandled fields of any wiretype are skipped generically rather
+    # than bailed on: sample_type=1 → 0x0A, sample=2 → 0x12,
+    # location=4 → 0x22, function=5 → 0x2A, string_table=6 → 0x32,
+    # time_nanos=9 → 0x48 varint.
+    pos = 0
+    n = len(data)
+    append_sample = samples.append
+    while pos < n:
+        tag = data[pos]
+        if tag in (0x0A, 0x12, 0x22, 0x2A, 0x32):  # len-delimited
+            b = data[pos + 1]
+            if b < 0x80:
+                ln, p = b, pos + 2
+            else:
+                ln, p = _uvarint(data, pos + 1)
+            pos = p + ln
+            if tag == 0x12:  # Sample{location_id=1, value=2}
+                append_sample(_decode_psample(data[p:pos]))
+            elif tag == 0x32:  # string table entry
+                strings.append(data[p:pos].decode("utf-8"))
+            elif tag == 0x22:  # Location{id=1, line=4 → Line{function_id=1}}
+                lid = 0
+                fids: list[int] = []
+                for f2, _, v2 in _wire_fields(data[p:pos]):
+                    if f2 == 1:
+                        lid = v2
+                    elif f2 == 4:
+                        for f3, _, v3 in _wire_fields(v2):
+                            if f3 == 1:
+                                fids.append(v3)
+                locations[lid] = fids
+            elif tag == 0x2A:  # Function{id=1, name=2}
+                fid = name_idx = 0
+                for f2, _, v2 in _wire_fields(data[p:pos]):
+                    if f2 == 1:
+                        fid = v2
+                    elif f2 == 2:
+                        name_idx = _signed64(v2)
+                functions[fid] = name_idx
+            else:  # ValueType{type=1, unit=2}
+                t = u = 0
+                for f2, _, v2 in _wire_fields(data[p:pos]):
+                    if f2 == 1:
+                        t = _signed64(v2)
+                    elif f2 == 2:
+                        u = _signed64(v2)
+                sample_types.append((t, u))
+        elif tag == 0x48:  # time_nanos, varint
+            b = data[pos + 1]
+            if b < 0x80:
+                v, pos = b, pos + 2
+            else:
+                v, pos = _uvarint(data, pos + 1)
+            time_nanos = _signed64(v)
+        else:  # any other field: skip generically, like the old loop
+            pos = _skip_generic(data, pos)
 
     # resolve each distinct location once, not once per sample frame
     loc_names = {

@@ -537,6 +537,26 @@ def test_otlp_exemplar_fastpath():
     assert repr(pb._decode_exemplar(unk)) == repr(pb._decode_exemplar_generic(unk))
 
 
+def test_pprof_profile_walk_skips_unknown_fields():
+    # the inline top-level Profile walk must skip unhandled fields of
+    # every wiretype exactly like the old generator loop (period_type=10
+    # len, period=11 varint, mapping=3 len, keep_frames=8 varint), and
+    # handle a multi-byte time_nanos varint
+    t = pprof._tag
+    u = pprof._enc_uvarint
+    body = pprof.encode_profile([(["a", "b"], 7), (["c"], 9)], time_nanos=2**40)
+    noise = (
+        pprof._enc_len(10, t(1, 0) + u(1) + t(2, 0) + u(2))  # period_type
+        + t(11, 0) + u(10_000_000)  # period
+        + pprof._enc_len(3, t(1, 0) + u(1))  # mapping
+        + t(8, 0) + u(3)  # keep_frames
+    )
+    assert repr(pprof.decode_profile(noise + body)) == repr(
+        pprof.decode_profile(body)
+    )
+    assert pprof.decode_profile(body)["time_nanos"] == 2**40
+
+
 def test_request_kv_memo_matches_unmemoized():
     # decode_{metrics,traces,logs}_request thread a per-request KV memo
     # through the point/span/record walks; the result must be
