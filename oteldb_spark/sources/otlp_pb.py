@@ -282,25 +282,56 @@ def _decode_log_record(buf: bytes, memo: dict | None = None) -> dict:
     return rec
 
 
+def _len_field(buf: bytes, pos: int) -> tuple[int, int]:
+    """Start/end of the len-delimited payload whose tag is at ``pos``."""
+    b = buf[pos + 1]
+    if b < 0x80:
+        p = pos + 2
+        return p, p + b
+    ln, p = _uvarint(buf, pos + 1)
+    return p, p + ln
+
+
 def decode_logs_request(data: bytes) -> dict:
-    """ExportLogsServiceRequest bytes → OTLP/JSON-shaped dict."""
+    """ExportLogsServiceRequest bytes → OTLP/JSON-shaped dict.
+
+    Inline request/resource/scope walks — one tag dispatch per record
+    instead of a generator resume each (resourceLogs=1 → 0x0A;
+    resource=1 → 0x0A, scopeLogs=2 → 0x12; scope=1 → 0x0A,
+    logRecords=2 → 0x12).  Unknown fields (e.g. schemaUrl) skip
+    generically, like the generator loops did."""
     resource_logs = []
-    for fno, _, rl in _wire_fields(data):
-        if fno != 1:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0x0A:  # not resourceLogs: skip, like the old loop
+            pos = _skip_generic(data, pos)
             continue
+        p, pos = _len_field(data, pos)
         entry: dict = {"resource": {"attributes": []}, "scopeLogs": []}
         memo: dict = {}  # per-request KV memo (see _decode_number_point)
-        for f2, _, val in _wire_fields(rl):
-            if f2 == 1:
-                entry["resource"] = _decode_resource(val)
-            elif f2 == 2:
+        while p < pos:
+            tag = data[p]
+            if tag == 0x0A:  # resource
+                q, p = _len_field(data, p)
+                entry["resource"] = _decode_resource(data[q:p])
+            elif tag == 0x12:  # scopeLogs
+                q, p = _len_field(data, p)
                 sl: dict = {"scope": {"name": "", "version": ""}, "logRecords": []}
-                for f3, _, v3 in _wire_fields(val):
-                    if f3 == 1:
-                        sl["scope"] = _decode_scope(v3)
-                    elif f3 == 2:
-                        sl["logRecords"].append(_decode_log_record(v3, memo))
+                recs = sl["logRecords"]
+                while q < p:
+                    t2 = data[q]
+                    if t2 == 0x12:  # logRecords
+                        q2, q = _len_field(data, q)
+                        recs.append(_decode_log_record(data[q2:q], memo))
+                    elif t2 == 0x0A:  # scope
+                        q2, q = _len_field(data, q)
+                        sl["scope"] = _decode_scope(data[q2:q])
+                    else:
+                        q = _skip_generic(data, q)
                 entry["scopeLogs"].append(sl)
+            else:
+                p = _skip_generic(data, p)
         resource_logs.append(entry)
     return {"resourceLogs": resource_logs}
 
@@ -410,22 +441,40 @@ def _decode_span(buf: bytes, memo: dict | None = None) -> dict:
 
 
 def decode_traces_request(data: bytes) -> dict:
-    """ExportTraceServiceRequest bytes → OTLP/JSON-shaped dict."""
+    """ExportTraceServiceRequest bytes → OTLP/JSON-shaped dict.
+
+    Inline request/resource/scope walks (resourceSpans=1 → 0x0A;
+    resource=1 → 0x0A, scopeSpans=2 → 0x12; spans=2 → 0x12) — one tag
+    dispatch per span instead of a generator resume each; unknown
+    fields skip generically, like the generator loops did."""
     resource_spans = []
-    for fno, _, rs in _wire_fields(data):
-        if fno != 1:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0x0A:  # not resourceSpans: skip, like the old loop
+            pos = _skip_generic(data, pos)
             continue
+        p, pos = _len_field(data, pos)
         entry: dict = {"resource": {"attributes": []}, "scopeSpans": []}
         memo: dict = {}  # per-request KV memo (see _decode_number_point)
-        for f2, _, val in _wire_fields(rs):
-            if f2 == 1:
-                entry["resource"] = _decode_resource(val)
-            elif f2 == 2:
+        while p < pos:
+            tag = data[p]
+            if tag == 0x0A:  # resource
+                q, p = _len_field(data, p)
+                entry["resource"] = _decode_resource(data[q:p])
+            elif tag == 0x12:  # scopeSpans
+                q, p = _len_field(data, p)
                 ss: dict = {"spans": []}
-                for f3, _, v3 in _wire_fields(val):
-                    if f3 == 2:
-                        ss["spans"].append(_decode_span(v3, memo))
+                spans = ss["spans"]
+                while q < p:
+                    if data[q] == 0x12:  # spans
+                        q2, q = _len_field(data, q)
+                        spans.append(_decode_span(data[q2:q], memo))
+                    else:
+                        q = _skip_generic(data, q)
                 entry["scopeSpans"].append(ss)
+            else:
+                p = _skip_generic(data, p)
         resource_spans.append(entry)
     return {"resourceSpans": resource_spans}
 
@@ -978,22 +1027,40 @@ _METRIC_SUB = {
 
 
 def decode_metrics_request(data: bytes) -> dict:
-    """ExportMetricsServiceRequest bytes → OTLP/JSON-shaped dict."""
+    """ExportMetricsServiceRequest bytes → OTLP/JSON-shaped dict.
+
+    Inline request/resource/scope walks (resourceMetrics=1 → 0x0A;
+    resource=1 → 0x0A, scopeMetrics=2 → 0x12; metrics=2 → 0x12) — one
+    tag dispatch per metric instead of a generator resume each;
+    unknown fields skip generically, like the generator loops did."""
     resource_metrics = []
-    for fno, _, rm in _wire_fields(data):
-        if fno != 1:
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0x0A:  # not resourceMetrics: skip, like old loop
+            pos = _skip_generic(data, pos)
             continue
+        p, pos = _len_field(data, pos)
         entry: dict = {"resource": {"attributes": []}, "scopeMetrics": []}
         memo: dict = {}  # per-request KV memo (see _decode_number_point)
-        for f2, _, val in _wire_fields(rm):
-            if f2 == 1:
-                entry["resource"] = _decode_resource(val)
-            elif f2 == 2:
+        while p < pos:
+            tag = data[p]
+            if tag == 0x0A:  # resource
+                q, p = _len_field(data, p)
+                entry["resource"] = _decode_resource(data[q:p])
+            elif tag == 0x12:  # scopeMetrics
+                q, p = _len_field(data, p)
                 sm: dict = {"metrics": []}
-                for f3, _, v3 in _wire_fields(val):
-                    if f3 == 2:
-                        sm["metrics"].append(_decode_metric(v3, memo))
+                mets = sm["metrics"]
+                while q < p:
+                    if data[q] == 0x12:  # metrics
+                        q2, q = _len_field(data, q)
+                        mets.append(_decode_metric(data[q2:q], memo))
+                    else:
+                        q = _skip_generic(data, q)
                 entry["scopeMetrics"].append(sm)
+            else:
+                p = _skip_generic(data, p)
         resource_metrics.append(entry)
     return {"resourceMetrics": resource_metrics}
 

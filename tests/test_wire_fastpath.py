@@ -625,6 +625,32 @@ def test_request_kv_memo_matches_unmemoized():
         repr(r) for r in got["resourceLogs"][0]["scopeLogs"][0]["logRecords"]
     ] == [repr(pb._decode_log_record(r)) for r in recs]
 
+    # the inline request walks must skip unknown fields at every level
+    # (schemaUrl=3 at resource AND scope level, unknown varint at top)
+    # exactly like the generator loops did
+    for enc, dec, key in (
+        (pb.enc_logs_request, pb.decode_logs_request, "resourceLogs"),
+        (pb.enc_traces_request, pb.decode_traces_request, "resourceSpans"),
+        (pb.enc_metrics_request, pb.decode_metrics_request, "resourceMetrics"),
+    ):
+        if key == "resourceLogs":
+            body = enc({"service.name": "api"}, recs)
+        elif key == "resourceSpans":
+            body = enc({"service.name": "api"}, [pb.enc_span(
+                trace_id=b"\x01" * 16, span_id=b"\x02" * 8, name="n",
+                start_ns=1, end_ns=2)])
+        else:
+            body = enc({"service.name": "api"}, [pb.enc_gauge_metric(
+                "g", "", [pb.enc_number_point(time_ns=1, value=2.0)])])
+        clean = dec(body)
+        # splice schemaUrl into the resource-level message and append
+        # top-level noise; both must be ignored
+        inner = next(
+            v for f, _, v in prw._wire_fields(body) if f == 1
+        ) + pb._enc_len(3, b"https://example/schema")
+        noisy = pb._enc_len(1, inner) + pb._tag(9, 0) + pb._enc_uvarint(5)
+        assert repr(dec(noisy)) == repr(clean), key
+
 
 def test_prw_points_columnar_min_ts(spark):
     # prw_points inlines series_points' min_ts_ms cutoff in its columnar
