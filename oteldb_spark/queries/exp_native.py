@@ -110,12 +110,11 @@ def _buckets(spark, sf_dir):
     memo = _BUCKETS_MEMO.get(spark, sf_dir)
     if memo is not None:
         return repin(memo, small=True)
-    payloads = _state_payload(spark, sf_dir)
-    # slice to the payload count: 32 near-empty slices each pay a
-    # Python-worker round-trip in the decode mapInPandas
-    df = spark.createDataFrame(
-        [(p,) for p in payloads], "payload binary"
-    ).repartition(max(1, min(len(payloads), 8)))
+    from ..sources.payloads import payload_frame
+
+    # Arrow-built local frame: one JVM partition per payload, no
+    # Python-pickle scan and no repartition Exchange (sources/payloads.py)
+    df = payload_frame(spark, _state_payload(spark, sf_dir))
     state = pb.pb_exp_histograms(df).withColumn(
         "etype", F.col("labels")["etype"]
     )
@@ -210,9 +209,9 @@ def _state_frame(spark, sf_dir):
             + _encode_states(rows, _LIMIT, _T0_NS + _SNAP_GAP_US * 1000),
         )
     ]
-    df = spark.createDataFrame(
-        [(p,) for p in payload], "payload binary"
-    ).repartition(1)
+    from ..sources.payloads import payload_frame
+
+    df = payload_frame(spark, payload)
     return pb.pb_exp_histograms(df).select(
         F.col("labels")["etype"].alias("etype"),
         (F.col("ts_ns") / 1000).cast("long").alias("ts_us"),
@@ -427,9 +426,9 @@ def _signed_buckets(spark, sf_dir):
             {"service.name": "svc-exp"}, _encode_signed_states(rows, _T0_NS)
         )
     ]
-    df = spark.createDataFrame(
-        [(p,) for p in payloads], "payload binary"
-    ).repartition(max(1, min(len(payloads), 8)))
+    from ..sources.payloads import payload_frame
+
+    df = payload_frame(spark, payloads)
     state = pb.pb_exp_histograms(df).withColumn(
         "etype", F.col("labels")["etype"]
     )

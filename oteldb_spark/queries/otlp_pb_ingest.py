@@ -103,17 +103,15 @@ def _by_type(rows):
 
 
 def _payload_df(spark, payloads):
-    # createDataFrame slices a local list across defaultParallelism
-    # (32 here) — 32 near-empty partitions each spin up a Python
-    # worker for the decode mapInPandas.  REPARTITION (one tiny
-    # shuffle) to at most one partition per payload; measured
-    # interleaved best-of-3: repartition 0.42 s, the 32-slice original
-    # 0.55 s, and coalesce 3.5 s for a single payload — a coalesced
-    # task pays the per-parent-slice Arrow/runner overhead of all 32
-    # empty slices SERIALLY.  Real deployments feed the decoder from a
-    # stream/file source with data-sized partitions.
-    df = spark.createDataFrame([(p,) for p in payloads], "payload binary")
-    return df.repartition(max(1, min(len(payloads), 8)))
+    # Arrow-built local frame: one JVM-backed partition per payload,
+    # no Python-pickle scan stage and no repartition Exchange (r12's
+    # repartition(min(n, 8)) shape paid BOTH: the pickled-list scan
+    # spun a Python worker per slice before the decode mapInPandas
+    # ever ran).  Real deployments feed the decoder from a stream/file
+    # source with data-sized partitions.
+    from ..sources.payloads import payload_frame
+
+    return payload_frame(spark, payloads)
 
 
 # --- logs --------------------------------------------------------------------

@@ -68,12 +68,10 @@ FROM e GROUP BY etype, k"""
 
 @register("profile_pprof_ingest", _ORACLE)
 def profile_pprof_ingest(spark, sf_dir):
-    payloads = _payloads(spark, sf_dir)
-    # one slice per payload (not defaultParallelism near-empty slices,
-    # each spinning a Python worker) — the measured _payload_df shape
-    # from otlp_pb_ingest
-    df = spark.createDataFrame(
-        [(p,) for p in payloads], "payload binary"
-    ).repartition(max(1, min(len(payloads), 8)))
+    from ..sources.payloads import payload_frame
+
+    # Arrow-built local frame: one JVM partition per payload, no
+    # Python-pickle scan and no repartition Exchange (sources/payloads.py)
+    df = payload_frame(spark, _payloads(spark, sf_dir))
     samples = pprof.pprof_samples(df)
     return pprof.flame_nodes(samples).select("stack", "self", "total", "depth")

@@ -55,14 +55,12 @@ def _fixture_payloads(spark, sf_dir) -> list[bytes]:
 
 
 def _payload_df(spark, sf_dir):
-    payloads = _fixture_payloads(spark, sf_dir)
-    # slice to the payload count (see otlp_pb_ingest._payload_df): the
-    # default createDataFrame slicing spreads a handful of payloads
-    # over defaultParallelism near-empty partitions, each paying a
-    # Python-worker round-trip in the decode mapInPandas
-    return spark.createDataFrame(
-        [(p,) for p in payloads], "payload binary"
-    ).repartition(max(1, min(len(payloads), 8)))
+    from ..sources.payloads import payload_frame
+
+    # Arrow-built local frame: one JVM partition per payload, no
+    # Python-pickle scan and no repartition Exchange (see
+    # sources/payloads.py for the r12→r13 shape change)
+    return payload_frame(spark, _fixture_payloads(spark, sf_dir))
 
 
 _POINTS_ORACLE_BODY = f"""WITH e AS (
