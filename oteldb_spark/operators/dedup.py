@@ -334,6 +334,53 @@ SIMHASH120_BAND_EXPRS = [
 
 SIMHASH_TIER_ROWS = 32_000  # ≤ this many docs → 60-bit tier
 
+# DuckDB replay of the ADAPTIVE pairs semantics: brute-force pair join
+# over the tier fingerprint, with the tier picked by the same count
+# formula in a scalar-subquery CASE.  Below the tier threshold this
+# reduces exactly to the fixed 60-bit oracle (f2 contributes zero), so
+# every fixture SF (500/500/5000 docs) hash-matches the historic
+# fixed-tier gate byte for byte.  Shared by the primary
+# ``dedup_simhash_pairs`` gate (adaptive since r13) and the
+# ``dedup_simhash_adaptive_pairs`` certification gate — defined here,
+# NOT in a queries module, so neither import perturbs the static
+# registry order.
+SIMHASH_ADAPTIVE_ORACLE = f"""WITH nn AS (
+  SELECT count(*) AS n FROM documents
+),
+toks AS (
+  SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc,
+         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h2
+  FROM toks
+),
+bits AS (
+  SELECT doc, j,
+         sum(CASE WHEN (h1 >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v1,
+         sum(CASE WHEN (h2 >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v2
+  FROM hashed CROSS JOIN (SELECT range AS j FROM range(0, 60, 1))
+  GROUP BY doc, j
+),
+fps AS (
+  SELECT doc,
+         CAST(sum(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << j)
+                  ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN v2 > 0 THEN (CAST(1 AS BIGINT) << j)
+                  ELSE 0 END) AS BIGINT) AS f2
+  FROM bits GROUP BY doc
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.f1, b.f1))
+            + CASE WHEN (SELECT n FROM nn) <= {SIMHASH_TIER_ROWS} THEN 0
+                   ELSE bit_count(xor(a.f2, b.f2)) END AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc < b.doc
+WHERE bit_count(xor(a.f1, b.f1))
+      + CASE WHEN (SELECT n FROM nn) <= {SIMHASH_TIER_ROWS} THEN 0
+             ELSE bit_count(xor(a.f2, b.f2)) END <= 4"""
+
 
 def simhash_adaptive_pairs(
     docs: DataFrame,

@@ -19,49 +19,12 @@ static prefix is untouched.
 
 from __future__ import annotations
 
-from ..operators.dedup import SIMHASH_TIER_ROWS, simhash_adaptive_pairs
+from ..operators.dedup import SIMHASH_ADAPTIVE_ORACLE, simhash_adaptive_pairs
 from ..tables import load
 from .registry import register
 
-_ADAPTIVE_SIMHASH_ORACLE = f"""WITH nn AS (
-  SELECT count(*) AS n FROM documents
-),
-toks AS (
-  SELECT doc_id AS doc, unnest(list_distinct(string_split(text, ' '))) AS tok
-  FROM documents
-),
-hashed AS (
-  SELECT doc,
-         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h1,
-         CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h2
-  FROM toks
-),
-bits AS (
-  SELECT doc, j,
-         sum(CASE WHEN (h1 >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v1,
-         sum(CASE WHEN (h2 >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v2
-  FROM hashed CROSS JOIN (SELECT range AS j FROM range(0, 60, 1))
-  GROUP BY doc, j
-),
-fps AS (
-  SELECT doc,
-         CAST(sum(CASE WHEN v1 > 0 THEN (CAST(1 AS BIGINT) << j)
-                  ELSE 0 END) AS BIGINT) AS f1,
-         CAST(sum(CASE WHEN v2 > 0 THEN (CAST(1 AS BIGINT) << j)
-                  ELSE 0 END) AS BIGINT) AS f2
-  FROM bits GROUP BY doc
-)
-SELECT a.doc AS doc_a, b.doc AS doc_b,
-       CAST(bit_count(xor(a.f1, b.f1))
-            + CASE WHEN (SELECT n FROM nn) <= {SIMHASH_TIER_ROWS} THEN 0
-                   ELSE bit_count(xor(a.f2, b.f2)) END AS BIGINT) AS hamming
-FROM fps a JOIN fps b ON a.doc < b.doc
-WHERE bit_count(xor(a.f1, b.f1))
-      + CASE WHEN (SELECT n FROM nn) <= {SIMHASH_TIER_ROWS} THEN 0
-             ELSE bit_count(xor(a.f2, b.f2)) END <= 4"""
 
-
-@register("dedup_simhash_adaptive_pairs", _ADAPTIVE_SIMHASH_ORACLE)
+@register("dedup_simhash_adaptive_pairs", SIMHASH_ADAPTIVE_ORACLE)
 def dedup_simhash_adaptive_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_adaptive_pairs(docs, "doc_id", "text")

@@ -7,12 +7,13 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     MINHASH_ORACLE_CTES,
+    SIMHASH_ADAPTIVE_ORACLE,
     SIMHASH_ORACLE_CTES,
     lsh_candidate_pairs,
     minhash_signatures,
     minhash_vector,
     simhash64,
-    simhash_near_pairs,
+    simhash_adaptive_pairs,
 )
 from ..tables import load
 from .registry import register
@@ -60,22 +61,22 @@ def dedup_simhash(spark, sf_dir):
     return simhash64(docs, "doc_id", "text")
 
 
-# SimHash near-dup pairs: hamming distance ≤ 4 of 60 bits
-@register(
-    "dedup_simhash_pairs",
-    f"""WITH {SIMHASH_ORACLE_CTES}
-SELECT a.doc AS doc_a, b.doc AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM fps a JOIN fps b ON a.doc < b.doc
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
-)
+# SimHash near-dup pairs: hamming distance ≤ 4, SCALE-ADAPTIVE tier
+# (r13, VERDICT r12 ask #1): 60-bit fingerprints / 12-bit pigeonhole
+# bands up to 32k docs, 120-bit / 24-bit bands above — the fixed
+# 12-bit tier's random-collision candidate tail grows ~5·N²/2^12
+# (SCALING_r12 watch: ×64 point 29.3 s, confirm lb 1.158).  The oracle
+# replays the same tier formula in a scalar-subquery CASE; below the
+# threshold both sides reduce exactly to the historic fixed 60-bit
+# gate, so every fixture SF (500/500/5000 docs) is byte-identical to
+# the r12 results.
+@register("dedup_simhash_pairs", SIMHASH_ADAPTIVE_ORACLE)
 def dedup_simhash_pairs(spark, sf_dir):
-    # Banded pigeonhole join (5 x 12-bit bands), not the brute-force
-    # pair join the oracle runs — same answer, candidates scale with
-    # band collisions instead of n^2.
+    # Banded pigeonhole join, not the brute-force pair join the oracle
+    # runs — same answer, candidates scale with band collisions
+    # instead of n^2.
     docs = load(spark, sf_dir, "documents", spread=True)
-    fps = simhash64(docs, "doc_id", "text")
-    return simhash_near_pairs(fps, max_hamming=4)
+    return simhash_adaptive_pairs(docs, "doc_id", "text", max_hamming=4)
 
 
 # EXACT Jaccard >= tau via AllPairs prefix filtering — same answer as
