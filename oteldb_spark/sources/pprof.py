@@ -167,11 +167,12 @@ def decode_profile(data: bytes) -> dict:
         else:  # any other field: skip generically, like the old loop
             pos = _skip_generic(data, pos)
 
-    # resolve each distinct location once, not once per sample frame
-    loc_names = {
-        lid: [strings[functions[f]] for f in fids]
-        for lid, fids in locations.items()
-    }
+    # resolve each distinct location once, not once per sample frame —
+    # but LAZILY, only for sample-referenced locations (ADVICE r12: an
+    # eager comprehension over every Location raised on profiles whose
+    # UNREFERENCED locations carry dangling function ids / name
+    # indices, which the pre-r12 lazy path decoded fine)
+    loc_names: dict[int, list[str]] = {}
     empty: list[str] = []
 
     resolved = []
@@ -180,7 +181,16 @@ def decode_profile(data: bytes) -> dict:
         # also leaf-first line entries
         frames: list[str] = []
         for lid in s["location_ids"]:
-            frames += loc_names.get(lid, empty)
+            names = loc_names.get(lid)
+            if names is None:
+                fids = locations.get(lid)
+                names = (
+                    [strings[functions[f]] for f in fids]
+                    if fids is not None
+                    else empty
+                )
+                loc_names[lid] = names
+            frames += names
         resolved.append({"frames_leaf_first": frames, "values": s["values"]})
     return {
         "sample_types": [

@@ -557,6 +557,22 @@ def test_pprof_profile_walk_skips_unknown_fields():
     assert pprof.decode_profile(body)["time_nanos"] == 2**40
 
 
+def test_pprof_unreferenced_dangling_location_decodes():
+    # ADVICE r12: an UNREFERENCED Location whose Line names a function
+    # id absent from the function table must not break the decode —
+    # the pre-r12 lazy resolution only touched sample-referenced
+    # locations, and the memoized resolution must keep that contract
+    t = pprof._tag
+    u = pprof._enc_uvarint
+    body = pprof.encode_profile([(["a", "b"], 7), (["c"], 9)])
+    dangling = pprof._enc_len(
+        4, t(1, 0) + u(77) + pprof._enc_len(4, t(1, 0) + u(99))
+    )
+    assert repr(pprof.decode_profile(body + dangling)) == repr(
+        pprof.decode_profile(body)
+    )
+
+
 def test_request_kv_memo_matches_unmemoized():
     # decode_{metrics,traces,logs}_request thread a per-request KV memo
     # through the point/span/record walks; the result must be
