@@ -42,6 +42,27 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _media_frame(spark, rows) -> DataFrame:
+    """Fixture rows → DataFrame via the Arrow path when available: a
+    plain-list ``createDataFrame`` builds a pickled Python-RDD scan
+    that spins a Python worker per slice (32 on local[32]) before the
+    dhash/feature ``mapInPandas`` ever runs — and the phash gate's
+    banded self-join materializes that scan on BOTH join sides
+    concurrently (r12 driver artifact: 12.7 s at 32 cores vs 0.63 s at
+    8).  The Arrow build lands as a pure-JVM ``LocalTableScan``.  Rows
+    are identical either way (pinned by test)."""
+    arrow_on = (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        == "true"
+    )
+    if not arrow_on:
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+
 def synthesize_media(
     spark, n: int, kind: str = "image", real_png: bool = False
 ) -> DataFrame:
@@ -81,7 +102,7 @@ def synthesize_media(
             "codec": {"image": "png", "audio": "pcm16", "video": "h264"}[kind],
         }
         rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def _try_decode_image(data: bytes):
@@ -206,7 +227,7 @@ def synthesize_near_dup_media(
             "codec": "raw",
         }
         rows.append((i, kind, bytes(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def byte_dhash(media: DataFrame) -> DataFrame:
