@@ -238,6 +238,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "decode_proxy_control_points_per_sec": proxy0,
                 "prw_decode_points_per_sec": prw_pps,
                 "prw_e2e_points_per_sec": e2e["value"],
                 "prw_e2e_4m_points_per_sec": e2e4["value"],
