@@ -181,11 +181,6 @@ def main() -> None:
     # wire-decode throughput (BASELINE.md row: ~144,300 points/s)
     release_pins()
     spark.catalog.clearCache()
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-    )
-    from bench_ingest import measure_otlp_e2e, measure_prw, measure_prw_e2e
-
     prw_pps = measure_prw(spark)["value"]
     print(f"# prw_decode_points_per_sec: {prw_pps}", file=sys.stderr)
 
