@@ -152,7 +152,6 @@ class StepResultCache:
         stored = False
         for s, e in gaps:
             df = compute(s, e)
-            parts.append(df.where(df["step_us"].between(start_us, grid_hi)))
             store_e = e if cutoff is None else min(e, cutoff)
             # A head gap ([s, e] with e = meta.lo - step) may only be
             # persisted when stored in FULL: a safety-lag truncation
@@ -164,6 +163,7 @@ class StepResultCache:
             head_gap = meta is not None and e < meta.lo_us
             if store_e < s or (head_gap and store_e < e):
                 self.stats.skipped_inserts += 1
+                parts.append(df.where(df["step_us"].between(start_us, grid_hi)))
                 continue
             df.where(df["step_us"].between(s, store_e)).write.mode("append").parquet(
                 data_dir
@@ -171,6 +171,21 @@ class StepResultCache:
             stored = True
             new_lo = min(new_lo, s)
             new_hi = store_e if new_hi is None else max(new_hi, store_e)
+            # Serve the stored slice from the files the write just
+            # produced: the write-back action above already ran the gap
+            # query in full, so routing the returned frame through the
+            # plan would compute it a second time when the caller
+            # materializes.  Stored files hold disjoint step ranges, so
+            # the range filter selects exactly this gap's rows.  Only
+            # the safety-lag tail (store_e, e] — deliberately not
+            # persisted — still comes from the plan.
+            ret_lo, ret_hi = max(s, start_us), min(store_e, grid_hi)
+            if ret_lo <= ret_hi:
+                back = spark.read.parquet(data_dir)
+                parts.append(back.where(back["step_us"].between(ret_lo, ret_hi)))
+            if store_e < e:
+                tail_lo = max(store_e + step_us, start_us)
+                parts.append(df.where(df["step_us"].between(tail_lo, grid_hi)))
         if stored:
             self._write_meta(meta_path, _Meta(new_lo, new_hi, step_us, align_us))
 

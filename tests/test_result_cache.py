@@ -142,6 +142,39 @@ def test_safety_lag_truncated_head_gap_not_claimed(spark, tmp_path):
     assert all(vals[T0 + i * STEP] == float(i) for i in range(9))
 
 
+def test_stored_gap_served_from_parquet_not_recomputed(spark, tmp_path):
+    """The write-back action already ran the gap query; the returned
+    frame must read those files back instead of carrying the compute
+    plan (which would execute the whole gap query a second time when
+    the caller materializes — the r13 promql_rate_cached_cold fix).
+    Only a safety-lag tail, which is deliberately not persisted, may
+    remain in-plan."""
+    calls = []
+    cache = StepResultCache(str(tmp_path / "rc"))
+    compute = _compute_factory(spark, calls)
+
+    out = cache.query_range(spark, "q", T0, T0 + 9 * STEP, STEP, compute)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()  # served from the stored slice
+    # the compute frame is an Arrow/local scan — none may remain
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan
+    assert _steps(out) == [T0 + i * STEP for i in range(10)]
+
+    # with a safety lag, the unpersisted tail stays in-plan, the
+    # stored prefix still comes from parquet, and rows are complete
+    cache2 = StepResultCache(str(tmp_path / "rc2"), safety_lag_us=2 * STEP)
+    now = T0 + 9 * STEP  # cutoff = T0 + 7*STEP
+    out2 = cache2.query_range(
+        spark, "q", T0, T0 + 9 * STEP, STEP, compute, now_us=now
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan2.lower()
+    assert "LocalTableScan" in plan2 or "ExistingRDD" in plan2
+    vals = {r.step_us: r.value for r in out2.collect()}
+    assert sorted(vals) == [T0 + i * STEP for i in range(10)]
+    assert all(vals[T0 + i * STEP] == float(i) for i in range(10))
+
+
 def test_different_key_and_alignment_are_separate_entries(spark, tmp_path):
     calls = []
     cache = StepResultCache(str(tmp_path / "rc"))
